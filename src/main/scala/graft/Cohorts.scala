@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Adapter mapping CoCoA cohort semantics onto the driver's TPC-H-ish
+  * testdata (FIXTURES.md §2.1): orders ⋈ customer, consent flag
+  * `o_orderkey % 5 != 0` (~80/20), conversion value `o_totalprice`,
+  * categorical features (o_orderpriority, o_orderstatus, c_mktsegment) as a
+  * token set, numeric passthrough `c_acctbal`, cohort scope = order month.
+  *
+  * The matching DuckDB oracle CTEs live in [[OracleCtes]] — Spark code and
+  * SQL must stay column-name aligned (driver hashes sort columns by name).
+  */
+object Cohorts {
+  val Lo = "1995-01-01"
+  val Hi = "1996-01-01"
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Base cohort frame: month, idx, value, features, c_acctbal, consent. */
+  def base(spark: SparkSession, dir: String, lo: String = Lo, hi: String = Hi): DataFrame = {
+    val o = table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+              col("o_orderdate") < lit(hi).cast("timestamp"))
+    val c = table(spark, dir, "customer")
+    // customer is the small dimension: broadcast — no shuffle of orders.
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderkey").as("idx"),
+        col("o_totalprice").as("value"),
+        array(
+          concat(lit("pri="), col("o_orderpriority")),
+          concat(lit("st="), col("o_orderstatus")),
+          concat(lit("seg="), col("c_mktsegment"))).as("features"),
+        col("c_acctbal"),
+        when(col("o_orderkey") % 5 =!= 0, 1).otherwise(0).as("consent"))
+  }
+
+  /** (consent, noconsent) split of [[base]]. */
+  def cohorts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val b = base(spark, dir)
+    (b.filter(col("consent") === 1).drop("consent"),
+     b.filter(col("consent") === 0).drop("consent"))
+  }
+
+  /** The engine spec shared by every cohort query. */
+  val spec: CohortSpec = CohortSpec(
+    idCol = "idx", valueCol = "value", tokenCol = "features",
+    numCols = Seq("c_acctbal"), cohortCols = Seq("month"), metric = Manhattan)
+}
+
+/** DuckDB oracle SQL building blocks mirroring [[Cohorts]] exactly.
+  * Manhattan over the 3-token one-hot set == 6 − 2·|intersection|, plus
+  * |Δ acctbal|. */
+object OracleCtes {
+  val base: String =
+    """base AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |         o_orderkey AS idx,
+      |         o_totalprice AS value,
+      |         ['pri=' || o_orderpriority, 'st=' || o_orderstatus, 'seg=' || c_mktsegment] AS features,
+      |         c_acctbal,
+      |         CASE WHEN o_orderkey % 5 <> 0 THEN 1 ELSE 0 END AS consent
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |    AND o_orderdate <  TIMESTAMP '1996-01-01')""".stripMargin
+
+  val cohortSplit: String =
+    """c AS (SELECT * FROM base WHERE consent = 1),
+      |nc AS (SELECT * FROM base WHERE consent = 0)""".stripMargin
+
+  val pairs: String =
+    """pairs AS (
+      |  SELECT nc.month, nc.idx AS nc_idx, nc.value AS nc_value,
+      |         c.idx AS c_idx, c.value AS c_value,
+      |         CAST(len(nc.features) + len(c.features)
+      |              - 2 * len(list_intersect(nc.features, c.features)) AS DOUBLE)
+      |           + abs(nc.c_acctbal - c.c_acctbal) AS dist
+      |  FROM nc JOIN c ON nc.month = c.month)""".stripMargin
+
+  def topk(k: Int): String =
+    s"""topk AS (
+       |  SELECT * FROM (
+       |    SELECT *, CAST(row_number() OVER (
+       |        PARTITION BY month, nc_idx ORDER BY dist, c_idx) AS BIGINT) AS rank
+       |    FROM pairs) WHERE rank <= $k)""".stripMargin
+
+  /** Softmax weights over the selected pairs relation `sel` (must expose
+    * month, nc_idx, nc_value, c_idx, dist). Two stages — DuckDB rejects
+    * nested window calls (min OVER inside sum OVER). */
+  def softmax(sel: String): String =
+    s"""shifted AS (
+       |  SELECT *, exp(-(dist - min(dist) OVER (PARTITION BY month, nc_idx))) AS e
+       |  FROM $sel),
+       |shares AS (
+       |  SELECT *,
+       |         e / sum(e) OVER w AS weight,
+       |         nc_value * e / sum(e) OVER w AS weighted_value
+       |  FROM shifted
+       |  WINDOW w AS (PARTITION BY month, nc_idx))""".stripMargin
+
+  /** Everything up to the pairs relation. */
+  val prefix: String = s"WITH $base,\n$cohortSplit,\n$pairs"
+}

@@ -1,13 +1,429 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one entry per operator from SURVEY.md §2, each with a
+  * DuckDB-equivalent oracle SQL over the same parquet tables. Column names
+  * and rounding are kept identical on both sides (the driver's compare
+  * sorts columns by name and hashes values).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  // ---------------------------------------------------------------- helpers
+  private def rnd(c: Column, n: Int): Column = round(c, n)
+
+  private def cohortPair(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    Cohorts.cohorts(s, dir)
+
+  private def allPairs(s: SparkSession, dir: String): DataFrame = {
+    val (c, nc) = cohortPair(s, dir)
+    NeighborJoin.pairs(c, nc, Cohorts.spec)
+  }
+
+  /** Shared projection of a full adjusted frame (q13/q18). */
+  private def selectAdjusted(adjusted: DataFrame): DataFrame =
+    adjusted.select(
+      col("month"), col("idx"), col("value"),
+      rnd(col("adjusted_conversion"), 4).as("adjusted_conversion"),
+      rnd(col("average_distance"), 4).as("average_distance"),
+      col("n_added_conversions"),
+      rnd(col("sum_distribution_weights"), 6).as("sum_distribution_weights"),
+      rnd(col("naive_adjusted_conversion"), 4).as("naive_adjusted_conversion"))
+
+  /** Oracle tail shared by q13/q18: shares → scatter-add → left join + naive. */
+  private def adjustedTailSql(selCte: String): String =
+    s"""${OracleCtes.softmax(selCte)},
+       |acc AS (
+       |  SELECT month, c_idx, sum(weighted_value) AS adj,
+       |         sum(dist) / count(*) AS avg_d,
+       |         CAST(count(*) AS BIGINT) AS n_added,
+       |         sum(weight) AS w_sum
+       |  FROM shares GROUP BY month, c_idx),
+       |matched_nc AS (SELECT DISTINCT month, nc_idx, nc_value FROM $selCte),
+       |ccnt AS (SELECT month, count(*) AS c_cnt FROM c GROUP BY month),
+       |msum AS (SELECT month, sum(nc_value) AS nc_sum FROM matched_nc GROUP BY month),
+       |naive AS (
+       |  SELECT ccnt.month, coalesce(nc_sum, 0) / c_cnt AS naive_add
+       |  FROM ccnt LEFT JOIN msum ON ccnt.month = msum.month)
+       |SELECT c.month, c.idx, c.value,
+       |       ROUND(coalesce(acc.adj, 0), 4) AS adjusted_conversion,
+       |       ROUND(acc.avg_d, 4) AS average_distance,
+       |       coalesce(acc.n_added, 0) AS n_added_conversions,
+       |       ROUND(coalesce(acc.w_sum, 0), 6) AS sum_distribution_weights,
+       |       ROUND(c.value + naive.naive_add, 4) AS naive_adjusted_conversion
+       |FROM c
+       |JOIN naive ON c.month = naive.month
+       |LEFT JOIN acc ON acc.month = c.month AND acc.c_idx = c.idx""".stripMargin
+
+  // --------------------------------------------------------------- registry
+  /** (name, query, oracle SQL — None ⇒ driver does a rows-only check). */
+  private lazy val registry: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // S2 — source scan + pushed-down date predicate (SURVEY §2.A S2).
+    ("q01_cohort_scan",
+      (s: SparkSession, dir: String) =>
+        Cohorts.base(s, dir).select("month", "idx", "value", "consent"),
+      Some(s"""WITH ${OracleCtes.base}
+              |SELECT month, idx, value, consent FROM base""".stripMargin)),
+
+    // S3/A8 — scalar max-date query (cloud_function/main.py:124-134).
+    ("q02_max_date",
+      (s: SparkSession, dir: String) =>
+        Cohorts.table(s, dir, "orders")
+          .agg(date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("latest_date")),
+      Some("SELECT strftime(max(o_orderdate), '%Y-%m-%d') AS latest_date FROM orders")),
+
+    // P1+P2 — null/non-positive cleaning then aggregate (preprocess.py:30-49).
+    ("q03_clean",
+      (s: SparkSession, dir: String) =>
+        Preprocess.clean(Cohorts.table(s, dir, "lineitem"), "l_quantity")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+               rnd(sum("l_extendedprice"), 2).as("sum_price")),
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+             |       ROUND(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_price
+             |FROM lineitem WHERE l_quantity IS NOT NULL AND l_quantity > 0
+             |GROUP BY l_returnflag""".stripMargin)),
+
+    // P4 — faithful get_dummies wide one-hot (data-dependent schema). Input
+    // is the full 1995 year: the category domain is saturated there at every
+    // scale factor, so the static oracle column list matches the
+    // data-dependent Spark schema (checked for sf0.001/0.01/0.1).
+    ("q04_dummy_wide",
+      (s: SparkSession, dir: String) => {
+        val yr = Cohorts.table(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+                  col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+          .join(broadcast(Cohorts.table(s, dir, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey").as("idx"),
+            col("o_orderpriority"), col("o_orderstatus"), col("c_mktsegment"))
+        Preprocess.dummyEncode(yr, Seq("o_orderpriority", "o_orderstatus", "c_mktsegment"))
+      },
+      Some {
+        val pri = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        val st = Seq("F", "O", "P")
+        val seg = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+        val cases =
+          pri.map(v => s"CASE WHEN o_orderpriority = '$v' THEN 1 ELSE 0 END AS ${Preprocess.sanitize(s"o_orderpriority_$v")}") ++
+          st.map(v => s"CASE WHEN o_orderstatus = '$v' THEN 1 ELSE 0 END AS ${Preprocess.sanitize(s"o_orderstatus_$v")}") ++
+          seg.map(v => s"CASE WHEN c_mktsegment = '$v' THEN 1 ELSE 0 END AS ${Preprocess.sanitize(s"c_mktsegment_$v")}")
+        s"""SELECT o_orderkey AS idx, ${cases.mkString(",\n       ")}
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+           |  AND o_orderdate <  TIMESTAMP '1996-01-01'""".stripMargin
+      }),
+
+    // U1 — union with consent flag, checked via per-flag aggregates.
+    ("q05_union_flag",
+      (s: SparkSession, dir: String) => {
+        val (c, nc) = cohortPair(s, dir)
+        Preprocess.unionWithConsentFlag(nc, c)
+          .groupBy("consent", "month")
+          .agg(count(lit(1)).as("n_rows"), rnd(sum("value"), 2).as("sum_value"))
+      },
+      Some(s"""WITH ${OracleCtes.base}
+              |SELECT consent, month, CAST(count(*) AS BIGINT) AS n_rows,
+              |       ROUND(sum(value), 2) AS sum_value
+              |FROM base GROUP BY consent, month""".stripMargin)),
+
+    // P7 — deterministic dense row ids (pandas positional index analogue).
+    ("q06_row_ids",
+      (s: SparkSession, dir: String) => {
+        val (_, nc) = cohortPair(s, dir)
+        Preprocess.withRowIds(nc.filter(col("month") === "1995-01"), Seq("idx"), "rowid")
+          .select("rowid", "idx")
+      },
+      Some(s"""WITH ${OracleCtes.base},
+              |${OracleCtes.cohortSplit}
+              |SELECT CAST(row_number() OVER (ORDER BY idx) - 1 AS BIGINT) AS rowid, idx
+              |FROM nc WHERE month = '1995-01'""".stripMargin)),
+
+    // Scalar string ops — hierarchy split (preprocess.py:52-78 guidance).
+    ("q07_hierarchy_split",
+      (s: SparkSession, dir: String) =>
+        Preprocess.splitHierarchy(
+            Cohorts.table(s, dir, "orders"), "o_orderpriority", "-", 2)
+          .select("o_orderkey", "o_orderpriority_l0", "o_orderpriority_l1"),
+      Some("""SELECT o_orderkey,
+             |       string_split(o_orderpriority, '-')[1] AS o_orderpriority_l0,
+             |       string_split(o_orderpriority, '-')[2] AS o_orderpriority_l1
+             |FROM orders""".stripMargin)),
+
+    // J1 substrate — the candidate pairs relation with manhattan distance.
+    ("q08_knn_pairs",
+      (s: SparkSession, dir: String) =>
+        allPairs(s, dir).filter(col("month") === "1995-01")
+          .select(col("nc_idx"), col("c_idx"), rnd(col("dist"), 4).as("dist")),
+      Some(s"""${OracleCtes.prefix}
+              |SELECT nc_idx, c_idx, ROUND(dist, 4) AS dist
+              |FROM pairs WHERE month = '1995-01'""".stripMargin)),
+
+    // J1/W2 — exact top-k with deterministic tie-break (dist, c_idx).
+    ("q09_knn_topk",
+      (s: SparkSession, dir: String) =>
+        NeighborJoin.topK(allPairs(s, dir), Cohorts.spec, 3.0)
+          .select(col("month"), col("nc_idx"), col("c_idx"),
+            col("rank").cast("long").as("rank"), rnd(col("dist"), 4).as("dist")),
+      Some(s"""${OracleCtes.prefix},
+              |${OracleCtes.topk(3)}
+              |SELECT month, nc_idx, c_idx, rank, ROUND(dist, 4) AS dist
+              |FROM topk""".stripMargin)),
+
+    // J2 — radius (theta) join; neighbor counts per noconsent row.
+    ("q10_radius_join",
+      (s: SparkSession, dir: String) =>
+        NeighborJoin.withinRadius(allPairs(s, dir), 100.0)
+          .groupBy("month", "nc_idx")
+          .agg(count(lit(1)).as("n_neighbors")),
+      Some(s"""${OracleCtes.prefix}
+              |SELECT month, nc_idx, CAST(count(*) AS BIGINT) AS n_neighbors
+              |FROM pairs WHERE dist <= 100.0 GROUP BY month, nc_idx""".stripMargin)),
+
+    // W1 — numerically-stable softmax(−dist) shares per noconsent row.
+    ("q11_softmax_shares",
+      (s: SparkSession, dir: String) =>
+        Adjust.softmaxShares(
+            NeighborJoin.topK(allPairs(s, dir), Cohorts.spec, 3.0), Cohorts.spec)
+          .select(col("month"), col("nc_idx"), col("c_idx"),
+            rnd(col("weight"), 6).as("weight"),
+            rnd(col("weighted_value"), 4).as("weighted_value")),
+      Some(s"""${OracleCtes.prefix},
+              |${OracleCtes.topk(3)},
+              |${OracleCtes.softmax("topk")}
+              |SELECT month, nc_idx, c_idx, ROUND(weight, 6) AS weight,
+              |       ROUND(weighted_value, 4) AS weighted_value
+              |FROM shares""".stripMargin)),
+
+    // A1 — scatter-add as hash aggregation over the pairs relation.
+    ("q12_scatter_add",
+      (s: SparkSession, dir: String) =>
+        Adjust.softmaxShares(
+            NeighborJoin.topK(allPairs(s, dir), Cohorts.spec, 3.0), Cohorts.spec)
+          .groupBy("month", "c_idx")
+          .agg(rnd(sum("weighted_value"), 4).as("adjusted_conversion"),
+               rnd(sum("dist") / count(lit(1)), 4).as("average_distance"),
+               count(lit(1)).as("n_added_conversions"),
+               rnd(sum("weight"), 6).as("sum_distribution_weights")),
+      Some(s"""${OracleCtes.prefix},
+              |${OracleCtes.topk(3)},
+              |${OracleCtes.softmax("topk")}
+              |SELECT month, c_idx,
+              |       ROUND(sum(weighted_value), 4) AS adjusted_conversion,
+              |       ROUND(sum(dist) / count(*), 4) AS average_distance,
+              |       CAST(count(*) AS BIGINT) AS n_added_conversions,
+              |       ROUND(sum(weight), 6) AS sum_distribution_weights
+              |FROM shares GROUP BY month, c_idx""".stripMargin)),
+
+    // J3+A1+A2 — the full adjusted consent frame under K(3).
+    ("q13_adjusted_k",
+      (s: SparkSession, dir: String) => {
+        val (c, nc) = cohortPair(s, dir)
+        selectAdjusted(
+          CocoaPipeline.run(c, nc, Cohorts.spec, MatchStrategy.K(3)).adjusted)
+      },
+      Some(s"""${OracleCtes.prefix},
+              |${OracleCtes.topk(3)},
+              |${adjustedTailSql("topk")}""".stripMargin)),
+
+    // A3 — per-cohort matched-summary statistics under Radius(100).
+    ("q14_summary_radius",
+      (s: SparkSession, dir: String) => {
+        val (c, nc) = cohortPair(s, dir)
+        val sel = NeighborJoin.withinRadius(
+          NeighborJoin.pairs(c, nc, Cohorts.spec), 100.0)
+        Summary.matchedSummary(nc, Summary.nearestDistances(sel, Cohorts.spec), Cohorts.spec)
+          .select(col("month"),
+            rnd(col("percentage_matched_conversion_value"), 4).as("percentage_matched_conversion_value"),
+            rnd(col("percentage_matched_conversions"), 4).as("percentage_matched_conversions"),
+            col("number_matched_conversions"),
+            rnd(col("total_matched_conversion_value"), 2).as("total_matched_conversion_value"))
+      },
+      Some(s"""${OracleCtes.prefix},
+              |matched AS (
+              |  SELECT month, nc_idx, any_value(nc_value) AS nc_value
+              |  FROM pairs WHERE dist <= 100.0 GROUP BY month, nc_idx),
+              |m AS (SELECT month, sum(nc_value) AS m_value,
+              |             CAST(count(*) AS BIGINT) AS m_n
+              |      FROM matched GROUP BY month),
+              |t AS (SELECT month, sum(value) AS t_value, count(*) AS t_n
+              |      FROM nc GROUP BY month)
+              |SELECT t.month,
+              |       ROUND(coalesce(m.m_value, 0) / t.t_value * 100, 4) AS percentage_matched_conversion_value,
+              |       ROUND(coalesce(m.m_n, 0) / t.t_n * 100, 4) AS percentage_matched_conversions,
+              |       coalesce(m.m_n, 0) AS number_matched_conversions,
+              |       ROUND(coalesce(m.m_value, 0), 2) AS total_matched_conversion_value
+              |FROM t LEFT JOIN m ON t.month = m.month""".stripMargin)),
+
+    // A4 — distance_to_nearest_neighbor per matched noconsent row.
+    ("q15_nearest_distance",
+      (s: SparkSession, dir: String) =>
+        Summary.nearestDistances(
+            NeighborJoin.withinRadius(allPairs(s, dir), 100.0), Cohorts.spec)
+          .select(col("month"), col("nc_idx"),
+            rnd(col("distance_to_nearest_neighbor"), 4).as("distance_to_nearest_neighbor")),
+      Some(s"""${OracleCtes.prefix}
+              |SELECT month, nc_idx,
+              |       ROUND(min(dist), 4) AS distance_to_nearest_neighbor
+              |FROM pairs WHERE dist <= 100.0 GROUP BY month, nc_idx""".stripMargin)),
+
+    // A5 — exact linear-interpolation quantile (percentile-strategy radius).
+    ("q16_quantile_radius",
+      (s: SparkSession, dir: String) =>
+        Summary.nearestDistances(
+            NeighborJoin.topK(allPairs(s, dir), Cohorts.spec, 1.0), Cohorts.spec)
+          .agg(rnd(expr("percentile(distance_to_nearest_neighbor, 0.9)"), 4).as("radius")),
+      Some(s"""${OracleCtes.prefix},
+              |nearest AS (SELECT month, nc_idx, min(dist) AS d
+              |            FROM pairs GROUP BY month, nc_idx)
+              |SELECT ROUND(quantile_cont(d, 0.9), 4) AS radius FROM nearest""".stripMargin)),
+
+    // A6 — describe() over nearest distances.
+    ("q17_distance_describe",
+      (s: SparkSession, dir: String) => {
+        val d = col("distance_to_nearest_neighbor")
+        Summary.nearestDistances(
+            NeighborJoin.topK(allPairs(s, dir), Cohorts.spec, 1.0), Cohorts.spec)
+          .agg(count(lit(1)).as("count"), rnd(avg(d), 4).as("mean"),
+            rnd(stddev_samp(d), 4).as("std"), rnd(min(d), 4).as("min"),
+            rnd(expr("percentile(distance_to_nearest_neighbor, 0.25)"), 4).as("p25"),
+            rnd(expr("percentile(distance_to_nearest_neighbor, 0.5)"), 4).as("p50"),
+            rnd(expr("percentile(distance_to_nearest_neighbor, 0.75)"), 4).as("p75"),
+            rnd(expr("percentile(distance_to_nearest_neighbor, 0.9)"), 4).as("p90"),
+            rnd(expr("percentile(distance_to_nearest_neighbor, 0.95)"), 4).as("p95"),
+            rnd(expr("percentile(distance_to_nearest_neighbor, 0.99)"), 4).as("p99"),
+            rnd(max(d), 4).as("max"))
+      },
+      Some(s"""${OracleCtes.prefix},
+              |nearest AS (SELECT month, nc_idx, min(dist) AS d
+              |            FROM pairs GROUP BY month, nc_idx)
+              |SELECT CAST(count(*) AS BIGINT) AS count, ROUND(avg(d), 4) AS mean,
+              |       ROUND(stddev_samp(d), 4) AS std, ROUND(min(d), 4) AS min,
+              |       ROUND(quantile_cont(d, 0.25), 4) AS p25,
+              |       ROUND(quantile_cont(d, 0.5), 4) AS p50,
+              |       ROUND(quantile_cont(d, 0.75), 4) AS p75,
+              |       ROUND(quantile_cont(d, 0.9), 4) AS p90,
+              |       ROUND(quantile_cont(d, 0.95), 4) AS p95,
+              |       ROUND(quantile_cont(d, 0.99), 4) AS p99,
+              |       ROUND(max(d), 4) AS max
+              |FROM nearest""".stripMargin)),
+
+    // E3 percentile strategy — the two-pass plan end-to-end.
+    ("q18_adjusted_percentile",
+      (s: SparkSession, dir: String) => {
+        val (c, nc) = cohortPair(s, dir)
+        selectAdjusted(
+          CocoaPipeline.run(c, nc, Cohorts.spec, MatchStrategy.Percentile(0.5)).adjusted)
+      },
+      Some(s"""${OracleCtes.prefix},
+              |nearest AS (SELECT month, nc_idx, min(dist) AS d
+              |            FROM pairs GROUP BY month, nc_idx),
+              |radius AS (SELECT quantile_cont(d, 0.5) AS r FROM nearest),
+              |sel AS (SELECT pairs.* FROM pairs, radius WHERE pairs.dist <= radius.r),
+              |${adjustedTailSql("sel")}""".stripMargin)),
+
+    // A2 — the naive uniform adjustment scalar per cohort.
+    ("q19_naive_adjustment",
+      (s: SparkSession, dir: String) => {
+        val (c, nc) = cohortPair(s, dir)
+        val shares = Adjust.softmaxShares(
+          NeighborJoin.topK(NeighborJoin.pairs(c, nc, Cohorts.spec), Cohorts.spec, 3.0),
+          Cohorts.spec)
+        val matchedNc = shares.select("month", "nc_idx", "nc_value").distinct()
+          .groupBy("month").agg(sum("nc_value").as("nc_sum"))
+        val cCnt = c.groupBy("month").agg(count(lit(1)).as("c_cnt"))
+        cCnt.join(matchedNc, Seq("month"), "left")
+          .select(col("month"),
+            rnd(coalesce(col("nc_sum"), lit(0.0)) / col("c_cnt"), 6).as("naive_add"))
+      },
+      Some(s"""${OracleCtes.prefix},
+              |${OracleCtes.topk(3)},
+              |matched_nc AS (SELECT DISTINCT month, nc_idx, nc_value FROM topk),
+              |ccnt AS (SELECT month, count(*) AS c_cnt FROM c GROUP BY month),
+              |msum AS (SELECT month, sum(nc_value) AS nc_sum FROM matched_nc GROUP BY month)
+              |SELECT ccnt.month,
+              |       ROUND(coalesce(nc_sum, 0) / c_cnt, 6) AS naive_add
+              |FROM ccnt LEFT JOIN msum ON ccnt.month = msum.month""".stripMargin)),
+
+    // A7 — distinct counts (dummy-width prediction helper).
+    ("q20_count_distinct",
+      (s: SparkSession, dir: String) =>
+        Cohorts.table(s, dir, "orders")
+          .agg(countDistinct(col("o_orderpriority")).as("n_priority"),
+               countDistinct(col("o_orderstatus")).as("n_status"))
+          .crossJoin(Cohorts.table(s, dir, "customer")
+            .agg(countDistinct(col("c_mktsegment")).as("n_segment"))),
+      Some("""SELECT
+             |  (SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders) AS n_priority,
+             |  (SELECT CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders) AS n_status,
+             |  (SELECT CAST(count(DISTINCT c_mktsegment) AS BIGINT) FROM customer) AS n_segment""".stripMargin)),
+
+    // Date functions — lookback date-range generation
+    // (cloud_function/main.py:103-121).
+    ("q21_lookback_dates",
+      (s: SparkSession, dir: String) =>
+        Cohorts.table(s, dir, "orders")
+          .agg(to_date(max(col("o_orderdate"))).as("d"))
+          .select(explode(sequence(date_sub(col("d"), 6), col("d"))).as("d"))
+          .select(date_format(col("d"), "yyyy-MM-dd").as("date_str")),
+      Some("""SELECT strftime(CAST(unnest(generate_series(
+             |         CAST(max_d AS DATE) - INTERVAL 6 DAY,
+             |         CAST(max_d AS DATE), INTERVAL 1 DAY)) AS DATE),
+             |       '%Y-%m-%d') AS date_str
+             |FROM (SELECT max(o_orderdate) AS max_d FROM orders)""".stripMargin)),
+
+    // Headline scan-heavy aggregate (bench anchor; prompt's q1 example).
+    ("q22_lineitem_agg",
+      (s: SparkSession, dir: String) =>
+        Cohorts.table(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(rnd(sum("l_quantity"), 2).as("sum_qty"),
+               rnd(sum("l_extendedprice"), 2).as("sum_base_price"),
+               rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+               rnd(avg("l_quantity"), 4).as("avg_qty"),
+               count(lit(1)).as("n_rows")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       ROUND(sum(l_quantity), 2) AS sum_qty,
+             |       ROUND(sum(l_extendedprice), 2) AS sum_base_price,
+             |       ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |       ROUND(avg(l_quantity), 4) AS avg_qty,
+             |       CAST(count(*) AS BIGINT) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Broadcast dimension-join chain (orders ⋈ customer ⋈ nation).
+    ("q23_nation_revenue",
+      (s: SparkSession, dir: String) =>
+        Cohorts.table(s, dir, "orders")
+          .join(broadcast(Cohorts.table(s, dir, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Cohorts.table(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(rnd(sum("o_totalprice"), 2).as("revenue"),
+               count(lit(1)).as("n_orders")),
+      Some("""SELECT n_name, ROUND(sum(o_totalprice), 2) AS revenue,
+             |       CAST(count(*) AS BIGINT) AS n_orders
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name""".stripMargin))
+  )
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full CoCoA adjustment under K(3) — scan → clean → encode → kNN →
+    * softmax → scatter-add → re-attach, one lazy plan. */
+  def entry(spark: SparkSession): DataFrame = {
+    val (c, nc) = Cohorts.cohorts(spark, "/root/testdata/sf0.001")
+    selectAdjusted(
+      CocoaPipeline.run(c, nc, Cohorts.spec, MatchStrategy.K(3)).adjusted)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (n, fn, _) => n -> fn }.toMap
+
+  /** DuckDB-equivalent SQL per query (omitted ⇒ rows-only check). */
+  def oracleSql: Map[String, String] =
+    registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap
 }

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Distance metric over the engine's feature encoding: one token-set column
+  * (the one-hot categorical block, see [[Preprocess.tokenFeatures]]) plus
+  * zero or more numeric passthrough columns.
+  *
+  * Manhattan over one-hot dummies equals the symmetric set difference of the
+  * active-token sets, `size(a) + size(b) - 2*|a ∩ b|`; numeric features
+  * contribute `Σ|aᵢ−bᵢ|`. This reproduces the reference's default
+  * `metric="manhattan"` over `pd.get_dummies` output without ever
+  * materializing the wide dummy matrix
+  * (reference: cocoa/nearest_consented_customers.py:49,67; README.md:36-38).
+  */
+sealed trait DistanceMetric {
+  /** Distance between two rows given their token arrays and numeric pairs. */
+  def dist(aTokens: Column, bTokens: Column, numPairs: Seq[(Column, Column)]): Column
+  def name: String
+}
+
+case object Manhattan extends DistanceMetric {
+  val name = "manhattan"
+  def dist(a: Column, b: Column, num: Seq[(Column, Column)]): Column = {
+    val oneHot =
+      (size(a) + size(b) - lit(2) * size(array_intersect(a, b))).cast("double")
+    num.foldLeft(oneHot) { case (acc, (x, y)) => acc + abs(x - y) }
+  }
+}
+
+/** Euclidean: for 0/1 dummies |x−y|² == |x−y| so the one-hot block is the
+  * same symmetric-difference count, square-rooted with the numeric terms.
+  * (Reference accepts any sklearn metric string but only tests manhattan —
+  * TODO at cocoa/nearest_consented_customers.py:66.)
+  */
+case object Euclidean extends DistanceMetric {
+  val name = "euclidean"
+  def dist(a: Column, b: Column, num: Seq[(Column, Column)]): Column = {
+    val oneHot =
+      (size(a) + size(b) - lit(2) * size(array_intersect(a, b))).cast("double")
+    sqrt(num.foldLeft(oneHot) { case (acc, (x, y)) => acc + pow(x - y, lit(2)) })
+  }
+}
+
+/** Exactly-one-of neighbor-selection strategy
+  * (reference: cocoa/nearest_consented_customers.py:470-524; README.md:36-48).
+  * The reference dispatches on truthiness (`:513`) so `k=0`/`radius=0.0`
+  * silently fall through — we make zero/invalid values construction errors
+  * instead (documented intentional fix, SURVEY.md §7.4.7).
+  */
+sealed trait MatchStrategy
+object MatchStrategy {
+  /** Fixed neighbor count; `k < 1` is interpreted as a proportion of the
+    * consent cohort: `int(k * |consent|)`
+    * (reference: cocoa/nearest_consented_customers.py:145-147,208-211). */
+  final case class K(k: Double) extends MatchStrategy {
+    require(k > 0, s"number_nearest_neighbors must be > 0, got $k")
+  }
+  /** All neighbors with dist <= r
+    * (reference: cocoa/nearest_consented_customers.py:153-182). */
+  final case class Radius(r: Double) extends MatchStrategy {
+    require(r > 0, s"radius must be > 0, got $r")
+  }
+  /** Two-pass: radius := percentile p of nearest-neighbor distances from a
+    * k=1 pass, then Radius(radius)
+    * (reference: cocoa/nearest_consented_customers.py:518-523,140-143). */
+  final case class Percentile(p: Double) extends MatchStrategy {
+    require(p > 0 && p <= 1, s"percentile must be in (0, 1], got $p")
+  }
+}
+
+/** Column-role configuration, mirroring the reference's CLI/config surface
+  * (reference: pipeline.py:44-140, README.md:109-130). Schema stays dynamic:
+  * roles are resolved at runtime against the input schema.
+  *
+  * @param idCols        identity columns excluded from the feature space
+  * @param conversionCol strictly-positive conversion value column
+  * @param dateCol       day-grain processing-date column
+  * @param dropCols      columns removed before feature encoding
+  * @param nonDummyCols  numeric passthrough features (not one-hot encoded)
+  * @param cohortCols    grouping columns scoping the match (per-date cohort
+  *                      in the reference; empty = one global cohort)
+  */
+final case class JobConfig(
+    idCols: Seq[String],
+    conversionCol: String,
+    dateCol: String = "",
+    dropCols: Seq[String] = Nil,
+    nonDummyCols: Seq[String] = Nil,
+    cohortCols: Seq[String] = Nil,
+    metric: DistanceMetric = Manhattan)

