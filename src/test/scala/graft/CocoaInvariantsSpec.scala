@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ports the reference's unit-test invariants
+  * (cocoa/nearest_consented_customers_test.py, pipeline_test.py) onto the
+  * Spark engine.
+  */
+class CocoaInvariantsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Mirrors cocoa/testing_constants.py:20-39 — numeric features a,b,
+  // categorical product_level ∈ {1_1, 2_2}, manhattan metric. Consent rows
+  // tiled ×10, noconsent ×5.
+  private def consentRaw: DataFrame = Seq.tabulate(30) { i =>
+    val base = i % 3
+    (i.toLong, 1.0 + base, 10.0 + base, 3.0 * (base + 1), Seq("1_1", "2_2", "1_1")(base))
+  }.toDF("id", "a", "b", "conv", "product_level")
+
+  private def noconsentRaw: DataFrame = Seq.tabulate(15) { i =>
+    val base = i % 3
+    (100L + i, 1.0 + base, 10.0 + base, 6.0 + 3.0 * base, Seq("1_1", "2_2", "2_2")(base))
+  }.toDF("id", "a", "b", "conv", "product_level")
+
+  private val spec = CohortSpec(
+    idCol = "id", valueCol = "conv", tokenCol = "features",
+    numCols = Seq("a", "b"), cohortCols = Nil, metric = Manhattan)
+
+  private def encode(df: DataFrame): DataFrame =
+    df.withColumn("features", Preprocess.tokenFeatures(Seq("product_level")))
+
+  private def runK(k: Double): AdjustmentResult =
+    CocoaPipeline.run(encode(consentRaw), encode(noconsentRaw), spec, MatchStrategy.K(k))
+
+  // --- pipeline_test.py:101-146 — the only numeric e2e oracle in the repo.
+  test("e2e oracle: k=1 single neighbor receives the full 20.0") {
+    val consent = Seq(("1", 10.0, "dress")).toDF("gclid", "conversion_value", "conversion_item")
+    val noconsent = Seq(("10", 20.0, "dress")).toDF("gclid", "conversion_value", "conversion_item")
+    val sp = CohortSpec("gclid", "conversion_value", "features", Nil, Nil)
+    val res = CocoaPipeline.run(
+      consent.withColumn("features", Preprocess.tokenFeatures(Seq("conversion_item"))),
+      noconsent.withColumn("features", Preprocess.tokenFeatures(Seq("conversion_item"))),
+      sp, MatchStrategy.K(1))
+    val row = res.adjusted.select("gclid", "adjusted_conversion", "naive_adjusted_conversion").head()
+    assert(row.getString(0) == "1")
+    assert(row.getDouble(1) == 20.0)
+    assert(row.getDouble(2) == 10.0 + 20.0 / 1)
+  }
+
+  test("e2e oracle: k=2 equidistant neighbors receive 10.0 each") {
+    val consent = Seq(("1", 10.0, "dress"), ("2", 10.0, "dress"))
+      .toDF("gclid", "conversion_value", "conversion_item")
+    val noconsent = Seq(("10", 20.0, "dress")).toDF("gclid", "conversion_value", "conversion_item")
+    val sp = CohortSpec("gclid", "conversion_value", "features", Nil, Nil)
+    val res = CocoaPipeline.run(
+      consent.withColumn("features", Preprocess.tokenFeatures(Seq("conversion_item"))),
+      noconsent.withColumn("features", Preprocess.tokenFeatures(Seq("conversion_item"))),
+      sp, MatchStrategy.K(2))
+    val rows = res.adjusted.select("adjusted_conversion").as[Double].collect()
+    assert(rows.toSeq == Seq(10.0, 10.0))
+  }
+
+  // --- :116-126 — softmax shares of one noconsent row sum to its value.
+  test("conservation: softmax weights sum to 1, shares sum to nc value") {
+    val pairs = NeighborJoin.pairs(encode(consentRaw), encode(noconsentRaw), spec)
+    val shares = Adjust.softmaxShares(NeighborJoin.topK(pairs, spec, 5.0), spec)
+    val perNc = shares.groupBy("nc_idx", "nc_value")
+      .agg(sum("weight").as("w"), sum("weighted_value").as("wv")).collect()
+    perNc.foreach { r =>
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+      assert(math.abs(r.getDouble(3) - r.getDouble(1)) < 1e-9)
+    }
+  }
+
+  // --- :107-114 — Σ adjustments ≤ Σ noconsent values; equal when all match.
+  test("conservation: total adjustments equal total matched noconsent value") {
+    val res = runK(3)
+    val total = res.adjusted.agg(sum("adjusted_conversion")).head().getDouble(0)
+    val ncTotal = noconsentRaw.agg(sum("conv")).head().getDouble(0)
+    assert(total <= ncTotal + 1e-9)
+    assert(math.abs(total - ncTotal) < 1e-9) // k-mode: everyone matches
+  }
+
+  // --- :186-193 — output cardinality == consent cardinality.
+  test("cardinality: adjusted frame has exactly one row per consent row") {
+    assert(runK(3).adjusted.count() == 30)
+    val resRadius = CocoaPipeline.run(
+      encode(consentRaw), encode(noconsentRaw), spec, MatchStrategy.Radius(0.5))
+    assert(resRadius.adjusted.count() == 30)
+  }
+
+  // --- :79-86 — adjusted (value + added) strictly greater than original
+  test("adjusted conversions exceed originals for matched consent rows") {
+    val res = runK(3)
+    val bad = res.adjusted
+      .filter(col("n_added_conversions") > 0 && col("adjusted_conversion") <= 0)
+    assert(bad.count() == 0)
+  }
+
+  // --- :53-60 — k matches returned neighbor count (k ∈ {1,2,3}).
+  test("top-k returns exactly k neighbors per noconsent row") {
+    val pairs = NeighborJoin.pairs(encode(consentRaw), encode(noconsentRaw), spec)
+    for (k <- Seq(1, 2, 3)) {
+      val counts = NeighborJoin.topK(pairs, spec, k.toDouble)
+        .groupBy("nc_idx").count().select("count").as[Long].collect()
+      assert(counts.forall(_ == k), s"k=$k")
+    }
+  }
+
+  // --- :145-147 — proportional k = int(frac * |consent|).
+  test("proportional k resolves to int(frac * consent size)") {
+    val pairs = NeighborJoin.pairs(encode(consentRaw), encode(noconsentRaw), spec)
+    val counts = NeighborJoin.topK(pairs, spec, 0.1, Some(encode(consentRaw)))
+      .groupBy("nc_idx").count().select("count").as[Long].collect()
+    assert(counts.forall(_ == 3)) // int(0.1 * 30)
+  }
+
+  // --- radius mode keeps unmatched rows out of shares but in the summary.
+  test("radius: unmatched noconsent rows surface in summary percentages") {
+    // radius 0.5 only matches identical-feature rows (dist 0).
+    val res = CocoaPipeline.run(
+      encode(consentRaw), encode(noconsentRaw), spec, MatchStrategy.Radius(0.5))
+    val s = res.summary.head()
+    val pctRows = s.getAs[Double]("percentage_matched_conversions")
+    // noconsent base=2 rows ({a=3,b=12,2_2}) have no consent twin at dist 0;
+    // bases 0 (1_1: consent base0 a=1,b=10 vs nc base0 a=1,b=10 dist 0) and
+    // base1 match → 10 of 15 rows.
+    assert(math.abs(pctRows - (10.0 / 15.0 * 100)) < 1e-9)
+  }
+
+  // --- percentile two-pass: radius == exact quantile of nearest distances.
+  test("percentile strategy radius equals pandas-style linear quantile") {
+    val pairs = NeighborJoin.pairs(encode(consentRaw), encode(noconsentRaw), spec)
+    val nearest = Summary.nearestDistances(NeighborJoin.topK(pairs, spec, 1.0), spec)
+    val r = Summary.minRadiusByPercentile(nearest, 0.5)
+    val ds = nearest.select("distance_to_nearest_neighbor").as[Double].collect().sorted
+    // numpy linear interpolation on sorted data
+    val pos = 0.5 * (ds.length - 1)
+    val expected = ds(pos.toInt) + (pos - pos.toInt) * (ds(math.min(pos.toInt + 1, ds.length - 1)) - ds(pos.toInt))
+    assert(math.abs(r - expected) < 1e-12)
+  }
+
+  // --- two-phase top-k (map-side prune) must equal the window top-k.
+  test("topKCombined matches topK exactly") {
+    val pairs = NeighborJoin.pairs(encode(consentRaw), encode(noconsentRaw), spec)
+      .repartition(7) // force multiple partitions through the local prune
+    val a = NeighborJoin.topK(pairs, spec, 4.0)
+      .select("nc_idx", "c_idx", "rank").collect().map(_.toSeq).toSet
+    val b = NeighborJoin.topKCombined(pairs, spec, 4)
+      .select("nc_idx", "c_idx", "rank").collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  // --- strategy validation (reference :502-511 + documented truthiness fix)
+  test("zero/invalid strategy parameters are rejected at construction") {
+    assertThrows[IllegalArgumentException](MatchStrategy.K(0))
+    assertThrows[IllegalArgumentException](MatchStrategy.Radius(0))
+    assertThrows[IllegalArgumentException](MatchStrategy.Percentile(0))
+    assertThrows[IllegalArgumentException](MatchStrategy.Percentile(1.5))
+  }
+
+  // --- unmatched consent rows: null average_distance (pandas NaN parity)
+  test("unmatched consent rows keep zero accumulators and null average_distance") {
+    val res = CocoaPipeline.run(
+      encode(consentRaw), encode(noconsentRaw), spec, MatchStrategy.Radius(0.5))
+    val unmatched = res.adjusted.filter(col("n_added_conversions") === 0)
+    assert(unmatched.count() > 0)
+    assert(unmatched.filter(col("average_distance").isNotNull).count() == 0)
+    assert(unmatched.filter(col("adjusted_conversion") =!= 0.0).count() == 0)
+  }
+}
