@@ -19,6 +19,16 @@ object Cohorts {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects by
+    * default; read nanos as long and convert to a microsecond timestamp
+    * (sub-second analytics here are at second grain or coarser, so the
+    * truncation is observation-free). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Base cohort frame: month, idx, value, features, c_acctbal, consent. */
   def base(spark: SparkSession, dir: String, lo: String = Lo, hi: String = Hi): DataFrame = {
     val o = table(spark, dir, "orders")

@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.ops.{Dedup, EventOps, Multimodal, Similarity, TextAnalysis, TextSql}
+
 /** Driver contract — one entry per operator from SURVEY.md §2, each with a
   * DuckDB-equivalent oracle SQL over the same parquet tables. Column names
   * and rounding are kept identical on both sides (the driver's compare
@@ -11,7 +13,7 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   // ---------------------------------------------------------------- helpers
-  private def rnd(c: Column, n: Int): Column = round(c, n)
+  private def rnd(c: Column, n: Int): Column = Num.rnd(c, n)
 
   private def cohortPair(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     Cohorts.cohorts(s, dir)
@@ -47,11 +49,11 @@ object SparkEntry {
        |  SELECT ccnt.month, coalesce(nc_sum, 0) / c_cnt AS naive_add
        |  FROM ccnt LEFT JOIN msum ON ccnt.month = msum.month)
        |SELECT c.month, c.idx, c.value,
-       |       ROUND(coalesce(acc.adj, 0), 4) AS adjusted_conversion,
-       |       ROUND(acc.avg_d, 4) AS average_distance,
+       |       ROUND(1e-9 + coalesce(acc.adj, 0), 4) AS adjusted_conversion,
+       |       ROUND(1e-9 + acc.avg_d, 4) AS average_distance,
        |       coalesce(acc.n_added, 0) AS n_added_conversions,
-       |       ROUND(coalesce(acc.w_sum, 0), 6) AS sum_distribution_weights,
-       |       ROUND(c.value + naive.naive_add, 4) AS naive_adjusted_conversion
+       |       ROUND(1e-9 + coalesce(acc.w_sum, 0), 6) AS sum_distribution_weights,
+       |       ROUND(1e-9 + c.value + naive.naive_add, 4) AS naive_adjusted_conversion
        |FROM c
        |JOIN naive ON c.month = naive.month
        |LEFT JOIN acc ON acc.month = c.month AND acc.c_idx = c.idx""".stripMargin
@@ -82,7 +84,7 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_rows"),
                rnd(sum("l_extendedprice"), 2).as("sum_price")),
       Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
-             |       ROUND(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_price
+             |       ROUND(1e-9 + CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_price
              |FROM lineitem WHERE l_quantity IS NOT NULL AND l_quantity > 0
              |GROUP BY l_returnflag""".stripMargin)),
 
@@ -125,7 +127,7 @@ object SparkEntry {
       },
       Some(s"""WITH ${OracleCtes.base}
               |SELECT consent, month, CAST(count(*) AS BIGINT) AS n_rows,
-              |       ROUND(sum(value), 2) AS sum_value
+              |       ROUND(1e-9 + sum(value), 2) AS sum_value
               |FROM base GROUP BY consent, month""".stripMargin)),
 
     // P7 — deterministic dense row ids (pandas positional index analogue).
@@ -157,7 +159,7 @@ object SparkEntry {
         allPairs(s, dir).filter(col("month") === "1995-01")
           .select(col("nc_idx"), col("c_idx"), rnd(col("dist"), 4).as("dist")),
       Some(s"""${OracleCtes.prefix}
-              |SELECT nc_idx, c_idx, ROUND(dist, 4) AS dist
+              |SELECT nc_idx, c_idx, ROUND(1e-9 + dist, 4) AS dist
               |FROM pairs WHERE month = '1995-01'""".stripMargin)),
 
     // J1/W2 — exact top-k with deterministic tie-break (dist, c_idx).
@@ -168,7 +170,7 @@ object SparkEntry {
             col("rank").cast("long").as("rank"), rnd(col("dist"), 4).as("dist")),
       Some(s"""${OracleCtes.prefix},
               |${OracleCtes.topk(3)}
-              |SELECT month, nc_idx, c_idx, rank, ROUND(dist, 4) AS dist
+              |SELECT month, nc_idx, c_idx, rank, ROUND(1e-9 + dist, 4) AS dist
               |FROM topk""".stripMargin)),
 
     // J2 — radius (theta) join; neighbor counts per noconsent row.
@@ -192,8 +194,8 @@ object SparkEntry {
       Some(s"""${OracleCtes.prefix},
               |${OracleCtes.topk(3)},
               |${OracleCtes.softmax("topk")}
-              |SELECT month, nc_idx, c_idx, ROUND(weight, 6) AS weight,
-              |       ROUND(weighted_value, 4) AS weighted_value
+              |SELECT month, nc_idx, c_idx, ROUND(1e-9 + weight, 6) AS weight,
+              |       ROUND(1e-9 + weighted_value, 4) AS weighted_value
               |FROM shares""".stripMargin)),
 
     // A1 — scatter-add as hash aggregation over the pairs relation.
@@ -210,10 +212,10 @@ object SparkEntry {
               |${OracleCtes.topk(3)},
               |${OracleCtes.softmax("topk")}
               |SELECT month, c_idx,
-              |       ROUND(sum(weighted_value), 4) AS adjusted_conversion,
-              |       ROUND(sum(dist) / count(*), 4) AS average_distance,
+              |       ROUND(1e-9 + sum(weighted_value), 4) AS adjusted_conversion,
+              |       ROUND(1e-9 + sum(dist) / count(*), 4) AS average_distance,
               |       CAST(count(*) AS BIGINT) AS n_added_conversions,
-              |       ROUND(sum(weight), 6) AS sum_distribution_weights
+              |       ROUND(1e-9 + sum(weight), 6) AS sum_distribution_weights
               |FROM shares GROUP BY month, c_idx""".stripMargin)),
 
     // J3+A1+A2 — the full adjusted consent frame under K(3).
@@ -250,10 +252,10 @@ object SparkEntry {
               |t AS (SELECT month, sum(value) AS t_value, count(*) AS t_n
               |      FROM nc GROUP BY month)
               |SELECT t.month,
-              |       ROUND(coalesce(m.m_value, 0) / t.t_value * 100, 4) AS percentage_matched_conversion_value,
-              |       ROUND(coalesce(m.m_n, 0) / t.t_n * 100, 4) AS percentage_matched_conversions,
+              |       ROUND(1e-9 + coalesce(m.m_value, 0) / t.t_value * 100, 4) AS percentage_matched_conversion_value,
+              |       ROUND(1e-9 + coalesce(m.m_n, 0) / t.t_n * 100, 4) AS percentage_matched_conversions,
               |       coalesce(m.m_n, 0) AS number_matched_conversions,
-              |       ROUND(coalesce(m.m_value, 0), 2) AS total_matched_conversion_value
+              |       ROUND(1e-9 + coalesce(m.m_value, 0), 2) AS total_matched_conversion_value
               |FROM t LEFT JOIN m ON t.month = m.month""".stripMargin)),
 
     // A4 — distance_to_nearest_neighbor per matched noconsent row.
@@ -265,7 +267,7 @@ object SparkEntry {
             rnd(col("distance_to_nearest_neighbor"), 4).as("distance_to_nearest_neighbor")),
       Some(s"""${OracleCtes.prefix}
               |SELECT month, nc_idx,
-              |       ROUND(min(dist), 4) AS distance_to_nearest_neighbor
+              |       ROUND(1e-9 + min(dist), 4) AS distance_to_nearest_neighbor
               |FROM pairs WHERE dist <= 100.0 GROUP BY month, nc_idx""".stripMargin)),
 
     // A5 — exact linear-interpolation quantile (percentile-strategy radius).
@@ -277,7 +279,7 @@ object SparkEntry {
       Some(s"""${OracleCtes.prefix},
               |nearest AS (SELECT month, nc_idx, min(dist) AS d
               |            FROM pairs GROUP BY month, nc_idx)
-              |SELECT ROUND(quantile_cont(d, 0.9), 4) AS radius FROM nearest""".stripMargin)),
+              |SELECT ROUND(1e-9 + quantile_cont(d, 0.9), 4) AS radius FROM nearest""".stripMargin)),
 
     // A6 — describe() over nearest distances.
     ("q17_distance_describe",
@@ -298,15 +300,15 @@ object SparkEntry {
       Some(s"""${OracleCtes.prefix},
               |nearest AS (SELECT month, nc_idx, min(dist) AS d
               |            FROM pairs GROUP BY month, nc_idx)
-              |SELECT CAST(count(*) AS BIGINT) AS count, ROUND(avg(d), 4) AS mean,
-              |       ROUND(stddev_samp(d), 4) AS std, ROUND(min(d), 4) AS min,
-              |       ROUND(quantile_cont(d, 0.25), 4) AS p25,
-              |       ROUND(quantile_cont(d, 0.5), 4) AS p50,
-              |       ROUND(quantile_cont(d, 0.75), 4) AS p75,
-              |       ROUND(quantile_cont(d, 0.9), 4) AS p90,
-              |       ROUND(quantile_cont(d, 0.95), 4) AS p95,
-              |       ROUND(quantile_cont(d, 0.99), 4) AS p99,
-              |       ROUND(max(d), 4) AS max
+              |SELECT CAST(count(*) AS BIGINT) AS count, ROUND(1e-9 + avg(d), 4) AS mean,
+              |       ROUND(1e-9 + stddev_samp(d), 4) AS std, ROUND(1e-9 + min(d), 4) AS min,
+              |       ROUND(1e-9 + quantile_cont(d, 0.25), 4) AS p25,
+              |       ROUND(1e-9 + quantile_cont(d, 0.5), 4) AS p50,
+              |       ROUND(1e-9 + quantile_cont(d, 0.75), 4) AS p75,
+              |       ROUND(1e-9 + quantile_cont(d, 0.9), 4) AS p90,
+              |       ROUND(1e-9 + quantile_cont(d, 0.95), 4) AS p95,
+              |       ROUND(1e-9 + quantile_cont(d, 0.99), 4) AS p99,
+              |       ROUND(1e-9 + max(d), 4) AS max
               |FROM nearest""".stripMargin)),
 
     // E3 percentile strategy — the two-pass plan end-to-end.
@@ -343,7 +345,7 @@ object SparkEntry {
               |ccnt AS (SELECT month, count(*) AS c_cnt FROM c GROUP BY month),
               |msum AS (SELECT month, sum(nc_value) AS nc_sum FROM matched_nc GROUP BY month)
               |SELECT ccnt.month,
-              |       ROUND(coalesce(nc_sum, 0) / c_cnt, 6) AS naive_add
+              |       ROUND(1e-9 + coalesce(nc_sum, 0) / c_cnt, 6) AS naive_add
               |FROM ccnt LEFT JOIN msum ON ccnt.month = msum.month""".stripMargin)),
 
     // A7 — distinct counts (dummy-width prediction helper).
@@ -384,10 +386,10 @@ object SparkEntry {
                rnd(avg("l_quantity"), 4).as("avg_qty"),
                count(lit(1)).as("n_rows")),
       Some("""SELECT l_returnflag, l_linestatus,
-             |       ROUND(sum(l_quantity), 2) AS sum_qty,
-             |       ROUND(sum(l_extendedprice), 2) AS sum_base_price,
-             |       ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-             |       ROUND(avg(l_quantity), 4) AS avg_qty,
+             |       ROUND(1e-9 + sum(l_quantity), 2) AS sum_qty,
+             |       ROUND(1e-9 + sum(l_extendedprice), 2) AS sum_base_price,
+             |       ROUND(1e-9 + sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |       ROUND(1e-9 + avg(l_quantity), 4) AS avg_qty,
              |       CAST(count(*) AS BIGINT) AS n_rows
              |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
 
@@ -402,12 +404,265 @@ object SparkEntry {
           .groupBy("n_name")
           .agg(rnd(sum("o_totalprice"), 2).as("revenue"),
                count(lit(1)).as("n_orders")),
-      Some("""SELECT n_name, ROUND(sum(o_totalprice), 2) AS revenue,
+      Some("""SELECT n_name, ROUND(1e-9 + sum(o_totalprice), 2) AS revenue,
              |       CAST(count(*) AS BIGINT) AS n_orders
              |FROM orders
              |JOIN customer ON o_custkey = c_custkey
              |JOIN nation ON c_nationkey = n_nationkey
-             |GROUP BY n_name""".stripMargin))
+             |GROUP BY n_name""".stripMargin)),
+
+    // ====================== LLM-pipeline extension operators ==============
+
+    // Exact dedup — hash-groupBy on text.
+    ("q24_dedup_exact",
+      (s: SparkSession, dir: String) =>
+        Dedup.exact(Cohorts.table(s, dir, "documents")),
+      Some("""SELECT md5(text) AS text_hash,
+             |       CAST(min(doc_id) AS BIGINT) AS keeper_id,
+             |       CAST(count(*) AS BIGINT) AS n_copies
+             |FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    // MinHash signature math pinned bit-for-bit (first two hash slots).
+    ("q25_minhash_signature",
+      (s: SparkSession, dir: String) => {
+        val sets = Dedup.shingleSets(Cohorts.table(s, dir, "documents"))
+          .filter(size(col("shingles")) > 0)
+        val Seq((a0, b0), (a1, b1)) = Dedup.Seeds.take(2)
+        sets.select(col("doc_id"),
+          array_min(transform(col("shingles"),
+            h => (lit(a0) * h + lit(b0)) % TextAnalysis.P)).as("sig0"),
+          array_min(transform(col("shingles"),
+            h => (lit(a1) * h + lit(b1)) % TextAnalysis.P)).as("sig1"))
+      },
+      Some {
+        val Seq((a0, b0), (a1, b1)) = Dedup.Seeds.take(2)
+        val P = TextAnalysis.P
+        s"""WITH ${TextSql.toksCte},
+           |sh AS (SELECT doc_id, ${TextSql.shingleHashes("t", 3)} AS s FROM toks)
+           |SELECT doc_id,
+           |       list_min(list_transform(s, h -> ($a0 * h + $b0) % $P)) AS sig0,
+           |       list_min(list_transform(s, h -> ($a1 * h + $b1) % $P)) AS sig1
+           |FROM sh WHERE len(s) > 0""".stripMargin
+      }),
+
+    // MinHash + LSH banding + exact-Jaccard verify; oracle = exact
+    // all-pairs (banding at 16x2 has ~1e-17 miss probability at the
+    // jaccard levels this threshold admits on this corpus).
+    ("q26_dedup_minhash",
+      (s: SparkSession, dir: String) =>
+        Dedup.minHashPairs(Cohorts.table(s, dir, "documents"), 0.5),
+      Some(s"""WITH ${TextSql.toksCte},
+              |sh AS (SELECT doc_id, ${TextSql.shingleHashes("t", 3)} AS s
+              |       FROM toks),
+              |p AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS inter,
+              |         len(a.s) + len(b.s) AS tot
+              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |  WHERE len(a.s) > 0 AND len(b.s) > 0)
+              |SELECT doc_a, doc_b, ROUND(1e-9 + inter / (tot - inter), 4) AS jaccard
+              |FROM p WHERE inter / (tot - inter) >= 0.5""".stripMargin)),
+
+    // SimHash near-dup pairs (hamming <= 3 over 30-bit shingle-set hash).
+    ("q27_dedup_simhash",
+      (s: SparkSession, dir: String) =>
+        Dedup.simHashPairs(Cohorts.table(s, dir, "documents"), 3),
+      Some(s"""WITH ${TextSql.toksCte},
+              |sh AS (SELECT doc_id, ${TextSql.shingleHashes("t", 3)} AS s
+              |       FROM toks),
+              |h AS (SELECT doc_id, unnest(s) AS hv FROM sh WHERE len(s) > 0),
+              |bits AS (
+              |  SELECT doc_id, j,
+              |         SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              |  FROM h, range(30) t(j) GROUP BY doc_id, j),
+              |sim AS (
+              |  SELECT doc_id,
+              |         SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS sim
+              |  FROM bits GROUP BY doc_id)
+              |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+              |       CAST(bit_count(xor(x.sim, y.sim)) AS BIGINT) AS hamming
+              |FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+              |WHERE bit_count(xor(x.sim, y.sim)) <= 3""".stripMargin)),
+
+    // Blocked exact n-gram (bigram) Jaccard within a language block.
+    ("q28_dedup_blocked_jaccard",
+      (s: SparkSession, dir: String) =>
+        Dedup.blockedJaccardPairs(Cohorts.table(s, dir, "documents"), "lang", 0.6, 2),
+      Some(s"""WITH ${TextSql.toksCte},
+              |sh AS (SELECT doc_id, lang AS block,
+              |              ${TextSql.shingleHashes("t", 2)} AS s
+              |       FROM toks),
+              |p AS (
+              |  SELECT a.block, a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS inter,
+              |         len(a.s) + len(b.s) AS tot
+              |  FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+              |  WHERE len(a.s) > 0 AND len(b.s) > 0)
+              |SELECT block, doc_a, doc_b, ROUND(1e-9 + inter / (tot - inter), 4) AS jaccard
+              |FROM p WHERE inter / (tot - inter) >= 0.6""".stripMargin)),
+
+    // Language-ID heuristic: marker-stopword argmax, alphabetical tie-break.
+    ("q29_text_langid",
+      (s: SparkSession, dir: String) => {
+        val toks = TextAnalysis.tokens(col("text"))
+        val (pred, hits) = TextAnalysis.langId(toks)
+        Cohorts.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), pred.as("predicted_lang"),
+            hits.cast("long").as("marker_hits"))
+      },
+      Some {
+        val scores = TextAnalysis.Markers.map { case (l, ms) =>
+          l -> TextSql.markerHits("t", ms)
+        }
+        val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+        val caseChain = scores.init
+          .map { case (l, s) => s"WHEN $s = m THEN '$l'" }
+          .mkString(" ")
+        s"""WITH ${TextSql.toksCte},
+           |scored AS (SELECT doc_id, lang, t, $best AS m FROM toks)
+           |SELECT doc_id, lang,
+           |       CASE $caseChain ELSE '${TextAnalysis.Markers.last._1}' END AS predicted_lang,
+           |       CAST(m AS BIGINT) AS marker_hits
+           |FROM scored""".stripMargin
+      }),
+
+    // Quality scoring: length/stopword/type-token signals.
+    ("q30_text_quality",
+      (s: SparkSession, dir: String) => {
+        val toks = TextAnalysis.tokens(col("text"))
+        val n = size(toks).cast("double")
+        val alphaLen = length(regexp_replace(col("text"), "\\s+", "")).cast("double")
+        val stop = TextAnalysis.markerHits(toks,
+          TextAnalysis.Markers.toMap.apply("en")).cast("double")
+        val ttr = size(array_distinct(toks)).cast("double") / n
+        Cohorts.table(s, dir, "documents").select(
+          col("doc_id"),
+          n.cast("long").as("n_tokens"),
+          rnd(alphaLen / n, 4).as("mean_token_len"),
+          rnd(stop / n, 4).as("stopword_ratio"),
+          rnd(ttr, 4).as("type_token_ratio"),
+          rnd(least(lit(1.0), n / 100) * 0.4 + (stop / n) * 0.3 + ttr * 0.3, 4)
+            .as("quality_score"))
+      },
+      Some {
+        val en = TextAnalysis.Markers.toMap.apply("en")
+        s"""WITH ${TextSql.toksCte},
+           |m AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS n,
+           |             CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) AS alpha_len,
+           |             CAST(${TextSql.markerHits("t", en)} AS DOUBLE) AS stop,
+           |             CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
+           |      FROM toks)
+           |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           |       ROUND(1e-9 + alpha_len / n, 4) AS mean_token_len,
+           |       ROUND(1e-9 + stop / n, 4) AS stopword_ratio,
+           |       ROUND(1e-9 + ttr, 4) AS type_token_ratio,
+           |       ROUND(1e-9 + least(1.0, n / 100) * 0.4 + (stop / n) * 0.3 + ttr * 0.3, 4) AS quality_score
+           |FROM m""".stripMargin
+      }),
+
+    // Token counting: whitespace + BPE-ish regex tokenizer.
+    ("q31_text_tokens",
+      (s: SparkSession, dir: String) =>
+        Cohorts.table(s, dir, "documents").select(
+          col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("ws_tokens"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("bpe_tokens"),
+          length(col("text")).cast("long").as("n_chars_text")),
+      Some("""SELECT doc_id,
+             |       CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS ws_tokens,
+             |       CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+             |       CAST(length(text) AS BIGINT) AS n_chars_text
+             |FROM documents""".stripMargin)),
+
+    // Document fingerprinting: full-text rolling hash + min-shingle hash.
+    ("q32_text_fingerprint",
+      (s: SparkSession, dir: String) =>
+        Cohorts.table(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.polyHash(col("text")).as("fp_full"),
+          array_min(TextAnalysis.shingleHashes(col("text"), 4)).as("fp_min")),
+      Some(s"""WITH ${TextSql.toksCte}
+              |SELECT doc_id, ${TextSql.polyHash("text")} AS fp_full,
+              |       list_min(${TextSql.shingleHashes("t", 4)}) AS fp_min
+              |FROM toks""".stripMargin)),
+
+    // Brute-force exact cosine top-k (ANN baseline).
+    ("q33_sim_topk",
+      (s: SparkSession, dir: String) => {
+        val e = Cohorts.table(s, dir, "embeddings")
+        Similarity.cosineTopK(e, e.filter(col("vec_id") % 50 === 0), 10)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+             |p AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             |             list_cosine_similarity(q.v, c.v) AS sim
+             |      FROM q JOIN e c ON q.vec_id <> c.vec_id),
+             |r AS (SELECT *, CAST(row_number() OVER (
+             |        PARTITION BY q_id ORDER BY round(1e-9 + sim, 9) DESC, c_id) AS BIGINT) AS rank
+             |      FROM p)
+             |SELECT q_id, c_id, rank, ROUND(1e-9 + sim, 6) AS sim
+             |FROM r WHERE rank <= 10""".stripMargin)),
+
+    // IVF-style cell-pruned top-k (label = coarse quantizer cell).
+    ("q34_sim_ivf",
+      (s: SparkSession, dir: String) => {
+        val e = Cohorts.table(s, dir, "embeddings")
+        Similarity.partitionedTopK(e, e.filter(col("vec_id") % 50 === 0), "label", 5)
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+             |p AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             |             list_cosine_similarity(q.v, c.v) AS sim
+             |      FROM q JOIN e c ON q.label = c.label AND q.vec_id <> c.vec_id),
+             |r AS (SELECT *, CAST(row_number() OVER (
+             |        PARTITION BY q_id ORDER BY round(1e-9 + sim, 9) DESC, c_id) AS BIGINT) AS rank
+             |      FROM p)
+             |SELECT q_id, c_id, rank, ROUND(1e-9 + sim, 6) AS sim
+             |FROM r WHERE rank <= 5""".stripMargin)),
+
+    // Streaming-shaped tumbling-window aggregation (batch-equivalent plan).
+    ("q35_events_hourly",
+      (s: SparkSession, dir: String) =>
+        EventOps.hourlyAgg(Cohorts.events(s, dir)),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+             |       event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |       ROUND(1e-9 + sum(value), 2) AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // Sessionization (30-min gap) — batch twin of flatMapGroupsWithState.
+    ("q36_events_sessionize",
+      (s: SparkSession, dir: String) =>
+        EventOps.sessionize(Cohorts.events(s, dir))
+          .withColumn("session_no", col("session_no").cast("long")),
+      Some("""WITH e AS (SELECT user_id, event_id, value,
+             |                  date_trunc('second', ts) AS tsec FROM events),
+             |l AS (SELECT *, lag(tsec) OVER (
+             |        PARTITION BY user_id ORDER BY tsec, event_id) AS prev FROM e),
+             |f AS (SELECT *, CASE WHEN prev IS NULL
+             |                     OR epoch(tsec) - epoch(prev) > 1800
+             |                THEN 1 ELSE 0 END AS is_new FROM l),
+             |s AS (SELECT *, SUM(is_new) OVER (
+             |        PARTITION BY user_id ORDER BY tsec, event_id
+             |        ROWS UNBOUNDED PRECEDING) AS session_no FROM f)
+             |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+             |       strftime(min(tsec), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |       CAST(count(*) AS BIGINT) AS n_events,
+             |       ROUND(1e-9 + sum(value), 2) AS sum_value
+             |FROM s GROUP BY user_id, session_no""".stripMargin)),
+
+    // Multimodal plumbing: binary payloads + batched stub decode.
+    ("q37_multimodal_meta",
+      (s: SparkSession, dir: String) =>
+        Multimodal.extractMeta(
+          Multimodal.payloads(Cohorts.table(s, dir, "documents"))).toDF(),
+      Some("""SELECT doc_id,
+             |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |       hex(encode(substring(text, 1, 8))) AS header_hex,
+             |       CAST(list_aggregate(list_transform(
+             |         string_split(substring(text, 1, 4), ''),
+             |         c -> CAST(unicode(c) AS BIGINT)), 'sum') AS BIGINT) AS feat_sum
+             |FROM documents""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over a `documents(doc_id, text, …)` table:
+  *
+  *  - [[exact]] — hash-groupBy exact dedup (one shuffle on the text hash).
+  *  - [[minHashPairs]] — MinHash + LSH banding: shingle-set signatures,
+  *    band-bucket equi-join for candidates (near-linear shuffle, never the
+  *    |D|² cross join), then exact-Jaccard verification. With b bands of r
+  *    rows a true pair at Jaccard j is caught w.p. 1−(1−jʳ)ᵇ — at the
+  *    default 16×2 that is >1−1e-17 for j ≥ 0.9, so verified output equals
+  *    the exact all-pairs answer (which is what the DuckDB oracle computes
+  *    on the small correctness SF).
+  *  - [[simHashPairs]] — 30-bit shingle-set SimHash; candidates via chunk
+  *    equi-join (pigeonhole: hamming ≤ maxHamming is guaranteed caught when
+  *    chunks > maxHamming), exact hamming verification.
+  *  - [[blockedJaccardPairs]] — exact n-gram Jaccard within a blocking key
+  *    (the classic "block then verify" shape for bounded-domain keys).
+  *
+  * All hash arithmetic is the cross-engine polynomial hash of
+  * [[TextAnalysis]]; seeds are embedded literals so the DuckDB oracle can
+  * reproduce signatures bit-for-bit.
+  */
+object Dedup {
+  import TextAnalysis.P
+
+  val NumHashes = 32
+  val Bands = 16 // rows per band = NumHashes / Bands = 2
+
+  /** Deterministic (a, b) seed pairs for the MinHash family
+    * hᵢ(x) = (aᵢ·x + bᵢ) mod P — LCG-generated, embedded as literals in
+    * both engines. */
+  val Seeds: Seq[(Long, Long)] = (0 until NumHashes).map { i =>
+    val a = math.floorMod(1103515245L * (i + 1) + 12345L, P)
+    val b = math.floorMod(1103515245L * (i + 101) + 54321L, P)
+    (if (a == 0) 1L else a, b)
+  }
+
+  /** Exact dedup: group identical texts, keep the smallest doc_id.
+    * Output: (text_hash, keeper_id, n_copies). */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** doc_id + distinct shingle-hash set (the MinHash/Jaccard universe). */
+  def shingleSets(docs: DataFrame, k: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+      TextAnalysis.shingleHashes(col("text"), k).as("shingles"))
+
+  /** 32-long MinHash signature column over a shingle-hash array. */
+  def minHashSignature(shingles: Column): Column =
+    array(Seeds.map { case (a, b) =>
+      array_min(transform(shingles, h => (lit(a) * h + lit(b)) % P))
+    }: _*)
+
+  /** Near-duplicate pairs by MinHash LSH + exact-Jaccard verification.
+    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ thr. */
+  def minHashPairs(docs: DataFrame, threshold: Double, k: Int = 3): DataFrame = {
+    val sets = shingleSets(docs, k)
+      .filter(size(col("shingles")) > 0)
+    val sigs = sets.select(col("doc_id"),
+      minHashSignature(col("shingles")).as("sig"))
+    val rows = NumHashes / Bands
+    // (band_id, band_key, doc_id): one row per band per doc.
+    val bandKey = (b: Int) =>
+      concat_ws(":", (0 until rows).map(r => col("sig")(b * rows + r)): _*)
+    val buckets = sigs.select(col("doc_id"),
+      explode(array((0 until Bands).map(b =>
+        struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val candidates = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(candidates, sets, threshold)
+  }
+
+  /** Exact Jaccard over candidate (doc_a, doc_b) pairs. */
+  private def verifyJaccard(candidates: DataFrame, sets: DataFrame,
+                            threshold: Double): DataFrame = {
+    val a = sets.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
+    candidates.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), graft.Num.rnd(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 30-bit SimHash over the distinct shingle-hash set: bit j set iff the
+    * sum of ±1 votes from each shingle's j-th hash bit is positive. */
+  def simHash(shingles: Column): Column =
+    (0 until 30).map { j =>
+      val votes = aggregate(shingles, lit(0L),
+        (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))
+      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Near-duplicate pairs with SimHash hamming distance ≤ maxHamming.
+    * Candidates from 4-chunk pigeonhole banding (8+8+7+7 bits): any pair
+    * within hamming ≤ 3 shares at least one identical chunk. */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3, k: Int = 3): DataFrame = {
+    require(maxHamming < 4, "4-chunk banding only guarantees hamming <= 3")
+    val sh = shingleSets(docs, k).filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), simHash(col("shingles")).as("sim"))
+    // chunk c of the 30-bit value: widths 8,8,7,7 at offsets 0,8,16,23.
+    val chunks = Seq((0, 8), (8, 8), (16, 7), (23, 7))
+    val withChunks = sh.select(col("doc_id"), col("sim"),
+      explode(array(chunks.zipWithIndex.map { case ((off, w), i) =>
+        struct(lit(i).as("chunk"),
+          shiftright(col("sim"), off).bitwiseAND(lit((1L << w) - 1)).as("ckey"))
+      }: _*)).as("ck"))
+      .select(col("doc_id"), col("sim"), col("ck.chunk").as("chunk"), col("ck.ckey").as("ckey"))
+    withChunks.as("x").join(withChunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sim").as("sim_a"), col("y.sim").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard pairs within a blocking column (e.g. lang):
+    * per-block nested-loop — correct and cheap when blocks are bounded;
+    * the unblocked scale path is [[minHashPairs]]. */
+  def blockedJaccardPairs(docs: DataFrame, blockCol: String,
+                          threshold: Double, k: Int = 2): DataFrame = {
+    val sets = docs.select(col("doc_id"), col(blockCol).as("block"),
+        TextAnalysis.shingleHashes(col("text"), k).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val a = sets.select(col("block"), col("doc_id").as("doc_a"), col("shingles").as("sa"))
+    val b = sets.select(col("block"), col("doc_id").as("doc_b"), col("shingles").as("sb"))
+    a.join(b, Seq("block"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("block"), col("doc_a"), col("doc_b"),
+        graft.Num.rnd(col("jaccard"), 4).as("jaccard"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  *  - [[cosineTopK]] — brute-force exact top-k: broadcast the query set,
+  *    codegen'd zip_with/aggregate dot product, per-query window rank.
+  *    The baseline and the oracle-checkable path.
+  *  - [[partitionedTopK]] — IVF-style: candidates restricted to the same
+  *    coarse partition (here the `label` column as the cell assignment),
+  *    i.e. the cell-pruned search that makes 100 TB ANN tractable — the
+  *    candidate join is an equi-join on the cell key instead of a cross
+  *    join, so it shuffles |Q|+|C| not |Q|×|C|.
+  *
+  * Ordering is by similarity rounded to 9 dp with vec_id tie-break —
+  * deterministic across engines despite last-ulp float differences.
+  */
+object Similarity {
+
+  /** Elementwise-double dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def ranked(joined: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(graft.Num.rnd(col("sim"), 9).desc, col("c_id").asc)
+    joined
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"), graft.Num.rnd(col("sim"), 6).as("sim"))
+  }
+
+  /** Exact cosine top-k of each query vector against the full corpus. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      norm(col("embedding")).as("c_norm"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_norm"))
+    val joined = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("sim", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+    ranked(joined, k)
+  }
+
+  /** IVF-style top-k restricted to the query's coarse cell (cellCol). */
+  def partitionedTopK(corpus: DataFrame, queries: DataFrame, cellCol: String,
+                      k: Int): DataFrame = {
+    val c = corpus.select(col(cellCol).as("cell"), col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), norm(col("embedding")).as("c_norm"))
+    val q = queries.select(col(cellCol).as("cell"), col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
+    val joined = c.join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("sim", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+    ranked(joined, k)
+  }
+}

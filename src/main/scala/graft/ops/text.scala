@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the large-scale training-data pipeline:
+  * tokenization, language-ID heuristic, quality scoring, token counting and
+  * document fingerprinting. Everything is built from codegen-friendly
+  * built-in functions / higher-order functions — no UDFs — and every
+  * formula has a DuckDB twin in [[TextSql]] (kept adjacent so the two stay
+  * in sync; the driver's oracle hashes both sides).
+  *
+  * Deterministic cross-engine hash: 31-base polynomial over code points,
+  * mod P = 1e9+7 (fits BIGINT intermediate products in both engines).
+  */
+object TextAnalysis {
+  val P = 1000000007L
+
+  /** Language marker stopword lists (language-ID heuristic). Keys sorted
+    * alphabetically — the tie-break order of [[langId]]. */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "los", "las", "y", "que", "una", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans"))
+
+  /** Whitespace tokens with empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** Polynomial rolling hash of a string: fold (acc*31 + codepoint) % P. */
+  def polyHash(s: Column): Column =
+    aggregate(split(s, ""), lit(0L),
+      (acc, ch) => (acc * 31 + ascii(ch).cast("long")) % P)
+
+  /** k-token shingle strings (space-joined); empty array when the document
+    * is shorter than k tokens (guards Spark's descending `sequence`). */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => array_join(slice(toks, i + 1, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct shingle hashes — the document's shingle set for MinHash /
+    * Jaccard. */
+  def shingleHashes(text: Column, k: Int): Column =
+    array_distinct(transform(shingles(tokens(text), k), s => polyHash(s)))
+
+  /** Marker-hit count for one language. */
+  def markerHits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(markers.map(lit): _*), t)))
+
+  /** Predicted language: argmax of marker hits, alphabetical tie-break. */
+  def langId(toks: Column): (Column, Column) = {
+    val scores = Markers.map { case (l, ms) => l -> markerHits(toks, ms) }
+    val best = greatest(scores.map(_._2): _*)
+    val pred = scores.init.foldRight(lit(Markers.last._1)) {
+      case ((l, s), els) => when(s === best, lit(l)).otherwise(els)
+    }
+    (pred, best)
+  }
+}
+
+/** DuckDB SQL twins of [[TextAnalysis]] — fragment builders interpolated
+  * into oracle queries. */
+object TextSql {
+  val P = 1000000007L
+
+  /** toks CTE: (doc_id, t = cleaned token list). */
+  val toksCte: String =
+    """toks AS (
+      |  SELECT doc_id, lang, source, n_chars, text,
+      |         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+      |  FROM documents)""".stripMargin
+
+  def polyHash(expr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($expr, ''), c -> CAST(unicode(c) AS BIGINT))), " +
+      s"(a, b) -> (a * 31 + b) % $P)"
+
+  /** Distinct k-shingle strings from token-list expression `t`. */
+  def shingleStrings(t: String, k: Int): String =
+    s"list_transform(range(greatest(len($t) - ${k - 1}, 0)), " +
+      s"i -> array_to_string(list_slice($t, i + 1, i + $k), ' '))"
+
+  def shingleHashes(t: String, k: Int): String =
+    s"list_distinct(list_transform(${shingleStrings(t, k)}, s -> ${polyHash("s")}))"
+
+  def markerHits(t: String, markers: Seq[String]): String =
+    s"len(list_filter($t, x -> list_contains([${markers.map("'" + _ + "'").mkString(",")}], x)))"
+}

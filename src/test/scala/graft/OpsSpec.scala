@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.ops._
+
+/** Extension-operator tests: dedup, similarity, text, streaming, multimodal. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts and keeps min doc_id") {
+    val d = docs((1L, "a b c"), (5L, "a b c"), (3L, "x y z"))
+    val out = Dedup.exact(d).orderBy("keeper_id")
+      .select("keeper_id", "n_copies").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds high-jaccard pairs with exact verified jaccard") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 7) "CHANGED" else s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val d = docs((1L, base), (2L, nearDup), (3L, other))
+    val pairs = Dedup.minHashPairs(d, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L)))
+    // exact jaccard: base has 38 shingles, nearDup differs in 3 (k=3 window
+    // around position 7) → inter 35, union 41.
+    val j = Dedup.minHashPairs(d, 0.5).select("jaccard").as[Double].head()
+    assert(math.abs(j - 35.0 / 41.0) < 1e-3)
+  }
+
+  test("simhash chunk-banding equals brute-force hamming pairs") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val banded = Dedup.simHashPairs(d, 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    val sims = Dedup.shingleSets(d).filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), Dedup.simHash(col("shingles")).as("sim"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (a, sa) <- sims; (b, sb) <- sims if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty) // planted near-dups exist in the corpus
+  }
+
+  test("cosine top-k returns exact nearest neighbors") {
+    val e = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0f, 1f), 1), (3L, Array(-1f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.cosineTopK(e, e.filter($"vec_id" === 0), 2)
+      .select("c_id", "rank").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (2L, 2L))) // 0.994, 0.0; -1 excluded by rank
+  }
+
+  test("partitioned (IVF) top-k searches only the query's cell") {
+    val e = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0.9f, 0.1f), 1),
+      (2L, Array(0.5f, 0.5f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.partitionedTopK(e, e.filter($"vec_id" === 0), "label", 5)
+      .select("c_id").as[Long].collect().toSeq
+    assert(out == Seq(2L)) // vec 1 is nearer but in another cell
+  }
+
+  test("language id picks the marker-richest language, tie-break alphabetical") {
+    val d = Seq((1L, "der hund und die katze"), (2L, "zzz qqq www"))
+      .toDF("doc_id", "text")
+    val (pred, hits) = TextAnalysis.langId(TextAnalysis.tokens(col("text")))
+    val out = d.select(col("doc_id"), pred, hits).orderBy("doc_id")
+      .as[(Long, String, Int)].collect()
+    assert(out(0) == ((1L, "de", 3)))
+    assert(out(1) == ((2L, "de", 0))) // all-zero tie → alphabetical first
+  }
+
+  test("streaming hourly aggregation matches the batch plan") {
+    implicit val sq = spark.sqlContext
+    val events = Cohorts.events(spark, "/root/testdata/sf0.001")
+      .select($"ts", $"event_type", $"value")
+      .as[(java.sql.Timestamp, String, Double)].collect().toSeq
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val sdf = stream.toDF().toDF("ts", "event_type", "value")
+    val q = EventOps.hourlyAggStream(sdf).writeStream
+      .format("memory").queryName("hourly_out").outputMode(OutputMode.Complete())
+      .start()
+    try {
+      stream.addData(events)
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_out")
+        .select("hour_start", "event_type", "n_events", "sum_value")
+        .collect().map(_.toSeq).toSet
+      val batch = EventOps.hourlyAgg(
+        events.toDF("ts", "event_type", "value"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization matches batch sessionize") {
+    implicit val sq = spark.sqlContext
+    val raw = Cohorts.events(spark, "/root/testdata/sf0.001")
+      .filter($"user_id" < 20)
+    val rows = raw
+      .select($"user_id", date_trunc("second", $"ts").as("ts"), $"value")
+      .as[(Long, java.sql.Timestamp, Double)]
+      .collect().sortBy(r => (r._2.getTime, r._1)).toSeq
+    // sentinel event per user far in the future closes every real session
+    val flushTs = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+    val users = rows.map(_._1).distinct
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = EventOps.sessionizeStream(
+        stream.toDS().map(identity))
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(rows)
+      stream.addData(users.map(u => (u, flushTs, 0.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_out")
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"))
+        .collect().map(_.toSeq).toSet
+      val batch = EventOps.sessionize(raw)
+        .select(col("user_id"), col("session_start"), col("n_events"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("multimodal stub decode extracts byte metadata through mapPartitions") {
+    val d = docs((7L, "hello world"))
+    val m = Multimodal.extractMeta(Multimodal.payloads(d)).head()
+    assert(m.doc_id == 7L)
+    assert(m.n_bytes == 11L)
+    assert(m.header_hex == "68656C6C6F20776F") // "hello wo"
+    assert(m.feat_sum == 'h'.toLong + 'e' + 'l' + 'l')
+  }
+}
