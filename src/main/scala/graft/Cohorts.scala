@@ -19,6 +19,14 @@ object Cohorts {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** documents, spread across the cluster: the table arrives as one parquet
+    * file (= one partition), which would serialize the CPU-heavy
+    * shingle/hash pipelines onto a single core. */
+  def documents(spark: SparkSession, dir: String): DataFrame = {
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    table(spark, dir, "documents").repartition(n)
+  }
+
   /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects by
     * default; read nanos as long and convert to a microsecond timestamp
     * (sub-second analytics here are at second grain or coarser, so the

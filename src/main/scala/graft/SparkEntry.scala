@@ -20,7 +20,9 @@ object SparkEntry {
 
   private def allPairs(s: SparkSession, dir: String): DataFrame = {
     val (c, nc) = cohortPair(s, dir)
-    NeighborJoin.pairs(c, nc, Cohorts.spec)
+    // The consent cohort (a year of orders ⋈ customer) is dimension-sized:
+    // broadcast it so the pairs expansion never shuffles the big side.
+    NeighborJoin.pairs(c, nc, Cohorts.spec, broadcastConsent = true)
   }
 
   /** Shared projection of a full adjusted frame (q13/q18). */
@@ -223,7 +225,8 @@ object SparkEntry {
       (s: SparkSession, dir: String) => {
         val (c, nc) = cohortPair(s, dir)
         selectAdjusted(
-          CocoaPipeline.run(c, nc, Cohorts.spec, MatchStrategy.K(3)).adjusted)
+          CocoaPipeline.run(c, nc, Cohorts.spec, MatchStrategy.K(3),
+            broadcastConsent = true).adjusted)
       },
       Some(s"""${OracleCtes.prefix},
               |${OracleCtes.topk(3)},
@@ -234,7 +237,7 @@ object SparkEntry {
       (s: SparkSession, dir: String) => {
         val (c, nc) = cohortPair(s, dir)
         val sel = NeighborJoin.withinRadius(
-          NeighborJoin.pairs(c, nc, Cohorts.spec), 100.0)
+          NeighborJoin.pairs(c, nc, Cohorts.spec, broadcastConsent = true), 100.0)
         Summary.matchedSummary(nc, Summary.nearestDistances(sel, Cohorts.spec), Cohorts.spec)
           .select(col("month"),
             rnd(col("percentage_matched_conversion_value"), 4).as("percentage_matched_conversion_value"),
@@ -316,7 +319,8 @@ object SparkEntry {
       (s: SparkSession, dir: String) => {
         val (c, nc) = cohortPair(s, dir)
         selectAdjusted(
-          CocoaPipeline.run(c, nc, Cohorts.spec, MatchStrategy.Percentile(0.5)).adjusted)
+          CocoaPipeline.run(c, nc, Cohorts.spec, MatchStrategy.Percentile(0.5),
+            broadcastConsent = true).adjusted)
       },
       Some(s"""${OracleCtes.prefix},
               |nearest AS (SELECT month, nc_idx, min(dist) AS d
@@ -330,7 +334,8 @@ object SparkEntry {
       (s: SparkSession, dir: String) => {
         val (c, nc) = cohortPair(s, dir)
         val shares = Adjust.softmaxShares(
-          NeighborJoin.topK(NeighborJoin.pairs(c, nc, Cohorts.spec), Cohorts.spec, 3.0),
+          NeighborJoin.topK(NeighborJoin.pairs(c, nc, Cohorts.spec,
+            broadcastConsent = true), Cohorts.spec, 3.0),
           Cohorts.spec)
         val matchedNc = shares.select("month", "nc_idx", "nc_value").distinct()
           .groupBy("month").agg(sum("nc_value").as("nc_sum"))
@@ -416,7 +421,7 @@ object SparkEntry {
     // Exact dedup — hash-groupBy on text.
     ("q24_dedup_exact",
       (s: SparkSession, dir: String) =>
-        Dedup.exact(Cohorts.table(s, dir, "documents")),
+        Dedup.exact(Cohorts.documents(s, dir)),
       Some("""SELECT md5(text) AS text_hash,
              |       CAST(min(doc_id) AS BIGINT) AS keeper_id,
              |       CAST(count(*) AS BIGINT) AS n_copies
@@ -425,7 +430,7 @@ object SparkEntry {
     // MinHash signature math pinned bit-for-bit (first two hash slots).
     ("q25_minhash_signature",
       (s: SparkSession, dir: String) => {
-        val sets = Dedup.shingleSets(Cohorts.table(s, dir, "documents"))
+        val sets = Dedup.shingleSets(Cohorts.documents(s, dir))
           .filter(size(col("shingles")) > 0)
         val Seq((a0, b0), (a1, b1)) = Dedup.Seeds.take(2)
         sets.select(col("doc_id"),
@@ -450,7 +455,7 @@ object SparkEntry {
     // jaccard levels this threshold admits on this corpus).
     ("q26_dedup_minhash",
       (s: SparkSession, dir: String) =>
-        Dedup.minHashPairs(Cohorts.table(s, dir, "documents"), 0.5),
+        Dedup.minHashPairs(Cohorts.documents(s, dir), 0.5),
       Some(s"""WITH ${TextSql.toksCte},
               |sh AS (SELECT doc_id, ${TextSql.shingleHashes("t", 3)} AS s
               |       FROM toks),
@@ -466,7 +471,7 @@ object SparkEntry {
     // SimHash near-dup pairs (hamming <= 3 over 30-bit shingle-set hash).
     ("q27_dedup_simhash",
       (s: SparkSession, dir: String) =>
-        Dedup.simHashPairs(Cohorts.table(s, dir, "documents"), 3),
+        Dedup.simHashPairs(Cohorts.documents(s, dir), 3),
       Some(s"""WITH ${TextSql.toksCte},
               |sh AS (SELECT doc_id, ${TextSql.shingleHashes("t", 3)} AS s
               |       FROM toks),
@@ -487,7 +492,7 @@ object SparkEntry {
     // Blocked exact n-gram (bigram) Jaccard within a language block.
     ("q28_dedup_blocked_jaccard",
       (s: SparkSession, dir: String) =>
-        Dedup.blockedJaccardPairs(Cohorts.table(s, dir, "documents"), "lang", 0.6, 2),
+        Dedup.blockedJaccardPairs(Cohorts.documents(s, dir), "lang", 0.6, 2),
       Some(s"""WITH ${TextSql.toksCte},
               |sh AS (SELECT doc_id, lang AS block,
               |              ${TextSql.shingleHashes("t", 2)} AS s
@@ -506,7 +511,7 @@ object SparkEntry {
       (s: SparkSession, dir: String) => {
         val toks = TextAnalysis.tokens(col("text"))
         val (pred, hits) = TextAnalysis.langId(toks)
-        Cohorts.table(s, dir, "documents")
+        Cohorts.documents(s, dir)
           .select(col("doc_id"), col("lang"), pred.as("predicted_lang"),
             hits.cast("long").as("marker_hits"))
       },
@@ -535,7 +540,7 @@ object SparkEntry {
         val stop = TextAnalysis.markerHits(toks,
           TextAnalysis.Markers.toMap.apply("en")).cast("double")
         val ttr = size(array_distinct(toks)).cast("double") / n
-        Cohorts.table(s, dir, "documents").select(
+        Cohorts.documents(s, dir).select(
           col("doc_id"),
           n.cast("long").as("n_tokens"),
           rnd(alphaLen / n, 4).as("mean_token_len"),
@@ -563,7 +568,7 @@ object SparkEntry {
     // Token counting: whitespace + BPE-ish regex tokenizer.
     ("q31_text_tokens",
       (s: SparkSession, dir: String) =>
-        Cohorts.table(s, dir, "documents").select(
+        Cohorts.documents(s, dir).select(
           col("doc_id"),
           size(TextAnalysis.tokens(col("text"))).cast("long").as("ws_tokens"),
           size(regexp_extract_all(col("text"),
@@ -578,7 +583,7 @@ object SparkEntry {
     // Document fingerprinting: full-text rolling hash + min-shingle hash.
     ("q32_text_fingerprint",
       (s: SparkSession, dir: String) =>
-        Cohorts.table(s, dir, "documents").select(
+        Cohorts.documents(s, dir).select(
           col("doc_id"),
           TextAnalysis.polyHash(col("text")).as("fp_full"),
           array_min(TextAnalysis.shingleHashes(col("text"), 4)).as("fp_min")),
@@ -655,7 +660,7 @@ object SparkEntry {
     ("q37_multimodal_meta",
       (s: SparkSession, dir: String) =>
         Multimodal.extractMeta(
-          Multimodal.payloads(Cohorts.table(s, dir, "documents"))).toDF(),
+          Multimodal.payloads(Cohorts.documents(s, dir))).toDF(),
       Some("""SELECT doc_id,
              |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              |       hex(encode(substring(text, 1, 8))) AS header_hex,
@@ -671,7 +676,8 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     val (c, nc) = Cohorts.cohorts(spark, "/root/testdata/sf0.001")
     selectAdjusted(
-      CocoaPipeline.run(c, nc, Cohorts.spec, MatchStrategy.K(3)).adjusted)
+      CocoaPipeline.run(c, nc, Cohorts.spec, MatchStrategy.K(3),
+            broadcastConsent = true).adjusted)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -20,11 +20,23 @@ sealed trait DistanceMetric {
   def name: String
 }
 
+/** |a ∩ b| for token arrays via the codegen'd custom expression
+  * [[graft.expr.TokenIntersectionSize]]. The built-in routes
+  * (`array_intersect`, `filter`+`array_contains`) are interpreted
+  * HigherOrderFunction evals — measured 100×+ slower in the pairs loop. */
+private object TokenOps {
+  def intersectionSize(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expr.TokenIntersectionSize(
+        org.apache.spark.sql.graftbridge.Bridge.expression(a),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b)))
+}
+
 case object Manhattan extends DistanceMetric {
   val name = "manhattan"
   def dist(a: Column, b: Column, num: Seq[(Column, Column)]): Column = {
     val oneHot =
-      (size(a) + size(b) - lit(2) * size(array_intersect(a, b))).cast("double")
+      (size(a) + size(b) - lit(2) * TokenOps.intersectionSize(a, b)).cast("double")
     num.foldLeft(oneHot) { case (acc, (x, y)) => acc + abs(x - y) }
   }
 }
@@ -38,7 +50,7 @@ case object Euclidean extends DistanceMetric {
   val name = "euclidean"
   def dist(a: Column, b: Column, num: Seq[(Column, Column)]): Column = {
     val oneHot =
-      (size(a) + size(b) - lit(2) * size(array_intersect(a, b))).cast("double")
+      (size(a) + size(b) - lit(2) * TokenOps.intersectionSize(a, b)).cast("double")
     sqrt(num.foldLeft(oneHot) { case (acc, (x, y)) => acc + pow(x - y, lit(2)) })
   }
 }

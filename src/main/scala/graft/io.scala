@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sources and sinks mirroring the reference's I/O surface
+  * (SURVEY.md §2.A).
+  */
+object Io {
+
+  /** S1 — newline-separated ISO dates file → Dataset[Date]
+    * (reference: pipeline.py:331-333 ReadFromText + fromisoformat). Invalid
+    * lines fail the job like `date.fromisoformat` raises — `to_date` under
+    * ANSI mode throws on malformed input. */
+  def readDatesFile(spark: SparkSession, path: String): Dataset[java.sql.Date] = {
+    import spark.implicits._
+    spark.read.textFile(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(to_date(trim(col("value")), "yyyy-MM-dd").as("date"))
+      .as[java.sql.Date]
+  }
+
+  /** S2 — parquet table scan with a half-open date-range predicate pushed
+    * to the source (reference: pipeline.py:143-153; the embedded ORDER BY
+    * is dropped — kNN is order-insensitive, SURVEY §2.A S2). */
+  def scanDateRange(spark: SparkSession, path: String, dateCol: String,
+                    startInclusive: String, endExclusive: String): DataFrame =
+    spark.read.parquet(path)
+      .filter(col(dateCol) >= lit(startInclusive).cast("timestamp") &&
+              col(dateCol) < lit(endExclusive).cast("timestamp"))
+
+  /** S4 — per-date CSV sink: `<out>/__date=<date>/part-*.csv` with header,
+    * no index column (reference: pipeline.py:265-295 writes
+    * `<path>/<date>/adjustments_data.csv`). One distributed write
+    * partitioned by date — not a per-date driver loop. */
+  def writeCsvPerDate(df: DataFrame, dateCol: String, outDir: String): Unit =
+    df.withColumn("__date", date_format(col(dateCol), "yyyy-MM-dd"))
+      .write.mode("overwrite")
+      .partitionBy("__date")
+      .option("header", "true")
+      .csv(outDir)
+
+  /** S5 — newline-joined text sink (reference: cloud_function/main.py:
+    * 86-100,137-142 writes dates.txt). */
+  def writeTextLines(lines: Dataset[String], path: String): Unit =
+    lines.coalesce(1).write.mode("overwrite").text(path)
+}

@@ -46,17 +46,40 @@ final case class CohortSpec(
   */
 object NeighborJoin {
 
-  /** Build the candidate pairs relation. Broadcasts the consent side when
-    * `broadcastConsent` (right-sized dims); otherwise relies on the cohort
-    * equi-join shuffle for co-location. */
+  /** Build the candidate pairs relation.
+    *
+    * Physical strategy:
+    *  - `broadcastConsent` — broadcast-hash join; the probe (noconsent)
+    *    side is explicitly repartitioned on its unique row id first, because
+    *    a small parquet input arrives as ONE partition and would serialize
+    *    the whole |NC|×|C| expansion onto one core.
+    *  - otherwise a shuffle equi-join on the cohort keys. Cohort keys are
+    *    low-cardinality (dates), so `salt > 1` appends `nc_idx mod salt` to
+    *    the join key (consent side exploded ×salt) — parallelism becomes
+    *    cohorts × salt instead of cohorts. This is the plan shape that
+    *    scales to a 1000-executor cluster on skewed per-date cohorts.
+    */
   def pairs(consent: DataFrame, noconsent: DataFrame, spec: CohortSpec,
-            broadcastConsent: Boolean = false): DataFrame = {
+            broadcastConsent: Boolean = false, salt: Int = 1): DataFrame = {
     val c0 = prefixed(consent, spec, "c_")
-    val c = if (broadcastConsent) broadcast(c0) else c0
-    val nc = prefixed(noconsent, spec, "nc_")
+    val nc0 = prefixed(noconsent, spec, "nc_")
     val joined =
-      if (spec.cohortCols.nonEmpty) nc.join(c, spec.cohortCols)
-      else nc.crossJoin(c)
+      if (broadcastConsent) {
+        // Explicit partition count: with a bare repartition(col), AQE sees
+        // only the (tiny) pre-join size and coalesces back to one partition,
+        // serializing the whole pair expansion onto one core.
+        val n = nc0.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+        val nc = nc0.repartition(n, col("nc_idx"))
+        if (spec.cohortCols.nonEmpty) nc.join(broadcast(c0), spec.cohortCols)
+        else nc.crossJoin(broadcast(c0))
+      } else if (salt > 1) {
+        val ncS = nc0.withColumn("__salt", pmod(col("nc_idx"), lit(salt)).cast("int"))
+        val cS = c0.withColumn("__salt", explode(array((0 until salt).map(lit(_)): _*)))
+        ncS.join(cS, spec.cohortCols :+ "__salt").drop("__salt")
+      } else {
+        if (spec.cohortCols.nonEmpty) nc0.join(c0, spec.cohortCols)
+        else nc0.crossJoin(c0)
+      }
     val numPairs = spec.numCols.map(n => (col(s"nc_$n"), col(s"c_$n")))
     joined
       .withColumn("dist", spec.metric.dist(col("nc_features"), col("c_features"), numPairs))

@@ -59,8 +59,12 @@ object Dedup {
   /** Near-duplicate pairs by MinHash LSH + exact-Jaccard verification.
     * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ thr. */
   def minHashPairs(docs: DataFrame, threshold: Double, k: Int = 3): DataFrame = {
+    // Shingle hashing (interpreted HOF over every character) is the
+    // dominant cost and the sets feed three consumers (signatures + both
+    // sides of the verify join) — materialize once.
     val sets = shingleSets(docs, k)
       .filter(size(col("shingles")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = sets.select(col("doc_id"),
       minHashSignature(col("shingles")).as("sig"))
     val rows = NumHashes / Bands
@@ -93,13 +97,13 @@ object Dedup {
   }
 
   /** 30-bit SimHash over the distinct shingle-hash set: bit j set iff the
-    * sum of ±1 votes from each shingle's j-th hash bit is positive. */
+    * sum of ±1 votes from each shingle's j-th hash bit is positive. One
+    * codegen'd kernel ([[graft.expr.SimHash30]]) instead of 30 interpreted
+    * per-bit aggregate folds. */
   def simHash(shingles: Column): Column =
-    (0 until 30).map { j =>
-      val votes = aggregate(shingles, lit(0L),
-        (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))
-      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expr.SimHash30(
+        org.apache.spark.sql.graftbridge.Bridge.expression(shingles)))
 
   /** Near-duplicate pairs with SimHash hamming distance ≤ maxHamming.
     * Candidates from 4-chunk pigeonhole banding (8+8+7+7 bits): any pair

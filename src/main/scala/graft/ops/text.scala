@@ -28,13 +28,18 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
-  /** Polynomial rolling hash of a string: fold (acc*31 + codepoint) % P. */
+  /** Polynomial rolling hash of a string: fold (acc*31 + codepoint) % P.
+    * Codegen'd kernel ([[graft.expr.PolyHash]]); the equivalent built-in
+    * composition `aggregate(split(s,''), …)` evaluates an interpreted HOF
+    * per character and was the dominant cost of every text query. */
   def polyHash(s: Column): Column =
-    aggregate(split(s, ""), lit(0L),
-      (acc, ch) => (acc * 31 + ascii(ch).cast("long")) % P)
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expr.PolyHash(org.apache.spark.sql.graftbridge.Bridge.expression(s)))
 
   /** k-token shingle strings (space-joined); empty array when the document
-    * is shorter than k tokens (guards Spark's descending `sequence`). */
+    * is shorter than k tokens (guards Spark's descending `sequence`).
+    * Kept for API completeness; the hashing path fuses this via
+    * [[graft.expr.TokenShingleHashes]]. */
   def shingles(toks: Column, k: Int): Column =
     when(size(toks) >= k,
       transform(sequence(lit(0), size(toks) - k),
@@ -42,9 +47,12 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
 
   /** Distinct shingle hashes — the document's shingle set for MinHash /
-    * Jaccard. */
+    * Jaccard — as one fused codegen'd kernel (tokenize stays a built-in;
+    * windowing + hashing + distinct run in a single JVM loop). */
   def shingleHashes(text: Column, k: Int): Column =
-    array_distinct(transform(shingles(tokens(text), k), s => polyHash(s)))
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expr.TokenShingleHashes(
+        org.apache.spark.sql.graftbridge.Bridge.expression(tokens(text)), k))
 
   /** Marker-hit count for one language. */
   def markerHits(toks: Column, markers: Seq[String]): Column =

@@ -53,24 +53,29 @@ object CocoaPipeline {
       case MatchStrategy.Percentile(p) =>
         // Two-pass plan (reference :518-523): pass 1 = k=1 nearest distances;
         // radius = exact quantile (driver-collected scalar between jobs);
-        // pass 2 = radius join. The pairs relation is persisted across the
-        // passes — the analogue of the reference's once-fitted matcher.
-        val persisted = allPairs.persist(StorageLevel.MEMORY_AND_DISK)
-        try {
-          val pass1 = NeighborJoin.topK(persisted, spec, 1.0)
-          val nearest = Summary.nearestDistances(pass1, spec)
-          val radius = Summary.minRadiusByPercentile(nearest, p)
-          finish(consent, noconsent,
-            NeighborJoin.withinRadius(persisted, radius), spec)
-        } finally { /* unpersist deferred: result plans still reference it */ }
+        // pass 2 = radius join. Only the pass-1 nearest-distance relation
+        // (O(|NC|) rows) is worth holding — caching the full pairs relation
+        // costs more in columnar-cache build than recomputing the (codegen'd)
+        // distance join for pass 2.
+        val nearest = Summary
+          .nearestDistances(NeighborJoin.topK(allPairs, spec, 1.0), spec)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val radius = Summary.minRadiusByPercentile(nearest, p)
+        finish(consent, noconsent,
+          NeighborJoin.withinRadius(allPairs, radius), spec)
     }
   }
 
   private def finish(consent: DataFrame, noconsent: DataFrame,
                      selected: DataFrame, spec: CohortSpec): AdjustmentResult = {
-    val shares = Adjust.softmaxShares(selected, spec)
+    // The selected-pairs relation (O(k·|NC|) rows) fans out to four
+    // consumers (scatter-add, weights, naive numerator, summary); persist it
+    // so the expensive upstream similarity join runs once, like the
+    // reference's once-fitted matcher.
+    val sel = selected.persist(StorageLevel.MEMORY_AND_DISK)
+    val shares = Adjust.softmaxShares(sel, spec)
     val adjusted = Adjust.distribute(consent, shares, spec)
-    val matchedNc = Summary.nearestDistances(selected, spec)
+    val matchedNc = Summary.nearestDistances(sel, spec)
     val summary = Summary.matchedSummary(noconsent, matchedNc, spec)
     AdjustmentResult(adjusted, summary)
   }
