@@ -416,6 +416,53 @@ object SparkEntry {
              |JOIN nation ON c_nationkey = n_nationkey
              |GROUP BY n_name""".stripMargin)),
 
+    // Alternate distance metric — euclidean over the same feature space
+    // (reference accepts any sklearn metric string; TODO at
+    // cocoa/nearest_consented_customers.py:66).
+    ("q38_knn_topk_euclidean",
+      (s: SparkSession, dir: String) => {
+        val (c, nc) = cohortPair(s, dir)
+        val spec = Cohorts.spec.copy(metric = Euclidean)
+        NeighborJoin.topK(
+            NeighborJoin.pairs(c, nc, spec, broadcastConsent = true), spec, 3.0)
+          .select(col("month"), col("nc_idx"), col("c_idx"),
+            col("rank").cast("long").as("rank"), rnd(col("dist"), 4).as("dist"))
+      },
+      Some(s"""WITH ${OracleCtes.base},
+              |${OracleCtes.cohortSplit},
+              |pairs AS (
+              |  SELECT nc.month, nc.idx AS nc_idx, c.idx AS c_idx,
+              |         sqrt(CAST(len(nc.features) + len(c.features)
+              |              - 2 * len(list_intersect(nc.features, c.features)) AS DOUBLE)
+              |           + power(nc.c_acctbal - c.c_acctbal, 2)) AS dist
+              |  FROM nc JOIN c ON nc.month = c.month),
+              |${OracleCtes.topk(3)}
+              |SELECT month, nc_idx, c_idx, rank, ROUND(1e-9 + dist, 4) AS dist
+              |FROM topk""".stripMargin)),
+
+    // Proportional k — k<1 resolves to int(k · |consent cohort|)
+    // (cocoa/nearest_consented_customers.py:145-147).
+    ("q39_knn_proportional_k",
+      (s: SparkSession, dir: String) => {
+        val (c, nc) = cohortPair(s, dir)
+        NeighborJoin.topK(
+            NeighborJoin.pairs(c, nc, Cohorts.spec, broadcastConsent = true),
+            Cohorts.spec, 0.1, Some(c))
+          .groupBy("month", "nc_idx")
+          .agg(count(lit(1)).as("n_neighbors"))
+      },
+      Some(s"""${OracleCtes.prefix},
+              |ranked AS (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY month, nc_idx ORDER BY dist, c_idx) AS rank
+              |  FROM pairs),
+              |ck AS (SELECT month, CAST(floor(0.1 * count(*)) AS BIGINT) AS k
+              |       FROM c GROUP BY month)
+              |SELECT r.month, r.nc_idx, CAST(count(*) AS BIGINT) AS n_neighbors
+              |FROM ranked r JOIN ck ON r.month = ck.month
+              |WHERE r.rank <= ck.k
+              |GROUP BY r.month, r.nc_idx""".stripMargin)),
+
     // ====================== LLM-pipeline extension operators ==============
 
     // Exact dedup — hash-groupBy on text.

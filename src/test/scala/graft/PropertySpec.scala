@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck conservation properties over generated cohorts
+  * (SURVEY §5 test plan): the invariants must hold for ANY cohort shape,
+  * not just the ported fixtures.
+  */
+/** Top-level: Spark cannot synthesize encoders for class-nested case
+  * classes. */
+case class CRow(id: Long, a: Double, conv: Double, cat: String)
+
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val spec = CohortSpec(
+    idCol = "id", valueCol = "conv", tokenCol = "features",
+    numCols = Seq("a"), cohortCols = Nil, metric = Manhattan)
+
+  private val cohortGen: Gen[(List[CRow], List[CRow])] = for {
+    nC <- Gen.choose(2, 12)
+    nNc <- Gen.choose(1, 8)
+    mk = (offset: Int) => (i: Int) =>
+      for {
+        a <- Gen.choose(0.0, 10.0)
+        v <- Gen.choose(0.1, 100.0)
+        cat <- Gen.oneOf("x", "y", "z")
+      } yield CRow((offset + i).toLong, a, v, cat)
+    c <- Gen.sequence[List[CRow], CRow]((0 until nC).map(mk(0)))
+    nc <- Gen.sequence[List[CRow], CRow]((0 until nNc).map(mk(1000)))
+  } yield (c, nc)
+
+  private def encode(rows: List[CRow]): DataFrame =
+    rows.toDF().withColumn("features", Preprocess.tokenFeatures(Seq("cat")))
+
+  // scalatestplus isn't on the (offline) classpath - sample the generator
+  // directly with fixed seeds for deterministic property checks.
+  private def samples(n: Int): Seq[(List[CRow], List[CRow])] =
+    (1 to n).flatMap(i => cohortGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("property: conservation + cardinality hold for arbitrary cohorts (K strategy)") {
+    samples(8).foreach { case (c, nc) =>
+      val k = math.min(3, c.size)
+      val res = CocoaPipeline.run(encode(c), encode(nc), spec, MatchStrategy.K(k))
+      val adjusted = res.adjusted.cache()
+      // cardinality: one output row per consent row
+      assert(adjusted.count() == c.size)
+      // conservation: all noconsent value is redistributed, none created
+      val total = adjusted.agg(sum("adjusted_conversion")).head().getDouble(0)
+      val ncTotal = nc.map(_.conv).sum
+      assert(math.abs(total - ncTotal) < 1e-6 * math.max(1.0, ncTotal))
+      // non-negativity
+      assert(adjusted.filter(col("adjusted_conversion") < -1e-12).count() == 0)
+      adjusted.unpersist()
+    }
+  }
+
+  test("property: radius matching never drops consent rows and bounds totals") {
+    samples(5).foreach { case (c, nc) =>
+      val res = CocoaPipeline.run(encode(c), encode(nc), spec, MatchStrategy.Radius(2.0))
+      val adjusted = res.adjusted.cache()
+      assert(adjusted.count() == c.size)
+      val total = adjusted.agg(sum("adjusted_conversion")).head().getDouble(0)
+      assert(total <= nc.map(_.conv).sum + 1e-6)
+      adjusted.unpersist()
+    }
+  }
+
+  test("salted pairs relation equals the plain equi-join pairs relation") {
+    val c = encode(List(CRow(1, 1.0, 5.0, "x"), CRow(2, 2.0, 6.0, "y"),
+      CRow(3, 3.0, 7.0, "x"), CRow(4, 4.0, 8.0, "z")))
+      .withColumn("month", lit("m1"))
+    val nc = encode(List(CRow(100, 1.5, 9.0, "x"), CRow(101, 2.5, 4.0, "z")))
+      .withColumn("month", lit("m1"))
+    val sp = spec.copy(cohortCols = Seq("month"))
+    val plain = NeighborJoin.pairs(c, nc, sp)
+      .select("nc_idx", "c_idx", "dist").collect().map(_.toSeq).toSet
+    val salted = NeighborJoin.pairs(c, nc, sp, salt = 3)
+      .select("nc_idx", "c_idx", "dist").collect().map(_.toSeq).toSet
+    assert(plain == salted)
+    assert(plain.size == 8)
+  }
+}
