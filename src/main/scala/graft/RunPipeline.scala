@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The production entry point — the Spark twin of the reference's Dataflow
+  * run (pipeline.py:318-360) and Cloud Function trigger
+  * (cloud_function/main.py:49-83):
+  *
+  *   1. read the dates file (or compute a lookback window from the data's
+  *      max date when no file is given — main.py:103-121),
+  *   2. scan both cohort tables for those dates,
+  *   3. run the adjustment under one strategy with per-date cohort scope,
+  *   4. write per-date CSVs: adjustments data + summary (pipeline.py:265-295).
+  *
+  * All dates are processed in ONE Spark job graph, scoped by the date
+  * column — not the reference's one-date-per-worker loop.
+  *
+  * Usage: graft.RunPipeline <consentParquet> <noconsentParquet> <outDir>
+  *          [k=3 | radius=R | percentile=P] [datesFile]
+  */
+object RunPipeline {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args) finally spark.stop()
+  }
+
+  /** Session-agnostic body (tests drive this with their own session). */
+  def run(spark: SparkSession, args: Array[String]): Unit = {
+    val Array(consentPath, noconsentPath, outDir) = args.take(3)
+    val strategy: MatchStrategy = args.lift(3).getOrElse("k=3") match {
+      case s if s.startsWith("k=") => MatchStrategy.K(s.drop(2).toDouble)
+      case s if s.startsWith("radius=") => MatchStrategy.Radius(s.drop(7).toDouble)
+      case s if s.startsWith("percentile=") => MatchStrategy.Percentile(s.drop(11).toDouble)
+      case s => throw new IllegalArgumentException(s"unknown strategy: $s")
+    }
+
+    val cfg = JobConfig(
+      idCols = Seq("gclid", "conversion_timestamp"),
+      conversionCol = "conversion_value",
+      dateCol = "conversion_date",
+      cohortCols = Seq("conversion_date"))
+
+    val consentRaw = spark.read.parquet(consentPath)
+    val noconsentRaw = spark.read.parquet(noconsentPath)
+
+    // Date scope: explicit dates file, else a 1-day lookback from the
+    // noconsent table's max date (cloud_function/main.py:34,103-121).
+    val dates: Seq[String] = args.lift(4) match {
+      case Some(f) => Io.readDatesFile(spark, f).collect().map(_.toString).toSeq
+      case None =>
+        val maxD = noconsentRaw
+          .agg(date_format(max(col(cfg.dateCol)), "yyyy-MM-dd")).first().getString(0)
+        Seq(maxD)
+    }
+
+    val inDates = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(date_format(col(cfg.dateCol), "yyyy-MM-dd").isin(dates: _*))
+
+    // Shared feature space over every non-role column (dynamic schema:
+    // categoricals = the string columns outside id/date/conversion roles).
+    val roleCols = cfg.idCols ++ Seq(cfg.conversionCol, cfg.dateCol)
+    val featureFields = consentRaw.schema.fields.filterNot(f => roleCols.contains(f.name))
+    val catCols = featureFields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType).map(_.name).toSeq
+    val numCols = featureFields
+      .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      .map(_.name).toSeq
+    val (nc, c) = CocoaPipeline.prepare(
+      inDates(noconsentRaw), inDates(consentRaw), cfg, catCols)
+
+    val spec = CohortSpec(
+      idCol = cfg.idCols.head, valueCol = cfg.conversionCol,
+      numCols = numCols, cohortCols = Seq(cfg.dateCol), metric = cfg.metric)
+    val result = new NearestCustomerMatcher(c, spec)
+      .adjustmentsAndSummary(nc, strategy)
+
+    Io.writeCsvPerDate(result.adjusted.drop(spec.tokenCol),
+      cfg.dateCol, s"$outDir/adjustments_data")
+    Io.writeCsvPerDate(result.summary, cfg.dateCol, s"$outDir/adjustments_summary")
+    println(s"[pipeline] wrote ${dates.size} date(s) to $outDir")
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's public library surface, Spark-native: construct a matcher
+  * over the consenting cohort, then ask for adjusted conversions for a
+  * non-consenting cohort under one strategy
+  * (reference: cocoa/nearest_consented_customers.py:46-83 `__init__`,
+  * :330-373 `calculate_adjusted_conversions`,
+  * :470-524 `get_adjustments_and_summary_calculations`).
+  *
+  * Both cohorts must already share the encoded feature space
+  * ([[CocoaPipeline.prepare]]); the constructor enforces the reference's
+  * hard checks — identical feature columns (:266-284) and strictly-positive
+  * non-null conversions (:79-82).
+  *
+  * @param consent cleaned, encoded consenting cohort
+  * @param spec    column roles + metric + cohort scope
+  */
+final class NearestCustomerMatcher(consent: DataFrame, spec: CohortSpec,
+                                   broadcastConsent: Boolean = true) {
+  require(consent.columns.contains(spec.idCol) &&
+    consent.columns.contains(spec.valueCol) &&
+    consent.columns.contains(spec.tokenCol),
+    s"consent cohort must carry ${spec.idCol}/${spec.valueCol}/${spec.tokenCol}")
+  // The conversion column must not contain NaNs/nulls or values <= 0
+  // (reference raises ValueError at construction, :79-82).
+  require(consent.filter(col(spec.valueCol).isNull ||
+      col(spec.valueCol) <= 0 || isnan(col(spec.valueCol))).limit(1).count() == 0,
+    "The conversion values must be larger than zero.")
+
+  private def checkColumns(noconsent: DataFrame): Unit =
+    require(consent.columns.sorted.sameElements(noconsent.columns.sorted),
+      "Consented and non-consented data must have same columns.")
+
+  /** Adjusted consent frame + summary under exactly one strategy — the
+    * Spark twin of get_adjustments_and_summary_calculations. */
+  def adjustmentsAndSummary(noconsent: DataFrame,
+                            strategy: MatchStrategy): AdjustmentResult = {
+    checkColumns(noconsent)
+    CocoaPipeline.run(consent, noconsent, spec, strategy, broadcastConsent)
+  }
+
+  /** Adjusted consent frame only (calculate_adjusted_conversions). */
+  def calculateAdjustedConversions(noconsent: DataFrame,
+                                   strategy: MatchStrategy): DataFrame =
+    adjustmentsAndSummary(noconsent, strategy).adjusted
+
+  /** Radius for the percentile strategy from a k=1 pass
+    * (min_radius_by_percentile, reference :140-143). */
+  def minRadiusByPercentile(noconsent: DataFrame, percentile: Double): Double = {
+    checkColumns(noconsent)
+    val pairs = NeighborJoin.pairs(consent, noconsent, spec, broadcastConsent)
+    Summary.minRadiusByPercentile(
+      Summary.nearestDistances(NeighborJoin.topK(pairs, spec, 1.0), spec),
+      percentile)
+  }
+}

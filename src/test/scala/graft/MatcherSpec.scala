@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Public API surface + end-to-end runnable pipeline. */
+class MatcherSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sp = CohortSpec("gclid", "conversion_value", "features", Nil, Nil)
+
+  private def encoded(rows: (String, Double, String)*) =
+    rows.toDF("gclid", "conversion_value", "conversion_item")
+      .withColumn("features", Preprocess.tokenFeatures(Seq("conversion_item")))
+      .drop("conversion_item")
+
+  test("matcher API reproduces the reference call pattern") {
+    val matcher = new NearestCustomerMatcher(encoded(("1", 10.0, "dress")), sp)
+    val adjusted = matcher.calculateAdjustedConversions(
+      encoded(("10", 20.0, "dress")), MatchStrategy.K(1))
+    assert(adjusted.select("adjusted_conversion").as[Double].head() == 20.0)
+  }
+
+  test("matcher rejects non-positive conversions at construction (:79-82)") {
+    assertThrows[IllegalArgumentException](
+      new NearestCustomerMatcher(encoded(("1", 0.0, "dress")), sp))
+  }
+
+  test("matcher rejects mismatched feature columns (:266-284)") {
+    val matcher = new NearestCustomerMatcher(encoded(("1", 10.0, "dress")), sp)
+    val badNc = encoded(("10", 20.0, "dress")).withColumn("extra", lit(1))
+    assertThrows[IllegalArgumentException](
+      matcher.calculateAdjustedConversions(badNc, MatchStrategy.K(1)))
+  }
+
+  test("RunPipeline end-to-end: parquet cohorts -> per-date CSV adjustments") {
+    val dir = Files.createTempDirectory("graft-e2e").toString
+    // pipeline_test.py:28-67 fixture shape: one noconsent conversion of 20.0
+    // on 2021-11-20, two equidistant consent conversions.
+    val consent = Seq(
+      ("1", "2021-11-20 12:00:00 UTC", 10.0, "2021-11-20", "dress"),
+      ("2", "2021-11-20 13:00:00 UTC", 10.0, "2021-11-20", "dress"))
+      .toDF("gclid", "conversion_timestamp", "conversion_value",
+        "conversion_date", "conversion_item")
+      .withColumn("conversion_date", to_date(col("conversion_date")))
+    val noconsent = Seq(
+      ("10", "2021-11-20 14:00:00 UTC", 20.0, "2021-11-20", "dress"))
+      .toDF("gclid", "conversion_timestamp", "conversion_value",
+        "conversion_date", "conversion_item")
+      .withColumn("conversion_date", to_date(col("conversion_date")))
+    consent.write.parquet(s"$dir/consent")
+    noconsent.write.parquet(s"$dir/noconsent")
+
+    RunPipeline.run(spark, Array(s"$dir/consent", s"$dir/noconsent", s"$dir/out", "k=2"))
+
+    val out = spark.read.option("header", "true")
+      .csv(s"$dir/out/adjustments_data")
+    assert(out.count() == 2)
+    val adds = out.select(col("adjusted_conversion").cast("double"))
+      .as[Double].collect().sorted
+    assert(adds.toSeq == Seq(10.0, 10.0)) // k=2 equidistant -> 10.0 each
+    val summary = spark.read.option("header", "true")
+      .csv(s"$dir/out/adjustments_summary")
+    assert(summary.count() == 1)
+    assert(summary.select(col("percentage_matched_conversions").cast("double"))
+      .as[Double].head() == 100.0)
+  }
+}
