@@ -89,7 +89,10 @@ object Dedup {
     val a = sets.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
     val b = sets.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
     candidates.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .withColumn("inter", org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.expr.LongIntersectSize(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("sa")),
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("sb")))).cast("double"))
       .withColumn("jaccard",
         col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -143,7 +146,10 @@ object Dedup {
     val b = sets.select(col("block"), col("doc_id").as("doc_b"), col("shingles").as("sb"))
     a.join(b, Seq("block"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .withColumn("inter", org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.expr.LongIntersectSize(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("sa")),
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("sb")))).cast("double"))
       .withColumn("jaccard",
         col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
       .filter(col("jaccard") >= threshold)

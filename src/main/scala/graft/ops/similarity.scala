@@ -19,10 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise-double dot product of two float-array columns. */
+  /** Sequential dot product via the codegen'd kernel
+    * ([[graft.expr.DotProduct]]) — same left-to-right accumulation as the
+    * interpreted `aggregate(zip_with(..))` it replaces, so oracle results
+    * are bit-identical. Inputs are cast to array<double> first (a single
+    * codegen'd Cast). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expr.DotProduct(
+        org.apache.spark.sql.graftbridge.Bridge.expression(a.cast("array<double>")),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b.cast("array<double>"))))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
