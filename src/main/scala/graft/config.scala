@@ -93,6 +93,14 @@ object MatchStrategy {
   * @param nonDummyCols  numeric passthrough features (not one-hot encoded)
   * @param cohortCols    grouping columns scoping the match (per-date cohort
   *                      in the reference; empty = one global cohort)
+  * @param cleanFn       extra cleaning hook applied after the built-in
+  *                      null/non-positive filter — the reference's
+  *                      "_clean_data should be extended based on custom
+  *                      requirements" (cocoa/preprocess.py:30-49)
+  * @param featureFn     feature-engineering hook applied to the unioned
+  *                      frame before encoding — the reference's
+  *                      `_additional_feature_engineering`
+  *                      (cocoa/preprocess.py:52-78)
   */
 final case class JobConfig(
     idCols: Seq[String],
@@ -101,4 +109,6 @@ final case class JobConfig(
     dropCols: Seq[String] = Nil,
     nonDummyCols: Seq[String] = Nil,
     cohortCols: Seq[String] = Nil,
-    metric: DistanceMetric = Manhattan)
+    metric: DistanceMetric = Manhattan,
+    cleanFn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity,
+    featureFn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity)

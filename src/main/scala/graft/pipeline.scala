@@ -29,10 +29,10 @@ object CocoaPipeline {
     * (cocoa/preprocess.py:108-148). Returns (noconsent, consent). */
   def prepare(noconsentRaw: DataFrame, consentRaw: DataFrame, cfg: JobConfig,
               catCols: Seq[String], tokenCol: String = "features"): (DataFrame, DataFrame) = {
-    val ncClean = Preprocess.clean(noconsentRaw, cfg.conversionCol)
-    val cClean = Preprocess.clean(consentRaw, cfg.conversionCol)
-    val unioned = Preprocess.unionWithConsentFlag(ncClean, cClean)
-      .drop(cfg.dropCols: _*)
+    val ncClean = cfg.cleanFn(Preprocess.clean(noconsentRaw, cfg.conversionCol))
+    val cClean = cfg.cleanFn(Preprocess.clean(consentRaw, cfg.conversionCol))
+    val unioned = cfg.featureFn(
+        Preprocess.unionWithConsentFlag(ncClean, cClean).drop(cfg.dropCols: _*))
       .withColumn(tokenCol, Preprocess.tokenFeatures(catCols))
       .drop(catCols: _*)
     Preprocess.splitByConsent(unioned)

@@ -64,6 +64,20 @@ class PreprocessSpec extends SparkSpec {
     assert(out(1).toSeq == Seq("a", "b", null))
   }
 
+  test("cleanFn/featureFn hooks extend the prepare pipeline (preprocess.py:30-78)") {
+    val consent = Seq((1L, 5.0, "x", 99.0), (2L, 6.0, "y", 1.0))
+      .toDF("id", "conv", "cat", "extra")
+    val noconsent = Seq((3L, 7.0, "x", 2.0)).toDF("id", "conv", "cat", "extra")
+    val cfg = JobConfig(
+      idCols = Seq("id"), conversionCol = "conv",
+      cleanFn = df => df.filter(col("extra") < 50), // custom cleaning rule
+      featureFn = df => df.withColumn("cat2", concat(col("cat"), lit("!"))))
+    val (nc, c) = CocoaPipeline.prepare(noconsent, consent, cfg, Seq("cat", "cat2"))
+    assert(c.count() == 1) // consent row with extra=99 cleaned away
+    val toks = nc.select("features").as[Seq[String]].head()
+    assert(toks.contains("cat2=x!")) // engineered feature entered the space
+  }
+
   test("row ids are dense, deterministic, zero-based") {
     val df = Seq(30L, 10L, 20L).toDF("id")
     val out = Preprocess.withRowIds(df, Seq("id"), "idx")
