@@ -78,9 +78,13 @@ def main():
             continue
         diffs = []
         for c in a.columns:
+            # Bit-exact equality, floats included: the driver HASH-compares,
+            # so a tolerance here would hide real gate failures. The rounding
+            # conventions (Num.rnd / ROUND(1e-9+x, n)) make identical
+            # decimals, hence identical doubles, on both engines.
             if pd.api.types.is_float_dtype(a[c]):
                 ae, be = a[c].fillna(-1e308), b[c].fillna(-1e308)
-                bad = ~((ae == be) | ((ae - be).abs() < 1e-12))
+                bad = ae != be
             else:
                 bad = ~((a[c] == b[c]) | (a[c].isna() & b[c].isna()))
             if bad.any():

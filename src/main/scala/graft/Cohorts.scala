@@ -27,6 +27,13 @@ object Cohorts {
     table(spark, dir, "documents").repartition(n)
   }
 
+  /** embeddings, spread for the same single-file reason: the corpus side
+    * drives the parallelism of the similarity-search scans. */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    table(spark, dir, "embeddings").repartition(n)
+  }
+
   /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects by
     * default; read nanos as long and convert to a microsecond timestamp
     * (sub-second analytics here are at second grain or coarser, so the

@@ -642,7 +642,7 @@ object SparkEntry {
     // Brute-force exact cosine top-k (ANN baseline).
     ("q33_sim_topk",
       (s: SparkSession, dir: String) => {
-        val e = Cohorts.table(s, dir, "embeddings")
+        val e = Cohorts.embeddings(s, dir)
         Similarity.cosineTopK(e, e.filter(col("vec_id") % 50 === 0), 10)
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -659,7 +659,7 @@ object SparkEntry {
     // IVF-style cell-pruned top-k (label = coarse quantizer cell).
     ("q34_sim_ivf",
       (s: SparkSession, dir: String) => {
-        val e = Cohorts.table(s, dir, "embeddings")
+        val e = Cohorts.embeddings(s, dir)
         Similarity.partitionedTopK(e, e.filter(col("vec_id") % 50 === 0), "label", 5)
       },
       Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
