@@ -673,6 +673,16 @@ object SparkEntry {
              |SELECT q_id, c_id, rank, ROUND(1e-9 + sim, 6) AS sim
              |FROM r WHERE rank <= 5""".stripMargin)),
 
+    // Embedding-cosine near-dup pairs (the dedup flavor of similarity).
+    ("q40_dedup_embedding",
+      (s: SparkSession, dir: String) =>
+        Similarity.nearDupPairs(Cohorts.embeddings(s, dir), 0.4),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             |       ROUND(1e-9 + list_cosine_similarity(a.v, b.v), 6) AS sim
+             |FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin)),
+
     // Streaming-shaped tumbling-window aggregation (batch-equivalent plan).
     ("q35_events_hourly",
       (s: SparkSession, dir: String) =>

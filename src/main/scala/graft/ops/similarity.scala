@@ -53,6 +53,22 @@ object Similarity {
     ranked(joined, k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: exact all-pairs self-join with
+    * the dot-product kernel, `a < b` dedupe, cosine ≥ threshold. The
+    * brute-force baseline — at corpus scale the candidate set shrinks via
+    * the same cell-pruned equi-join as [[partitionedTopK]] or random
+    * hyperplane LSH before this exact verify. */
+  def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      norm(col("embedding")).as("a_norm"))
+    val b = corpus.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      norm(col("embedding")).as("b_norm"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("sim", dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), graft.Num.rnd(col("sim"), 6).as("sim"))
+  }
+
   /** IVF-style top-k restricted to the query's coarse cell (cellCol). */
   def partitionedTopK(corpus: DataFrame, queries: DataFrame, cellCol: String,
                       k: Int): DataFrame = {
