@@ -73,16 +73,38 @@ object RunPipeline {
     val numCols = featureFields
       .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
       .map(_.name).toSeq
-    val (nc, c) = CocoaPipeline.prepare(
+    val (nc0, c0) = CocoaPipeline.prepare(
       inDates(noconsentRaw), inDates(consentRaw), cfg, catCols)
 
+    // Row identity must cover ALL idCols: the reference keys rows by
+    // positional index precisely because id_columns = [gclid, timestamp] are
+    // only unique together (gclid repeats). A repeating id would silently
+    // merge softmax groups (breaking Σ shares == value) and fan out the
+    // re-attach left join (breaking |output| == |consent|), so build one
+    // composite id and hard-check uniqueness per cohort like the
+    // reference's positional index guarantees.
+    val rowIdCol = "__row_id"
+    val addId = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn(rowIdCol,
+        concat_ws("\u0001", cfg.idCols.map(c => col(c).cast("string")): _*))
+    val (nc, c) = (addId(nc0), addId(c0))
+    def requireUniqueIds(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val keys = (cfg.cohortCols :+ rowIdCol).map(col(_))
+      val dup = df.groupBy(keys: _*).count().filter(col("count") > 1).limit(1).count()
+      require(dup == 0,
+        s"id columns ${cfg.idCols.mkString("(", ",", ")")} are not unique " +
+          s"within the $name cohort — rows would merge/duplicate in the adjustment")
+    }
+    requireUniqueIds(c, "consent")
+    requireUniqueIds(nc, "noconsent")
+
     val spec = CohortSpec(
-      idCol = cfg.idCols.head, valueCol = cfg.conversionCol,
+      idCol = rowIdCol, valueCol = cfg.conversionCol,
       numCols = numCols, cohortCols = Seq(cfg.dateCol), metric = cfg.metric)
     val result = new NearestCustomerMatcher(c, spec)
       .adjustmentsAndSummary(nc, strategy)
 
-    Io.writeCsvPerDate(result.adjusted.drop(spec.tokenCol),
+    Io.writeCsvPerDate(result.adjusted.drop(spec.tokenCol, rowIdCol),
       cfg.dateCol, s"$outDir/adjustments_data")
     Io.writeCsvPerDate(result.summary, cfg.dateCol, s"$outDir/adjustments_summary")
     println(s"[pipeline] wrote ${dates.size} date(s) to $outDir")

@@ -34,6 +34,51 @@ class MatcherSpec extends SparkSpec {
       matcher.calculateAdjustedConversions(badNc, MatchStrategy.K(1)))
   }
 
+  test("RunPipeline keys rows by ALL idCols: repeated gclids stay distinct") {
+    val dir = Files.createTempDirectory("graft-dup-gclid").toString
+    // gclid '1' appears twice (distinct timestamps) — the reference handles
+    // this via its positional index; a head(idCols)-only key would merge the
+    // two consent rows in the re-attach join and break |output| == |consent|.
+    val consent = Seq(
+      ("1", "2021-11-20 12:00:00 UTC", 10.0, "2021-11-20", "dress"),
+      ("1", "2021-11-20 13:00:00 UTC", 10.0, "2021-11-20", "dress"))
+      .toDF("gclid", "conversion_timestamp", "conversion_value",
+        "conversion_date", "conversion_item")
+      .withColumn("conversion_date", to_date(col("conversion_date")))
+    val noconsent = Seq(
+      ("10", "2021-11-20 14:00:00 UTC", 20.0, "2021-11-20", "dress"),
+      ("10", "2021-11-20 15:00:00 UTC", 30.0, "2021-11-20", "dress"))
+      .toDF("gclid", "conversion_timestamp", "conversion_value",
+        "conversion_date", "conversion_item")
+      .withColumn("conversion_date", to_date(col("conversion_date")))
+    consent.write.parquet(s"$dir/consent")
+    noconsent.write.parquet(s"$dir/noconsent")
+
+    RunPipeline.run(spark, Array(s"$dir/consent", s"$dir/noconsent", s"$dir/out", "k=2"))
+
+    val out = spark.read.option("header", "true").csv(s"$dir/out/adjustments_data")
+    assert(out.count() == 2) // cardinality preserved despite repeated gclid
+    // conservation: both nc values split 50/50 over the two equidistant
+    // consent rows -> each receives (20+30)/2 = 25.0
+    val adds = out.select(col("adjusted_conversion").cast("double"))
+      .as[Double].collect().sorted
+    assert(adds.toSeq == Seq(25.0, 25.0))
+  }
+
+  test("RunPipeline rejects non-unique id columns") {
+    val dir = Files.createTempDirectory("graft-dup-id").toString
+    val dup = Seq(
+      ("1", "2021-11-20 12:00:00 UTC", 10.0, "2021-11-20", "dress"),
+      ("1", "2021-11-20 12:00:00 UTC", 15.0, "2021-11-20", "dress"))
+      .toDF("gclid", "conversion_timestamp", "conversion_value",
+        "conversion_date", "conversion_item")
+      .withColumn("conversion_date", to_date(col("conversion_date")))
+    dup.write.parquet(s"$dir/consent")
+    dup.write.parquet(s"$dir/noconsent")
+    assertThrows[IllegalArgumentException](
+      RunPipeline.run(spark, Array(s"$dir/consent", s"$dir/noconsent", s"$dir/out", "k=1")))
+  }
+
   test("RunPipeline end-to-end: parquet cohorts -> per-date CSV adjustments") {
     val dir = Files.createTempDirectory("graft-e2e").toString
     // pipeline_test.py:28-67 fixture shape: one noconsent conversion of 20.0
