@@ -273,16 +273,20 @@ object SparkEntry {
               |       ROUND(1e-9 + min(dist), 4) AS distance_to_nearest_neighbor
               |FROM pairs WHERE dist <= 100.0 GROUP BY month, nc_idx""".stripMargin)),
 
-    // A5 — exact linear-interpolation quantile (percentile-strategy radius).
+    // A5 — exact linear-interpolation quantile (percentile-strategy radius),
+    // scoped per cohort like the reference's per-date runs (ADVICE r01).
     ("q16_quantile_radius",
       (s: SparkSession, dir: String) =>
-        Summary.nearestDistances(
-            NeighborJoin.topK(allPairs(s, dir), Cohorts.spec, 1.0), Cohorts.spec)
-          .agg(rnd(expr("percentile(distance_to_nearest_neighbor, 0.9)"), 4).as("radius")),
+        Summary.minRadiusByPercentilePerCohort(
+            Summary.nearestDistances(
+              NeighborJoin.topK(allPairs(s, dir), Cohorts.spec, 1.0), Cohorts.spec),
+            0.9, Cohorts.spec)
+          .select(col("month"), rnd(col("__radius"), 4).as("radius")),
       Some(s"""${OracleCtes.prefix},
               |nearest AS (SELECT month, nc_idx, min(dist) AS d
               |            FROM pairs GROUP BY month, nc_idx)
-              |SELECT ROUND(1e-9 + quantile_cont(d, 0.9), 4) AS radius FROM nearest""".stripMargin)),
+              |SELECT month, ROUND(1e-9 + quantile_cont(d, 0.9), 4) AS radius
+              |FROM nearest GROUP BY month""".stripMargin)),
 
     // A6 — describe() over nearest distances.
     ("q17_distance_describe",
@@ -314,7 +318,8 @@ object SparkEntry {
               |       ROUND(1e-9 + max(d), 4) AS max
               |FROM nearest""".stripMargin)),
 
-    // E3 percentile strategy — the two-pass plan end-to-end.
+    // E3 percentile strategy — the two-pass plan end-to-end; the radius is
+    // derived PER COHORT, matching the reference's per-date runs (ADVICE r01).
     ("q18_adjusted_percentile",
       (s: SparkSession, dir: String) => {
         val (c, nc) = cohortPair(s, dir)
@@ -325,8 +330,10 @@ object SparkEntry {
       Some(s"""${OracleCtes.prefix},
               |nearest AS (SELECT month, nc_idx, min(dist) AS d
               |            FROM pairs GROUP BY month, nc_idx),
-              |radius AS (SELECT quantile_cont(d, 0.5) AS r FROM nearest),
-              |sel AS (SELECT pairs.* FROM pairs, radius WHERE pairs.dist <= radius.r),
+              |radius AS (SELECT month, quantile_cont(d, 0.5) AS r
+              |           FROM nearest GROUP BY month),
+              |sel AS (SELECT pairs.* FROM pairs JOIN radius
+              |        ON pairs.month = radius.month WHERE pairs.dist <= radius.r),
               |${adjustedTailSql("sel")}""".stripMargin)),
 
     // A2 — the naive uniform adjustment scalar per cohort.
@@ -498,8 +505,9 @@ object SparkEntry {
       }),
 
     // MinHash + LSH banding + exact-Jaccard verify; oracle = exact
-    // all-pairs (banding at 16x2 has ~1e-17 miss probability at the
-    // jaccard levels this threshold admits on this corpus).
+    // all-pairs. Banding is derived from the threshold (Dedup.bandingFor:
+    // 0.5 → 73 bands × 2 rows) so any true pair at jaccard ≥ 0.5 is
+    // admitted w.p. ≥ 1−1e-9 — corpus-independent, no flake as SF grows.
     ("q26_dedup_minhash",
       (s: SparkSession, dir: String) =>
         Dedup.minHashPairs(Cohorts.documents(s, dir), 0.5),

@@ -1,7 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -24,6 +24,32 @@ object ArrayKernels {
       else { cnt += 1; i += 1; j += 1 }
     }
     cnt
+  }
+
+  /** Full MinHash signature in ONE pass over the shingle array:
+    * out(i) = min over shingles h of (a(i)·h + b(i)) mod P, P = 1e9+7
+    * (identical arithmetic to the per-seed Column formula
+    * `array_min(transform(sh, h => (a*h + b) % P))`, which evaluates an
+    * interpreted HigherOrderFunction per seed — this kernel replaces
+    * `nSeeds` of those with one fused codegen'd loop; a,b < P and h < P so
+    * a·h + b < 2^61 never overflows). */
+  def minHashSig(shingles: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
+    val n = a.length
+    val out = new Array[Long](n)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val m = shingles.numElements()
+    var j = 0
+    while (j < m) {
+      val h = shingles.getLong(j)
+      var i = 0
+      while (i < n) {
+        val v = (a(i) * h + b(i)) % TextKernels.P
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    ArrayData.toArrayData(out)
   }
 
   /** Sequential-order dot product of two double arrays — same left-to-right
@@ -59,6 +85,32 @@ case class LongIntersectSize(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): LongIntersectSize = copy(left = l, right = r)
   override def prettyName: String = "long_intersect_size"
+}
+
+/** minhash_sig(array<long>) → array<long>: the full MinHash signature under
+  * the (a, b) seed family, fused into one codegen'd pass. */
+case class MinHashSig(child: Expression, a: Seq[Long], b: Seq[Long])
+    extends UnaryExpression {
+  require(a.nonEmpty && a.length == b.length, "seed arrays must align")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects array<bigint>, got ${t.sql}")
+  }
+  @transient private lazy val aArr = a.toArray
+  @transient private lazy val bArr = b.toArray
+  override def nullSafeEval(x: Any): Any =
+    ArrayKernels.minHashSig(x.asInstanceOf[ArrayData], aArr, bArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expr.ArrayKernels.minHashSig($c, $aRef, $bRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
 }
 
 /** dot_product(array<double>, array<double>) → double. */

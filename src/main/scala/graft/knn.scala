@@ -134,6 +134,17 @@ object NeighborJoin {
   def withinRadius(pairs: DataFrame, radius: Double): DataFrame =
     pairs.filter(col("dist") <= radius)
 
+  /** Cohort-scoped radius refinement: `radii` is (cohort…, __radius) — one
+    * row per cohort, so it broadcasts; the filter happens map-side on the
+    * pairs relation with no extra shuffle. */
+  def withinRadiusPerCohort(pairs: DataFrame, radii: DataFrame,
+                            cohortCols: Seq[String]): DataFrame = {
+    val joined =
+      if (cohortCols.nonEmpty) pairs.join(broadcast(radii), cohortCols)
+      else pairs.crossJoin(broadcast(radii))
+    joined.filter(col("dist") <= col("__radius")).drop("__radius")
+  }
+
   /** Map-side top-k prune: within each input partition keep only the k
     * best candidates per (cohort…, nc_idx) group, preserving the schema.
     * This is the "partial aggregation" half of a scale-proof top-k — the

@@ -34,11 +34,35 @@ final class NearestCustomerMatcher(consent: DataFrame, spec: CohortSpec,
     require(consent.columns.sorted.sameElements(noconsent.columns.sorted),
       "Consented and non-consented data must have same columns.")
 
+  /** sklearn raises when `n_neighbors > n_samples_fit` (pinned by reference
+    * test cocoa/nearest_consented_customers_test.py:62-69); and a
+    * proportional k resolving to `floor(k·|C|) == 0` would silently match
+    * nothing (ADVICE r01). Both become construction-time errors here,
+    * checked against the SMALLEST cohort so every cohort can satisfy k. */
+  private def validateK(k: Double): Unit = {
+    val minCohort = consent
+      .groupBy(spec.cohortCols.map(col(_)): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(min(col("__n"))).first().getLong(0)
+    if (k >= 1)
+      require(k.toInt <= minCohort,
+        s"Expected n_neighbors <= n_samples_fit, but n_neighbors = ${k.toInt}, " +
+          s"n_samples_fit = $minCohort (smallest consent cohort)")
+    else
+      require((k * minCohort).toInt >= 1,
+        s"proportional k=$k resolves to 0 neighbors for the smallest consent " +
+          s"cohort ($minCohort rows)")
+  }
+
   /** Adjusted consent frame + summary under exactly one strategy — the
     * Spark twin of get_adjustments_and_summary_calculations. */
   def adjustmentsAndSummary(noconsent: DataFrame,
                             strategy: MatchStrategy): AdjustmentResult = {
     checkColumns(noconsent)
+    strategy match {
+      case MatchStrategy.K(k) => validateK(k)
+      case _                  => ()
+    }
     CocoaPipeline.run(consent, noconsent, spec, strategy, broadcastConsent)
   }
 

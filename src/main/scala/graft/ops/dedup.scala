@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   *  - [[minHashPairs]] — MinHash + LSH banding: shingle-set signatures,
   *    band-bucket equi-join for candidates (near-linear shuffle, never the
   *    |D|² cross join), then exact-Jaccard verification. With b bands of r
-  *    rows a true pair at Jaccard j is caught w.p. 1−(1−jʳ)ᵇ — at the
-  *    default 16×2 that is >1−1e-17 for j ≥ 0.9, so verified output equals
-  *    the exact all-pairs answer (which is what the DuckDB oracle computes
-  *    on the small correctness SF).
+  *    rows a true pair at Jaccard j is caught w.p. 1−(1−jʳ)ᵇ; the banding
+  *    is DERIVED FROM THE THRESHOLD by [[bandingFor]] so that bound is
+  *    ≥ 1−1e-9 at the admission threshold itself — corpus-independent
+  *    recall (a fixed 16×2 only bounded misses for j ≥ 0.9 and could flake
+  *    on a corpus with true pairs near the threshold; ADVICE r01). Verified
+  *    output therefore equals the exact all-pairs answer (what the DuckDB
+  *    oracle computes at the correctness SFs) up to the stated 1e-9.
   *  - [[simHashPairs]] — 30-bit shingle-set SimHash; candidates via chunk
   *    equi-join (pigeonhole: hamming ≤ maxHamming is guaranteed caught when
   *    chunks > maxHamming), exact hamming verification.
@@ -26,16 +29,35 @@ import org.apache.spark.sql.functions._
 object Dedup {
   import TextAnalysis.P
 
-  val NumHashes = 32
-  val Bands = 16 // rows per band = NumHashes / Bands = 2
+  val NumHashes = 32   // default signature length for [[minHashSignature]]
+  val MaxHashes = 256  // signature budget for threshold-derived banding
 
   /** Deterministic (a, b) seed pairs for the MinHash family
     * hᵢ(x) = (aᵢ·x + bᵢ) mod P — LCG-generated, embedded as literals in
-    * both engines. */
-  val Seeds: Seq[(Long, Long)] = (0 until NumHashes).map { i =>
+    * both engines (the oracle reproduces slots 0..1 bit-for-bit in q25). */
+  val Seeds: Seq[(Long, Long)] = (0 until MaxHashes).map { i =>
     val a = math.floorMod(1103515245L * (i + 1) + 12345L, P)
     val b = math.floorMod(1103515245L * (i + 101) + 54321L, P)
     (if (a == 0) 1L else a, b)
+  }
+
+  /** (bands, rowsPerBand) with recall guaranteed at the admission threshold:
+    * the largest rows-per-band r (fewest background candidates — the S-curve
+    * steepens with r) whose required band count b = ⌈ln(miss)/ln(1−tʳ)⌉
+    * still fits the signature budget. Any pair at jaccard ≥ t is then
+    * admitted w.p. ≥ 1−missBound REGARDLESS of the corpus's jaccard
+    * distribution. E.g. t=0.5 → (73, 2) = 146 hashes; t=0.9 → (32, 7). */
+  def bandingFor(threshold: Double, missBound: Double = 1e-9,
+                 maxHashes: Int = MaxHashes): (Int, Int) = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    (8 to 1 by -1).iterator
+      .map { r =>
+        val b = math.max(1,
+          math.ceil(math.log(missBound) / math.log1p(-math.pow(threshold, r))).toInt)
+        (b, r)
+      }
+      .find { case (b, r) => b * r <= maxHashes }
+      .getOrElse((maxHashes, 1))
   }
 
   /** Exact dedup: group identical texts, keep the smallest doc_id.
@@ -50,29 +72,40 @@ object Dedup {
     docs.select(col("doc_id"),
       TextAnalysis.shingleHashes(col("text"), k).as("shingles"))
 
-  /** 32-long MinHash signature column over a shingle-hash array. */
-  def minHashSignature(shingles: Column): Column =
-    array(Seeds.map { case (a, b) =>
+  /** Reference-shaped per-seed MinHash signature column (each slot an
+    * interpreted `transform`+`array_min` — kept for the q25 signature-parity
+    * gate; the hot path below uses the fused [[graft.expr.MinHashSig]]
+    * kernel instead). */
+  def minHashSignature(shingles: Column, nHashes: Int = NumHashes): Column =
+    array(Seeds.take(nHashes).map { case (a, b) =>
       array_min(transform(shingles, h => (lit(a) * h + lit(b)) % P))
     }: _*)
 
   /** Near-duplicate pairs by MinHash LSH + exact-Jaccard verification.
-    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ thr. */
+    * Banding comes from [[bandingFor]](threshold) so recall is guaranteed at
+    * the admission threshold. Output: (doc_a, doc_b, jaccard) with
+    * doc_a < doc_b, jaccard ≥ threshold. */
   def minHashPairs(docs: DataFrame, threshold: Double, k: Int = 3): DataFrame = {
-    // Shingle hashing (interpreted HOF over every character) is the
-    // dominant cost and the sets feed three consumers (signatures + both
+    val (bands, rows) = bandingFor(threshold)
+    val sigSeeds = Seeds.take(bands * rows)
+    // Shingle hashing (codegen'd, but over every character) is the dominant
+    // per-doc cost and the sets feed three consumers (signatures + both
     // sides of the verify join) — materialize once.
     val sets = shingleSets(docs, k)
       .filter(size(col("shingles")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = sets.select(col("doc_id"),
-      minHashSignature(col("shingles")).as("sig"))
-    val rows = NumHashes / Bands
-    // (band_id, band_key, doc_id): one row per band per doc.
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.expr.MinHashSig(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("shingles")),
+          sigSeeds.map(_._1), sigSeeds.map(_._2))).as("sig"))
+    // (band_id, band_key, doc_id): one row per band per doc. The band key
+    // folds the band's signature slots through xxhash64 — a 64-bit collision
+    // can only ADD a candidate (verified exactly below), never lose one.
     val bandKey = (b: Int) =>
-      concat_ws(":", (0 until rows).map(r => col("sig")(b * rows + r)): _*)
+      xxhash64((0 until rows).map(r => col("sig")(b * rows + r)): _*)
     val buckets = sigs.select(col("doc_id"),
-      explode(array((0 until Bands).map(b =>
+      explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val candidates = buckets.as("x").join(buckets.as("y"),

@@ -25,12 +25,26 @@ object Similarity {
     * are bit-identical. Inputs are cast to array<double> first (a single
     * codegen'd Cast). */
   def dot(a: Column, b: Column): Column =
+    dotD(a.cast("array<double>"), b.cast("array<double>"))
+
+  /** Dot product over columns that are ALREADY array<double> — no casts.
+    * Hot-path variant: in an all-pairs join a cast inside the sim expression
+    * converts (and allocates) both arrays once per candidate PAIR; [[prep]]
+    * pays it once per row instead. */
+  private def dotD(a: Column, b: Column): Column =
     org.apache.spark.sql.graftbridge.Bridge.column(
       graft.expr.DotProduct(
-        org.apache.spark.sql.graftbridge.Bridge.expression(a.cast("array<double>")),
-        org.apache.spark.sql.graftbridge.Bridge.expression(b.cast("array<double>"))))
+        org.apache.spark.sql.graftbridge.Bridge.expression(a),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** One side of a similarity join: (id, emb: array<double>, norm) with the
+    * float→double cast and the norm evaluated per row, below the join. */
+  private def prep(df: DataFrame, p: String): DataFrame =
+    df.select(col("vec_id").as(s"${p}id"),
+        col("embedding").cast("array<double>").as(s"${p}emb"))
+      .withColumn(s"${p}norm", sqrt(dotD(col(s"${p}emb"), col(s"${p}emb"))))
 
   private def ranked(joined: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -43,13 +57,9 @@ object Similarity {
 
   /** Exact cosine top-k of each query vector against the full corpus. */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-      norm(col("embedding")).as("c_norm"))
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-      norm(col("embedding")).as("q_norm"))
-    val joined = c.crossJoin(broadcast(q))
+    val joined = prep(corpus, "c_").crossJoin(broadcast(prep(queries, "q_")))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("sim", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .withColumn("sim", dotD(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
     ranked(joined, k)
   }
 
@@ -58,27 +68,22 @@ object Similarity {
     * brute-force baseline — at corpus scale the candidate set shrinks via
     * the same cell-pruned equi-join as [[partitionedTopK]] or random
     * hyperplane LSH before this exact verify. */
-  def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-      norm(col("embedding")).as("a_norm"))
-    val b = corpus.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-      norm(col("embedding")).as("b_norm"))
-    a.join(b, col("a_id") < col("b_id"))
-      .withColumn("sim", dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
+  def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame =
+    prep(corpus, "a_").join(prep(corpus, "b_"), col("a_id") < col("b_id"))
+      .withColumn("sim", dotD(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
       .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), graft.Num.rnd(col("sim"), 6).as("sim"))
-  }
 
   /** IVF-style top-k restricted to the query's coarse cell (cellCol). */
   def partitionedTopK(corpus: DataFrame, queries: DataFrame, cellCol: String,
                       k: Int): DataFrame = {
-    val c = corpus.select(col(cellCol).as("cell"), col("vec_id").as("c_id"),
-      col("embedding").as("c_emb"), norm(col("embedding")).as("c_norm"))
-    val q = queries.select(col(cellCol).as("cell"), col("vec_id").as("q_id"),
-      col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
-    val joined = c.join(broadcast(q), Seq("cell"))
+    val cell = (df: DataFrame, p: String) =>
+      df.select(col(cellCol).as("cell"), col("vec_id").as(s"${p}id"),
+          col("embedding").cast("array<double>").as(s"${p}emb"))
+        .withColumn(s"${p}norm", sqrt(dotD(col(s"${p}emb"), col(s"${p}emb"))))
+    val joined = cell(corpus, "c_").join(broadcast(cell(queries, "q_")), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("sim", dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .withColumn("sim", dotD(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
     ranked(joined, k)
   }
 }

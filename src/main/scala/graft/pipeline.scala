@@ -52,17 +52,19 @@ object CocoaPipeline {
         finish(consent, noconsent, NeighborJoin.withinRadius(allPairs, r), spec)
       case MatchStrategy.Percentile(p) =>
         // Two-pass plan (reference :518-523): pass 1 = k=1 nearest distances;
-        // radius = exact quantile (driver-collected scalar between jobs);
-        // pass 2 = radius join. Only the pass-1 nearest-distance relation
-        // (O(|NC|) rows) is worth holding — caching the full pairs relation
-        // costs more in columnar-cache build than recomputing the (codegen'd)
-        // distance join for pass 2.
+        // radius = exact quantile PER COHORT (the reference computes it per
+        // date because one pipeline run covers one date — pooling across
+        // cohorts would deviate; ADVICE r01); pass 2 = radius join with the
+        // dimension-sized radii frame broadcast. Only the pass-1
+        // nearest-distance relation (O(|NC|) rows) is worth holding —
+        // caching the full pairs relation costs more in columnar-cache build
+        // than recomputing the (codegen'd) distance join for pass 2.
         val nearest = Summary
           .nearestDistances(NeighborJoin.topK(allPairs, spec, 1.0), spec)
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val radius = Summary.minRadiusByPercentile(nearest, p)
+        val radii = Summary.minRadiusByPercentilePerCohort(nearest, p, spec)
         finish(consent, noconsent,
-          NeighborJoin.withinRadius(allPairs, radius), spec)
+          NeighborJoin.withinRadiusPerCohort(allPairs, radii, spec.cohortCols), spec)
     }
   }
 

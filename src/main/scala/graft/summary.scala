@@ -57,6 +57,20 @@ object Summary {
       .agg(expr(s"percentile(distance_to_nearest_neighbor, $p)"))
       .first().getDouble(0)
 
+  /** Cohort-scoped percentile radius. The reference derives the radius per
+    * pipeline run — i.e. per date (:518-523 runs inside the per-date DoFn) —
+    * so a multi-cohort run must compute the quantile within each cohort, not
+    * pooled over all of them (ADVICE r01). Output: (cohort…, __radius), one
+    * row per cohort — dimension-sized, broadcast into the radius filter by
+    * [[NeighborJoin.withinRadiusPerCohort]]. No cohort columns ⇒ one global
+    * row (the single-date case, where this equals
+    * [[minRadiusByPercentile]]). */
+  def minRadiusByPercentilePerCohort(matchedNc: DataFrame, p: Double,
+                                     spec: CohortSpec): DataFrame =
+    matchedNc
+      .groupBy(spec.cohortCols.map(col(_)): _*)
+      .agg(expr(s"percentile(distance_to_nearest_neighbor, $p)").as("__radius"))
+
   /** `.describe(percentiles=[.25,.5,.75,.9,.95,.99])`-shaped diagnostics
     * over nearest distances (reference :117-123), one row per cohort. */
   def nearestDistanceStats(matchedNc: DataFrame, spec: CohortSpec): DataFrame = {

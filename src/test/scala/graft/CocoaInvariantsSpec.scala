@@ -141,6 +141,35 @@ class CocoaInvariantsSpec extends SparkSpec {
     assert(math.abs(r - expected) < 1e-12)
   }
 
+  // --- percentile radius is cohort-scoped (reference = one run per date).
+  test("percentile strategy derives the radius per cohort, not pooled") {
+    // g1 nearest distances {1, 2}; g2 nearest distances {10, 20}. A pooled
+    // p50 radius (6.0) would match both g1 rows and neither g2 row; the
+    // per-cohort radii (1.5 and 15.0) match exactly one row in EACH cohort.
+    val c = Seq(("g1", 1L, 5.0, 0.0), ("g2", 2L, 5.0, 100.0))
+      .toDF("grp", "id", "conv", "x")
+    val nc = Seq(("g1", 11L, 7.0, 1.0), ("g1", 12L, 9.0, 2.0),
+                 ("g2", 13L, 7.0, 110.0), ("g2", 14L, 9.0, 120.0))
+      .toDF("grp", "id", "conv", "x")
+    val sp = CohortSpec(idCol = "id", valueCol = "conv", tokenCol = "features",
+      numCols = Seq("x"), cohortCols = Seq("grp"), metric = Manhattan)
+    val enc = (df: DataFrame) => df.withColumn("features",
+      array().cast("array<string>"))
+    val res = CocoaPipeline.run(enc(c), enc(nc), sp, MatchStrategy.Percentile(0.5))
+    val matched = res.adjusted.filter(col("n_added_conversions") > 0)
+      .select("grp", "adjusted_conversion").as[(String, Double)].collect().toMap
+    assert(matched == Map("g1" -> 7.0, "g2" -> 7.0))
+  }
+
+  // --- k validation at the matcher surface (reference test :62-69).
+  test("matcher rejects k > consent size and proportional k resolving to 0") {
+    val matcher = new NearestCustomerMatcher(encode(consentRaw), spec)
+    assertThrows[IllegalArgumentException](
+      matcher.adjustmentsAndSummary(encode(noconsentRaw), MatchStrategy.K(31)))
+    assertThrows[IllegalArgumentException](
+      matcher.adjustmentsAndSummary(encode(noconsentRaw), MatchStrategy.K(0.01)))
+  }
+
   // --- two-phase top-k (map-side prune) must equal the window top-k.
   test("topKCombined matches topK exactly") {
     val pairs = NeighborJoin.pairs(encode(consentRaw), encode(noconsentRaw), spec)

@@ -34,6 +34,33 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(j - 35.0 / 41.0) < 1e-3)
   }
 
+  test("bandingFor bounds the miss probability at the admission threshold") {
+    for (t <- Seq(0.3, 0.5, 0.7, 0.9, 1.0)) {
+      val (b, r) = Dedup.bandingFor(t)
+      assert(b >= 1 && r >= 1 && b * r <= Dedup.MaxHashes, s"t=$t -> ($b,$r)")
+      assert(math.pow(1 - math.pow(t, r), b) <= 1e-9, s"t=$t -> ($b,$r)")
+    }
+    assert(Dedup.bandingFor(0.5) == (73, 2))
+    assert(Dedup.bandingFor(0.9) == (32, 7))
+  }
+
+  test("MinHashSig kernel matches the per-seed Column signature") {
+    val d = docs((1L, (1 to 30).map(i => s"w$i").mkString(" ")),
+                 (2L, "one two three four five six"))
+    val sets = Dedup.shingleSets(d).filter(size(col("shingles")) > 0)
+    val viaCols = sets.orderBy("doc_id")
+      .select(Dedup.minHashSignature(col("shingles"), 32).as("sig"))
+      .as[Seq[Long]].collect().toSeq
+    val seeds = Dedup.Seeds.take(32)
+    val viaKernel = sets.orderBy("doc_id")
+      .select(org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.expr.MinHashSig(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("shingles")),
+          seeds.map(_._1), seeds.map(_._2))).as("sig"))
+      .as[Seq[Long]].collect().toSeq
+    assert(viaCols == viaKernel)
+  }
+
   test("simhash chunk-banding equals brute-force hamming pairs") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val banded = Dedup.simHashPairs(d, 3)
