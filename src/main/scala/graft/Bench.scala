@@ -28,8 +28,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // AQE stays on for skew handling, but partition COALESCING is off:
+      // it sizes post-shuffle stages by map-output BYTES, and the pairs
+      // relations here are tiny compressed yet CPU-expansive (distance
+      // kernel + per-group sort per row) — observed collapsing the window
+      // stages to 3 tasks on 32 cores. shuffle.partitions is already sized
+      // to the machine.
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

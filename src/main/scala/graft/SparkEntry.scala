@@ -175,12 +175,16 @@ object SparkEntry {
               |SELECT month, nc_idx, c_idx, rank, ROUND(1e-9 + dist, 4) AS dist
               |FROM topk""".stripMargin)),
 
-    // J2 — radius (theta) join; neighbor counts per noconsent row.
+    // J2 — radius (theta) join via the numeric band prune (|Δacctbal| ≤ r
+    // necessary condition → equi-join on (month, bucket), then exact
+    // filter); output identical to filtering the dense pairs relation.
     ("q10_radius_join",
-      (s: SparkSession, dir: String) =>
-        NeighborJoin.withinRadius(allPairs(s, dir), 100.0)
+      (s: SparkSession, dir: String) => {
+        val (c, nc) = cohortPair(s, dir)
+        NeighborJoin.withinRadiusBucketed(c, nc, Cohorts.spec, 100.0)
           .groupBy("month", "nc_idx")
-          .agg(count(lit(1)).as("n_neighbors")),
+          .agg(count(lit(1)).as("n_neighbors"))
+      },
       Some(s"""${OracleCtes.prefix}
               |SELECT month, nc_idx, CAST(count(*) AS BIGINT) AS n_neighbors
               |FROM pairs WHERE dist <= 100.0 GROUP BY month, nc_idx""".stripMargin)),
@@ -236,8 +240,7 @@ object SparkEntry {
     ("q14_summary_radius",
       (s: SparkSession, dir: String) => {
         val (c, nc) = cohortPair(s, dir)
-        val sel = NeighborJoin.withinRadius(
-          NeighborJoin.pairs(c, nc, Cohorts.spec, broadcastConsent = true), 100.0)
+        val sel = NeighborJoin.withinRadiusBucketed(c, nc, Cohorts.spec, 100.0)
         Summary.matchedSummary(nc, Summary.nearestDistances(sel, Cohorts.spec), Cohorts.spec)
           .select(col("month"),
             rnd(col("percentage_matched_conversion_value"), 4).as("percentage_matched_conversion_value"),
@@ -263,11 +266,13 @@ object SparkEntry {
 
     // A4 — distance_to_nearest_neighbor per matched noconsent row.
     ("q15_nearest_distance",
-      (s: SparkSession, dir: String) =>
+      (s: SparkSession, dir: String) => {
+        val (c, nc) = cohortPair(s, dir)
         Summary.nearestDistances(
-            NeighborJoin.withinRadius(allPairs(s, dir), 100.0), Cohorts.spec)
+            NeighborJoin.withinRadiusBucketed(c, nc, Cohorts.spec, 100.0), Cohorts.spec)
           .select(col("month"), col("nc_idx"),
-            rnd(col("distance_to_nearest_neighbor"), 4).as("distance_to_nearest_neighbor")),
+            rnd(col("distance_to_nearest_neighbor"), 4).as("distance_to_nearest_neighbor"))
+      },
       Some(s"""${OracleCtes.prefix}
               |SELECT month, nc_idx,
               |       ROUND(1e-9 + min(dist), 4) AS distance_to_nearest_neighbor

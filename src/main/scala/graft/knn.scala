@@ -134,6 +134,39 @@ object NeighborJoin {
   def withinRadius(pairs: DataFrame, radius: Double): DataFrame =
     pairs.filter(col("dist") <= radius)
 
+  /** Exact radius join via numeric band pruning. Both supported metrics
+    * bound the distance below by the first numeric feature's gap
+    * (manhattan: dist = tokenΔ + Σ|Δxᵢ| ≥ |Δx₁|; euclidean:
+    * dist = √(tokenΔ + ΣΔxᵢ²) ≥ |Δx₁|), so |Δx₁| ≤ r is a NECESSARY
+    * condition for dist ≤ r: bucket both sides by floor(x₁/r) and join each
+    * noconsent bucket against consent buckets {b−1, b, b+1} (a band join),
+    * then apply the exact dist ≤ r filter. Output is identical to
+    * `withinRadius(pairs(c, nc, spec), r)` — pinned by the equivalence test
+    * in CocoaInvariantsSpec — but the candidate relation shrinks from the
+    * per-cohort cross product to the rows within ±1 bucket of each probe:
+    * near-linear when r is small against the feature's spread, and a plain
+    * shuffle equi-join on (cohort…, bucket) — no broadcast requirement, the
+    * shape that survives a 100× cohort. Falls back to the dense pairs
+    * relation when the spec has no numeric feature. */
+  def withinRadiusBucketed(consent: DataFrame, noconsent: DataFrame,
+                           spec: CohortSpec, radius: Double): DataFrame = {
+    require(radius > 0, s"radius must be > 0, got $radius")
+    if (spec.numCols.isEmpty)
+      return withinRadius(pairs(consent, noconsent, spec), radius)
+    val c0 = prefixed(consent, spec, "c_")
+    val nc0 = prefixed(noconsent, spec, "nc_")
+    val x = spec.numCols.head
+    val cB = c0.withColumn("__bucket", floor(col(s"c_$x") / radius).cast("long"))
+    val ncB = nc0.withColumn("__bucket", explode(array(Seq(-1L, 0L, 1L).map(d =>
+      floor(col(s"nc_$x") / radius).cast("long") + lit(d)): _*)))
+    val numPairs = spec.numCols.map(n => (col(s"nc_$n"), col(s"c_$n")))
+    ncB.join(cB, spec.cohortCols :+ "__bucket")
+      .withColumn("dist", spec.metric.dist(col("nc_features"), col("c_features"), numPairs))
+      .filter(col("dist") <= radius)
+      .drop((Seq("__bucket", "nc_features", "c_features") ++
+        spec.numCols.flatMap(n => Seq(s"nc_$n", s"c_$n"))): _*)
+  }
+
   /** Cohort-scoped radius refinement: `radii` is (cohort…, __radius) — one
     * row per cohort, so it broadcasts; the filter happens map-side on the
     * pairs relation with no extra shuffle. */

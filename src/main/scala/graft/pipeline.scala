@@ -49,7 +49,10 @@ object CocoaPipeline {
         finish(consent, noconsent,
           NeighborJoin.topK(allPairs, spec, k, Some(consent)), spec)
       case MatchStrategy.Radius(r) =>
-        finish(consent, noconsent, NeighborJoin.withinRadius(allPairs, r), spec)
+        // Static radius: the band-pruned join (necessary |Δx| ≤ r condition
+        // on the first numeric feature) replaces the dense pairs relation.
+        finish(consent, noconsent,
+          NeighborJoin.withinRadiusBucketed(consent, noconsent, spec, r), spec)
       case MatchStrategy.Percentile(p) =>
         // Two-pass plan (reference :518-523): pass 1 = k=1 nearest distances;
         // radius = exact quantile PER COHORT (the reference computes it per

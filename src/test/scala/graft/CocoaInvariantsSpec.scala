@@ -181,6 +181,19 @@ class CocoaInvariantsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // --- band-pruned radius join must equal the dense theta join exactly.
+  test("withinRadiusBucketed matches withinRadius on the dense pairs relation") {
+    val c = encode(consentRaw)
+    val nc = encode(noconsentRaw)
+    for (r <- Seq(0.5, 1.0, 2.5, 10.0)) {
+      val dense = NeighborJoin.withinRadius(NeighborJoin.pairs(c, nc, spec), r)
+        .select("nc_idx", "c_idx", "dist").collect().map(_.toSeq).toSet
+      val banded = NeighborJoin.withinRadiusBucketed(c, nc, spec, r)
+        .select("nc_idx", "c_idx", "dist").collect().map(_.toSeq).toSet
+      assert(banded == dense, s"radius=$r")
+    }
+  }
+
   // --- strategy validation (reference :502-511 + documented truthiness fix)
   test("zero/invalid strategy parameters are rejected at construction") {
     assertThrows[IllegalArgumentException](MatchStrategy.K(0))
