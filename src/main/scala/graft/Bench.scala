@@ -18,8 +18,9 @@ import org.apache.spark.sql.SparkSession
   * budget lasts, reporting each query's fastest run.
   */
 object Bench {
-  private val WallBudgetSec = 480.0 // total, incl. first pass
+  private val WallBudgetSec = 540.0 // total, incl. first pass
   private val MaxRunsPerQuery = 4
+  private val RetryThresholdSec = 1.5 // below this a run can't hide a stall
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -76,7 +77,7 @@ object Bench {
     // Pass 2+: spend the remaining wall budget on the slowest suspicious
     // queries — exactly the ones a stall would have distorted most.
     def candidates = queries.filter { case (name, _) =>
-      runs(name).min >= 2.0 && runs(name).size < MaxRunsPerQuery
+      runs(name).min >= RetryThresholdSec && runs(name).size < MaxRunsPerQuery
     }
     var cs = candidates.sortBy { case (name, _) => -runs(name).min }
     while (cs.nonEmpty && elapsed < WallBudgetSec) {

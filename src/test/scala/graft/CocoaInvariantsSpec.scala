@@ -170,6 +170,21 @@ class CocoaInvariantsSpec extends SparkSpec {
       matcher.adjustmentsAndSummary(encode(noconsentRaw), MatchStrategy.K(0.01)))
   }
 
+  // --- aggregator top-k (hash agg, no sort) must equal the window top-k.
+  test("TopKAgg.topK matches window topK exactly") {
+    val pairs = NeighborJoin.pairs(encode(consentRaw), encode(noconsentRaw), spec)
+      .repartition(7)
+    for (k <- Seq(1, 3)) {
+      val win = NeighborJoin.topK(pairs, spec, k.toDouble)
+        .select("nc_idx", "nc_value", "c_idx", "c_value", "dist", "rank")
+        .collect().map(_.toSeq).toSet
+      val agg = TopKAgg.topK(pairs, spec, k)
+        .select("nc_idx", "nc_value", "c_idx", "c_value", "dist", "rank")
+        .collect().map(_.toSeq).toSet
+      assert(agg == win, s"k=$k")
+    }
+  }
+
   // --- two-phase top-k (map-side prune) must equal the window top-k.
   test("topKCombined matches topK exactly") {
     val pairs = NeighborJoin.pairs(encode(consentRaw), encode(noconsentRaw), spec)
