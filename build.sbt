@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Throughput collector: this host's G1 young pauses run ~800 ms on the
+  // sort/window stages (survivor space pinned full by sorter buffers);
+  // ParallelGC measures ~25% faster on the heavy bench queries.
+  "-XX:+UseParallelGC",
 )

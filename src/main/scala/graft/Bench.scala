@@ -37,6 +37,10 @@ object Bench {
       // to the machine.
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // Typed-Aggregator plans (TopKAggregator) must stay in the object
+      // hash map — the 128-key default silently falls back to sort-based
+      // aggregation, reintroducing exactly the sorter this plan avoids.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

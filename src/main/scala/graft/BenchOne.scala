@@ -9,11 +9,27 @@ object BenchOne {
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Dev probes not in the driver registry (plan-shape comparisons).
+    val probes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "x_topk_agg" -> ((s, dir) => {
+        val (c, nc) = Cohorts.cohorts(s, dir)
+        TopKAgg.topK(
+          NeighborJoin.pairs(c, nc, Cohorts.spec, broadcastConsent = true),
+          Cohorts.spec, 3)
+      }),
+      "x_topk_window" -> ((s, dir) => {
+        val (c, nc) = Cohorts.cohorts(s, dir)
+        NeighborJoin.topK(
+          NeighborJoin.pairs(c, nc, Cohorts.spec, broadcastConsent = true),
+          Cohorts.spec, 3.0)
+      }))
     for (name <- names; i <- 1 to 1) {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
+      probes.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       spark.catalog.clearCache()

@@ -15,6 +15,7 @@ object Verify {
       // small-bytes pairs stages (see Bench.scala) — keep every shuffle at
       // the configured width.
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

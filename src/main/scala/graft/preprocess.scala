@@ -83,6 +83,43 @@ object Preprocess {
     df.withColumn(outCol,
       row_number().over(Window.orderBy(orderCols.map(col(_)): _*)).cast("long") - 1)
 
+  /** Scale path for [[withRowIds]]: the same deterministic dense ids with
+    * NO single-task stage. `repartitionByRange` range-partitions on the
+    * order columns (each partition holds a contiguous key range, sorted
+    * within via `sortWithinPartitions`), a driver-collected count per
+    * partition turns into cumulative offsets (one tiny job over partition
+    * counts — the classic zipWithIndex shape), and a `mapPartitions` adds
+    * offset + local position. Output equals [[withRowIds]] row-for-row when
+    * the ordering keys are unique — pinned by PreprocessSpec. */
+  def withRowIdsDistributed(df: DataFrame, orderCols: Seq[String],
+                            outCol: String = "idx"): DataFrame = {
+    // Persisted so the count job and the id job see the SAME partitions:
+    // RangePartitioner derives its bounds by sampling, so two separate
+    // materializations of the lineage could split differently.
+    val sorted = df
+      .repartitionByRange(orderCols.map(col(_)): _*)
+      .sortWithinPartitions(orderCols.map(col(_)): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+      Iterator((i, it.size.toLong))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val schema = sorted.schema.add(outCol, org.apache.spark.sql.types.LongType,
+      nullable = false)
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    sorted.mapPartitions { it =>
+      // partition index via TaskContext — mapPartitionsWithIndex is RDD-only
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var next = offsets(pid)
+      it.map { r =>
+        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ next)
+        next += 1
+        out
+      }
+    }
+  }
+
   /** Split a `sep`-joined hierarchy string into `levels` level columns
     * (`furniture/living/sofa` style — reference: cocoa/preprocess.py:52-78
     * `_additional_feature_engineering` guidance + notebook cell 13's

@@ -84,4 +84,15 @@ class PreprocessSpec extends SparkSpec {
       .orderBy("idx").select("id").as[Long].collect()
     assert(out.toSeq == Seq(10L, 20L, 30L))
   }
+
+  test("distributed row ids equal the window form with no single-task stage") {
+    val df = spark.range(0, 997).select(
+      (col("id") * 7919 % 997).as("key"), col("id").as("payload"))
+      .repartition(13) // scrambled input across many partitions
+    val window = Preprocess.withRowIds(df, Seq("key"), "idx")
+      .select("key", "payload", "idx").collect().map(_.toSeq).toSet
+    val dist = Preprocess.withRowIdsDistributed(df, Seq("key"), "idx")
+    assert(dist.rdd.getNumPartitions > 1) // genuinely distributed
+    assert(dist.select("key", "payload", "idx").collect().map(_.toSeq).toSet == window)
+  }
 }
