@@ -22,7 +22,14 @@ object Adjust {
     */
   def softmaxShares(pairs: DataFrame, spec: CohortSpec): DataFrame = {
     val w = Window.partitionBy((spec.cohortCols :+ "nc_idx").map(col(_)): _*)
-    val e = exp(-(col("dist") - min("dist").over(w)))
+    // Reference :400-402 raises on negative distances (a custom metric
+    // could produce them; softmax(−d) would then overweight silently).
+    // raise_error under when() is a codegen'd branch — free on the hot path.
+    val dist = when(col("dist") < 0, raise_error(lit(
+        "Distances should not contain negative values. " +
+          "Please review which distance metric you used.")))
+      .otherwise(col("dist"))
+    val e = exp(-(dist - min(dist).over(w)))
     pairs
       .withColumn("weight", e / sum(e).over(w))
       .withColumn("weighted_value", col("nc_value") * col("weight"))

@@ -141,6 +141,18 @@ class CocoaInvariantsSpec extends SparkSpec {
     assert(math.abs(r - expected) < 1e-12)
   }
 
+  // --- :88-93 — negative distances raise before weighting.
+  test("negative distances are rejected by the softmax weighting") {
+    val pairs = Seq((1L, 10.0, 2L, 5.0, -1.0), (1L, 10.0, 3L, 6.0, 2.0))
+      .toDF("nc_idx", "nc_value", "c_idx", "c_value", "dist")
+    val sp = spec.copy(cohortCols = Nil)
+    val ex = intercept[Exception](Adjust.softmaxShares(pairs, sp).collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("negative")),
+      s"unexpected error: ${messages(ex)}")
+  }
+
   // --- percentile radius is cohort-scoped (reference = one run per date).
   test("percentile strategy derives the radius per cohort, not pooled") {
     // g1 nearest distances {1, 2}; g2 nearest distances {10, 20}. A pooled
