@@ -52,6 +52,35 @@ object ArrayKernels {
     ArrayData.toArrayData(out)
   }
 
+  /** Sign-random-projection LSH signature for cosine similarity: bit i is
+    * set iff v · rᵢ > 0, where rᵢ is a deterministic Rademacher (±1) vector
+    * derived from `seed` by an inline SplitMix64-style mix — no plane
+    * materialization, dimension-agnostic, one pass over the vector per
+    * signature. Agreement probability per bit for vectors at angle θ is
+    * 1 − θ/π (Goemans–Williamson), the standard cosine-LSH family. */
+  def cosineLshSig(v: ArrayData, nBits: Int, seed: Long): Long = {
+    val d = v.numElements()
+    var sig = 0L
+    var i = 0
+    while (i < nBits) {
+      var acc = 0.0
+      var j = 0
+      while (j < d) {
+        // SplitMix64 finalizer over (seed, bit, dim) — cheap, well mixed.
+        var z = seed + (i.toLong << 32) + j + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        val r = if ((z & 1L) == 0L) 1.0 else -1.0
+        acc += v.getDouble(j) * r
+        j += 1
+      }
+      if (acc > 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
   /** Sequential-order dot product of two double arrays — same left-to-right
     * accumulation as `aggregate(zip_with(..))` and DuckDB's list kernel, so
     * results stay bit-identical with the oracle. */
@@ -111,6 +140,26 @@ case class MinHashSig(child: Expression, a: Seq[Long], b: Seq[Long])
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
   override def prettyName: String = "minhash_sig"
+}
+
+/** cosine_lsh_sig(array<double>) → long: sign-random-projection signature. */
+case class CosineLshSig(child: Expression, nBits: Int, seed: Long)
+    extends UnaryExpression {
+  require(nBits >= 1 && nBits <= 64, s"nBits in [1,64], got $nBits")
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"cosine_lsh_sig expects array<double>, got ${t.sql}")
+  }
+  override def nullSafeEval(x: Any): Any =
+    ArrayKernels.cosineLshSig(x.asInstanceOf[ArrayData], nBits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expr.ArrayKernels.cosineLshSig($c, $nBits, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): CosineLshSig =
+    copy(child = newChild)
+  override def prettyName: String = "cosine_lsh_sig"
 }
 
 /** dot_product(array<double>, array<double>) → double. */

@@ -74,6 +74,47 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), graft.Num.rnd(col("sim"), 6).as("sim"))
 
+  /** LSH-bucketed near-duplicate pairs — the 100 TB path for
+    * [[nearDupPairs]]: 64-bit sign-random-projection signatures
+    * ([[graft.expr.CosineLshSig]], Goemans–Williamson family), banded into
+    * `bands` chunks; candidates are pairs sharing at least one full band
+    * (equi-join on (band, chunk) — shuffle O(|corpus|·bands), never the
+    * |corpus|² cross product), then EXACT cosine verification. Recall is
+    * probabilistic: a pair at cosine s agrees per bit w.p. 1 − arccos(s)/π,
+    * so with 16 bands × 4 bits a pair at s = 0.4 (bit agreement .631) is
+    * admitted w.p. ≈ 1 − (1 − .631⁴)⁵¹³… ≈ 93%, rising steeply with s —
+    * near-duplicates (s ≥ 0.9, agreement .856) are caught w.p. > 99.99%.
+    * The exact all-pairs form stays the oracle path; this operator's
+    * contract (candidates ⊆ exact answer, deterministic under the fixed
+    * seed) is pinned by OpsSpec. */
+  def nearDupPairsLsh(corpus: DataFrame, threshold: Double,
+                      bands: Int = 16, seed: Long = 42L): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val width = 64 / bands
+    val p = prep(corpus, "")
+    val sigd = p.withColumn("__sig",
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.expr.CosineLshSig(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("emb")), 64, seed)))
+    val chunks = sigd.select(col("id"), col("__sig"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("__sig"), b * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("chunk"))): _*)).as("bc"))
+      .select(col("id"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    val candidates = chunks.as("x").join(chunks.as("y"),
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
+    candidates
+      .join(prep(corpus, "a_"), "a_id")
+      .join(prep(corpus, "b_"), "b_id")
+      .withColumn("sim", dotD(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), graft.Num.rnd(col("sim"), 6).as("sim"))
+  }
+
   /** IVF-style top-k restricted to the query's coarse cell (cellCol). */
   def partitionedTopK(corpus: DataFrame, queries: DataFrame, cellCol: String,
                       k: Int): DataFrame = {

@@ -173,6 +173,27 @@ class CocoaInvariantsSpec extends SparkSpec {
     assert(matched == Map("g1" -> 7.0, "g2" -> 7.0))
   }
 
+  // --- :146-168 — percentile coverage ≥ target, now PER COHORT.
+  test("percentile strategy matches at least p of each cohort's rows") {
+    val c = Seq.tabulate(6)(i =>
+        (s"g${i % 2}", i.toLong, 5.0, if (i % 2 == 0) i * 1.0 else i * 50.0))
+      .toDF("grp", "id", "conv", "x")
+    val nc = Seq.tabulate(20)(i =>
+        (s"g${i % 2}", 100L + i, 7.0, if (i % 2 == 0) i * 3.0 else i * 130.0))
+      .toDF("grp", "id", "conv", "x")
+    val sp = CohortSpec(idCol = "id", valueCol = "conv", tokenCol = "features",
+      numCols = Seq("x"), cohortCols = Seq("grp"), metric = Manhattan)
+    val enc = (df: DataFrame) =>
+      df.withColumn("features", array().cast("array<string>"))
+    for (p <- Seq(0.1, 0.5, 0.9)) {
+      val res = CocoaPipeline.run(enc(c), enc(nc), sp, MatchStrategy.Percentile(p))
+      res.summary.select("grp", "percentage_matched_conversions")
+        .as[(String, Double)].collect().foreach { case (g, pct) =>
+          assert(pct / 100.0 >= p - 1e-9, s"cohort $g at p=$p matched only $pct%")
+        }
+    }
+  }
+
   // --- k validation at the matcher surface (reference test :62-69).
   test("matcher rejects k > consent size and proportional k resolving to 0") {
     val matcher = new NearestCustomerMatcher(encode(consentRaw), spec)

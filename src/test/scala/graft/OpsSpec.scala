@@ -76,6 +76,20 @@ class OpsSpec extends SparkSpec {
     assert(brute.nonEmpty) // planted near-dups exist in the corpus
   }
 
+  test("cosine LSH near-dup pairs: subset of exact answer, high recall") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val exact = Similarity.nearDupPairs(e, 0.4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.nearDupPairsLsh(e, 0.4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact)) // exact verify admits no false positives
+    assert(exact.nonEmpty)
+    // Probabilistic recall, deterministic under the fixed seed: pairs at
+    // the 0.4 admission boundary are caught w.p. ~93%, near-dups ~100%.
+    assert(lsh.size >= math.ceil(exact.size * 0.7).toInt,
+      s"recall ${lsh.size}/${exact.size}")
+  }
+
   test("cosine top-k returns exact nearest neighbors") {
     val e = Seq(
       (0L, Array(1f, 0f), 0), (1L, Array(0.9f, 0.1f), 0),
