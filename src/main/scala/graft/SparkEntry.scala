@@ -737,7 +737,58 @@ object SparkEntry {
              |       CAST(list_aggregate(list_transform(
              |         string_split(substring(text, 1, 4), ''),
              |         c -> CAST(unicode(c) AS BIGINT)), 'sum') AS BIGINT) AS feat_sum
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // Multimodal stub resize: stride-4 byte subsample + checksum/fingerprint.
+    // (The corpus is ASCII, so DuckDB's per-character codepoints equal the
+    // payload bytes the Spark side samples.)
+    ("q41_multimodal_resize",
+      (s: SparkSession, dir: String) =>
+        Multimodal.resize(
+          Multimodal.payloads(Cohorts.documents(s, dir)), 4).toDF(),
+      Some("""WITH c AS (SELECT doc_id, string_split(text, '') AS ch FROM documents),
+             |s AS (SELECT doc_id, list_select(ch, range(1, len(ch)+1, 4)) AS sam FROM c)
+             |SELECT doc_id, CAST(len(sam) AS BIGINT) AS n_bytes_out,
+             |       CAST(list_aggregate(list_transform(sam,
+             |         c -> CAST(unicode(c) AS BIGINT)), 'sum') AS BIGINT) AS sample_sum,
+             |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |         list_transform(sam, c -> CAST(unicode(c) AS BIGINT))),
+             |         (a, b) -> (a * 31 + b) % 1000000007) AS sample_fp
+             |FROM s""".stripMargin)),
+
+    // Multimodal stub frame sampling: 32-byte frames, every 4th kept, one
+    // row per frame — the 1→N expansion stays partition-local (no shuffle).
+    ("q42_multimodal_frames",
+      (s: SparkSession, dir: String) =>
+        Multimodal.sampleFrames(
+          Multimodal.payloads(Cohorts.documents(s, dir)), 32, 4).toDF(),
+      Some("""WITH c AS (SELECT doc_id, string_split(text, '') AS ch FROM documents),
+             |f AS (SELECT doc_id, ch,
+             |             unnest(range(0, CAST(ceil(len(ch)/32.0) AS BIGINT), 4)) AS frame_no
+             |      FROM c)
+             |SELECT doc_id, frame_no,
+             |       CAST(len(list_slice(ch, frame_no*32+1, frame_no*32+32)) AS BIGINT) AS frame_bytes,
+             |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |         list_transform(list_slice(ch, frame_no*32+1, frame_no*32+32),
+             |           c -> CAST(unicode(c) AS BIGINT))),
+             |         (a, b) -> (a * 31 + b) % 1000000007) AS frame_fp
+             |FROM f""".stripMargin)),
+
+    // Sliding-window aggregation (1 h window, 15 min slide): each event
+    // expands to 4 overlapping windows — a projection, not a join.
+    ("q43_events_sliding",
+      (s: SparkSession, dir: String) =>
+        EventOps.slidingAgg(Cohorts.events(s, dir)),
+      Some("""WITH e AS (SELECT event_type, value,
+             |                  date_trunc('second', ts) AS tsec FROM events),
+             |w AS (SELECT event_type, value,
+             |             tsec - INTERVAL 1 SECOND *
+             |               (CAST(epoch(tsec) AS BIGINT) % 900 + k * 900) AS win_start
+             |      FROM e, (SELECT unnest(range(0, 4)) AS k))
+             |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+             |       event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |       ROUND(1e-9 + sum(value), 2) AS sum_value
+             |FROM w GROUP BY 1, 2""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

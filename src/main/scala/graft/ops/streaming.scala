@@ -22,6 +22,25 @@ object EventOps {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Sliding 1-hour window every 15 minutes by event type — each event
+    * lands in windowDuration/slideDuration = 4 overlapping windows.
+    * `window()` with a slide keeps the plan streaming-compatible; the
+    * expansion is a projection (explode of 4 window structs per row), not
+    * a join. Timestamps are second-truncated so both engines assign
+    * identical instants to grid cells. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("tsec", date_trunc("second", col("ts")))
+      .groupBy(window(col("tsec"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), graft.Num.rnd(sum("value"), 2).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Streaming wiring for [[slidingAgg]]: watermark + sliding windowed
+    * state (state size bounded by horizon/slide windows per key). */
+  def slidingAggStream(stream: DataFrame, watermark: String = "2 hours"): DataFrame =
+    slidingAgg(stream.withWatermark("ts", watermark))
+
   /** Batch sessionization: 30-min-gap sessions per user over
     * second-truncated timestamps (ns/µs parquet precision differences
     * vanish at second grain — both engines see identical instants).

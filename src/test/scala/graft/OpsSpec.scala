@@ -185,4 +185,63 @@ class OpsSpec extends SparkSpec {
     assert(m.header_hex == "68656C6C6F20776F") // "hello wo"
     assert(m.feat_sum == 'h'.toLong + 'e' + 'l' + 'l')
   }
+
+  test("multimodal stub resize keeps every stride-th byte") {
+    val d = docs((3L, "hello world"))
+    val r = Multimodal.resize(Multimodal.payloads(d), 4).head()
+    // indices 0,4,8 -> 'h','o','r'
+    val kept = Seq('h', 'o', 'r').map(_.toLong)
+    assert(r.doc_id == 3L)
+    assert(r.n_bytes_out == 3L)
+    assert(r.sample_sum == kept.sum)
+    assert(r.sample_fp == kept.foldLeft(0L)((a, b) => (a * 31 + b) % 1000000007L))
+  }
+
+  test("multimodal frame sampling emits every k-th frame incl. short tail") {
+    val d = docs((9L, "hello world")) // 11 bytes, 3 frames of 4
+    val out = Multimodal.sampleFrames(Multimodal.payloads(d), 4, 2)
+      .collect().sortBy(_.frame_no)
+    assert(out.map(f => (f.frame_no, f.frame_bytes)).toSeq == Seq((0L, 4L), (2L, 3L)))
+    val fp = (s: String) =>
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    assert(out.map(_.frame_fp).toSeq == Seq(fp("hell"), fp("rld")))
+  }
+
+  test("sliding windows cover each event exactly window/slide times") {
+    val events = Cohorts.events(spark, "/root/testdata/sf0.001")
+    val slid = EventOps.slidingAgg(events)
+    val n = events.count()
+    assert(slid.agg(sum("n_events")).as[Long].head() == 4 * n)
+    // every tumbling-hour bucket appears among the sliding windows with at
+    // least the same count (the aligned window contains all its events)
+    val hourly = EventOps.hourlyAgg(events)
+      .select(col("hour_start").as("window_start"), col("event_type"),
+        col("n_events").as("h_n"))
+    val joined = hourly.join(slid, Seq("window_start", "event_type"), "left")
+    assert(joined.filter(col("n_events").isNull || col("n_events") < col("h_n")).count() == 0)
+  }
+
+  test("streaming sliding aggregation matches the batch plan") {
+    implicit val sq = spark.sqlContext
+    val events = Cohorts.events(spark, "/root/testdata/sf0.001")
+      .select($"ts", $"event_type", $"value")
+      .as[(java.sql.Timestamp, String, Double)].collect().toSeq
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val sdf = stream.toDF().toDF("ts", "event_type", "value")
+    val q = EventOps.slidingAggStream(sdf).writeStream
+      .format("memory").queryName("sliding_out").outputMode(OutputMode.Complete())
+      .start()
+    try {
+      stream.addData(events)
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_out")
+        .select("window_start", "event_type", "n_events", "sum_value")
+        .collect().map(_.toSeq).toSet
+      val batch = EventOps.slidingAgg(
+        events.toDF("ts", "event_type", "value"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
 }
