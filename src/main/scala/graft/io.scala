@@ -44,4 +44,21 @@ object Io {
     * 86-100,137-142 writes dates.txt). */
   def writeTextLines(lines: Dataset[String], path: String): Unit =
     lines.coalesce(1).write.mode("overwrite").text(path)
+
+  /** Bucketed parquet table sink — the co-located-join scale path. Rows are
+    * hash-distributed into `buckets` files on `bucketCol` and sorted within
+    * each bucket; two tables written with the same (column, bucket count)
+    * then equi-join on that column with NO exchange on either side (and no
+    * sort for sort-merge), because Spark trusts the on-disk distribution.
+    * At 100 TB this converts every recurring join/aggregation on the bucket
+    * key — e.g. nightly cohort ⋈ adjustments re-attach, or dedup-pair
+    * verification against a bucketed corpus — from a full shuffle of both
+    * sides into a file-local zip. Registered through the session catalog
+    * (`saveAsTable`): bucket metadata cannot be recovered from bare files.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
 }

@@ -27,6 +27,28 @@ class IoSpec extends SparkSpec {
       s"date filter not pushed to scan:\n$physical")
   }
 
+  test("bucketed tables equi-join with no exchange and match the plain join") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    Io.writeBucketed(li, "li_b", "l_orderkey", 4)
+    Io.writeBucketed(ord, "ord_b", "o_orderkey", 4)
+    // merge hint: at test scale the tables would auto-broadcast, which is
+    // not the plan bucketing exists for — at 100 TB both sides are fact
+    // tables and the choice is shuffle-SMJ vs bucket-local SMJ.
+    val joined = spark.table("li_b").hint("merge").join(spark.table("ord_b"),
+      col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    assert(joined.count() == plain.count())
+    // tolerance: double sums accumulate in bucket order vs scan order
+    assert(math.abs(joined.agg(sum("o_totalprice")).head().getDouble(0) -
+      plain.agg(sum("o_totalprice")).head().getDouble(0)) < 1e-3)
+  }
+
   test("S4: per-date CSV sink writes one header-ed directory per date") {
     val dir = tmpDir()
     val df = Seq(
