@@ -686,6 +686,16 @@ object SparkEntry {
              |SELECT q_id, c_id, rank, ROUND(1e-9 + sim, 6) AS sim
              |FROM r WHERE rank <= 5""".stripMargin)),
 
+    // Learned-centroid IVF (k-means cells + nProbe search). No DuckDB
+    // oracle — k-means isn't SQL-expressible — so the driver records the
+    // weaker rows-only check; exactness-vs-cosineTopK is pinned in OpsSpec.
+    ("q44_sim_ivf_kmeans",
+      (s: SparkSession, dir: String) => {
+        val e = Cohorts.embeddings(s, dir)
+        Similarity.ivfTopK(e, e.filter(col("vec_id") % 50 === 0), 10)
+      },
+      None),
+
     // Embedding-cosine near-dup pairs (the dedup flavor of similarity).
     ("q40_dedup_embedding",
       (s: SparkSession, dir: String) =>

@@ -115,6 +115,48 @@ object Similarity {
       .select(col("a_id"), col("b_id"), graft.Num.rnd(col("sim"), 6).as("sim"))
   }
 
+  /** IVF with LEARNED coarse centroids — the full ANN index shape. Build:
+    * k-means (spark.ml, fixed seed) over the corpus; every vector is
+    * assigned to its nearest centroid (the inverted list). Search: each
+    * query probes its `nProbe` nearest cells, candidates come from an
+    * equi-join on the cell id — shuffle O(|corpus| + nProbe·|queries|),
+    * never |Q|×|C|. Recall is tunable via nProbe (test-pinned ≥ 0.9 at
+    * nProbe=4/16 cells on the synthetic corpus); the exact [[cosineTopK]]
+    * stays the oracle path. At 100 TB the fit runs on a sample and the
+    * assignment is one broadcast-map pass — centroids are dimension-sized.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = prep(corpus, "c_")
+    val vecs = c.withColumn("__v", array_to_vector(col("c_emb")))
+    val model = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("__v").setPredictionCol("cell").fit(vecs)
+    val assigned = model.transform(vecs).drop("__v")
+    // centroid relation is tiny (nCells × dim) — broadcast everywhere
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toSeq
+      .toDF("cell", "centroid")
+      .withColumn("c2", dotD(col("centroid"), col("centroid")))
+    // nProbe nearest cells per query by euclidean distance to centroid:
+    // d² = |q|² − 2·q·cent + |cent|² (|q|² constant per query — dropped)
+    val q = prep(queries, "q_")
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("d2").asc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("d2", col("c2") - lit(2.0) * dotD(col("q_emb"), col("centroid")))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nProbe)
+      .select(col("cell"), col("q_id"), col("q_emb"), col("q_norm"))
+    val joined = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("sim", dotD(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+    ranked(joined, k)
+  }
+
   /** IVF-style top-k restricted to the query's coarse cell (cellCol). */
   def partitionedTopK(corpus: DataFrame, queries: DataFrame, cellCol: String,
                       k: Int): DataFrame = {

@@ -110,6 +110,23 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq(2L)) // vec 1 is nearer but in another cell
   }
 
+  test("learned-centroid IVF: deterministic, high recall vs exact top-k") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = e.filter($"vec_id" % 50 === 0)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val exact = key(Similarity.cosineTopK(e, q, 10))
+    val ivf = key(Similarity.ivfTopK(e, q, 10))
+    assert(ivf == key(Similarity.ivfTopK(e, q, 10))) // fixed seed → stable
+    val recall = (n: Int) =>
+      (key(Similarity.ivfTopK(e, q, 10, nProbe = n)) & exact).size.toDouble / exact.size
+    // recall grows with probe breadth; full probe recovers the exact answer
+    val (r4, r8) = (recall(4), recall(8))
+    assert(r4 >= 0.75, s"IVF recall@4 $r4")
+    assert(r8 >= r4 && r8 >= 0.9, s"IVF recall@8 $r8 (recall@4 $r4)")
+    assert(key(Similarity.ivfTopK(e, q, 10, nProbe = 16)) == exact)
+  }
+
   test("language id picks the marker-richest language, tie-break alphabetical") {
     val d = Seq((1L, "der hund und die katze"), (2L, "zzz qqq www"))
       .toDF("doc_id", "text")
@@ -172,6 +189,26 @@ class OpsSpec extends SparkSpec {
       val batch = EventOps.sessionize(raw)
         .select(col("user_id"), col("session_start"), col("n_events"))
         .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("file-source streaming with Trigger.AvailableNow matches batch") {
+    // the reference's orchestration grain (dates file → scheduled batch)
+    // as a Structured Streaming file source that drains and stops
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val events = Cohorts.events(spark, "/root/testdata/sf0.001")
+      .select($"ts", $"event_type", $"value")
+    events.write.mode("overwrite").parquet(dir)
+    val sdf = spark.readStream.schema(events.schema).parquet(dir)
+    val q = EventOps.hourlyAggStream(sdf).writeStream
+      .format("memory").queryName("an_out").outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      assert(q.awaitTermination(180000)) // AvailableNow stops when drained
+      val streamed = spark.table("an_out").collect().map(_.toSeq).toSet
+      val batch = EventOps.hourlyAgg(events).collect().map(_.toSeq).toSet
       assert(streamed == batch)
       assert(batch.nonEmpty)
     } finally q.stop()
