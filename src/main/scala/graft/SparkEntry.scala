@@ -189,6 +189,22 @@ object SparkEntry {
               |SELECT month, nc_idx, CAST(count(*) AS BIGINT) AS n_neighbors
               |FROM pairs WHERE dist <= 100.0 GROUP BY month, nc_idx""".stripMargin)),
 
+    // J2 scale path — radius join via MinHash-LSH token-band pruning: the
+    // banding threshold derives from the radius (guaranteed 1−1e-9 recall,
+    // exact verify), so the result equals the dense theta join and shares
+    // its oracle. Radius 2.5 < 2·|token set| keeps the bound non-vacuous —
+    // the regime where token pruning (vs q10's numeric bucketing) applies.
+    ("q45_radius_join_lsh",
+      (s: SparkSession, dir: String) => {
+        val (c, nc) = cohortPair(s, dir)
+        NeighborJoin.withinRadiusLsh(c, nc, Cohorts.spec, 2.5)
+          .groupBy("month", "nc_idx")
+          .agg(count(lit(1)).as("n_neighbors"))
+      },
+      Some(s"""${OracleCtes.prefix}
+              |SELECT month, nc_idx, CAST(count(*) AS BIGINT) AS n_neighbors
+              |FROM pairs WHERE dist <= 2.5 GROUP BY month, nc_idx""".stripMargin)),
+
     // W1 — numerically-stable softmax(−dist) shares per noconsent row.
     ("q11_softmax_shares",
       (s: SparkSession, dir: String) =>

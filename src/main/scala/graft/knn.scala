@@ -167,6 +167,74 @@ object NeighborJoin {
         spec.numCols.flatMap(n => Seq(s"nc_$n", s"c_$n"))): _*)
   }
 
+  /** Radius join with MinHash-LSH candidate pruning — the near-linear scale
+    * path the dense pairs relation can't offer. A pair at dist ≤ r has
+    * token-part distance ≤ B (manhattan: B = r, since dist = tokenΔ + Σ|Δx|
+    * ≥ tokenΔ; euclidean: B = r², since dist² = tokenΔ + ΣΔx²), i.e.
+    * |a∩b| ≥ (|a|+|b|−B)/2, i.e. Jaccard ≥ (|a|+|b|−B)/(|a|+|b|+B) —
+    * increasing in |a|+|b|, so every qualifying pair has
+    * J ≥ t = (2·sₘᵢₙ−B)/(2·sₘᵢₙ+B) with sₘᵢₙ the smallest token set in
+    * either cohort (two scalar aggs). Banding from [[graft.ops.Dedup
+    * .bandingFor]](t) then admits every such pair w.p. ≥ 1−1e-9; the exact
+    * `dist ≤ r` verification admits no false positives, so the output
+    * equals [[withinRadius]] on the dense relation (equivalence pinned by
+    * CocoaInvariantsSpec). Candidates come from an equi-join on
+    * (cohort…, band, bandKey) — shuffle O((|C|+|NC|)·bands), never the
+    * per-cohort cross product. Falls back to the dense pairs relation when
+    * the bound is vacuous (r ≥ 2·sₘᵢₙ ⇒ t ≤ 0: the radius spans whole
+    * token sets and nothing can be pruned). */
+  def withinRadiusLsh(consent: DataFrame, noconsent: DataFrame,
+                      spec: CohortSpec, radius: Double): DataFrame = {
+    require(radius > 0, s"radius must be > 0, got $radius")
+    val tokenBound = spec.metric match {
+      case Manhattan => radius
+      case Euclidean => radius * radius
+    }
+    val c0 = prefixed(consent, spec, "c_")
+    val nc0 = prefixed(noconsent, spec, "nc_")
+    val minSize = (df: DataFrame, c: String) =>
+      Option(df.agg(min(size(col(c)))).head().get(0)).map(_.asInstanceOf[Int])
+    val smin = for {
+      a <- minSize(c0, "c_features"); b <- minSize(nc0, "nc_features")
+    } yield math.min(a, b)
+    val t = smin.map(s => (2.0 * s - tokenBound) / (2.0 * s + tokenBound))
+    if (smin.isEmpty || t.get <= 0)
+      return withinRadius(pairs(consent, noconsent, spec), radius)
+    val (bands, rows) = graft.ops.Dedup.bandingFor(t.get)
+    val seeds = graft.ops.Dedup.Seeds.take(bands * rows)
+    val P = graft.ops.TextAnalysis.P
+    // token set → [0,P) hash set (the MinHash family's domain; a mod-P
+    // collision merges two category tokens — vanishing for category-sized
+    // universes, and it can only shift J, never break the exact verify)
+    def buckets(df: DataFrame, p: String): DataFrame = {
+      val hashed = transform(col(s"${p}features"), tk => pmod(xxhash64(tk), lit(P)))
+      val sig = org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.expr.MinHashSig(
+          org.apache.spark.sql.graftbridge.Bridge.expression(hashed),
+          seeds.map(_._1), seeds.map(_._2)))
+      val bandKey = (b: Int) =>
+        xxhash64((0 until rows).map(r => col("__sig")(b * rows + r)): _*)
+      df.withColumn("__sig", sig)
+        .select(spec.cohortCols.map(col(_)) ++ Seq(col(s"${p}idx"),
+          explode(array((0 until bands).map(b =>
+            struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk")): _*)
+        .select(spec.cohortCols.map(col(_)) ++ Seq(col(s"${p}idx"),
+          col("bk.band").as("band"), col("bk.key").as("key")): _*)
+    }
+    val candidates = buckets(nc0, "nc_")
+      .join(buckets(c0, "c_"), spec.cohortCols ++ Seq("band", "key"))
+      .select(spec.cohortCols.map(col(_)) ++ Seq(col("nc_idx"), col("c_idx")): _*)
+      .distinct()
+    val numPairs = spec.numCols.map(n => (col(s"nc_$n"), col(s"c_$n")))
+    candidates
+      .join(nc0, spec.cohortCols :+ "nc_idx")
+      .join(c0, spec.cohortCols :+ "c_idx")
+      .withColumn("dist", spec.metric.dist(col("nc_features"), col("c_features"), numPairs))
+      .filter(col("dist") <= radius)
+      .drop((Seq("nc_features", "c_features") ++
+        spec.numCols.flatMap(n => Seq(s"nc_$n", s"c_$n"))): _*)
+  }
+
   /** Cohort-scoped radius refinement: `radii` is (cohort…, __radius) — one
     * row per cohort, so it broadcasts; the filter happens map-side on the
     * pairs relation with no extra shuffle. */

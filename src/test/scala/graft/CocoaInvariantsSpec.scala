@@ -242,6 +242,23 @@ class CocoaInvariantsSpec extends SparkSpec {
     }
   }
 
+  // --- LSH-pruned radius join must also equal the dense theta join: the
+  // banding threshold is derived from the radius so recall is guaranteed
+  // (1e-9 miss bound) and the exact verify admits no false positives.
+  // r=10 exceeds 2·|tokens| → vacuous bound → dense fallback path.
+  test("withinRadiusLsh matches withinRadius on the dense pairs relation") {
+    val c = encode(consentRaw)
+    val nc = encode(noconsentRaw)
+    for (r <- Seq(0.5, 1.0, 2.5, 10.0)) {
+      val dense = NeighborJoin.withinRadius(NeighborJoin.pairs(c, nc, spec), r)
+        .select("nc_idx", "c_idx", "dist").collect().map(_.toSeq).toSet
+      val lsh = NeighborJoin.withinRadiusLsh(c, nc, spec, r)
+        .select("nc_idx", "c_idx", "dist").collect().map(_.toSeq).toSet
+      assert(lsh == dense, s"radius=$r")
+      assert(dense.nonEmpty, s"radius=$r matched nothing — test is vacuous")
+    }
+  }
+
   // --- strategy validation (reference :502-511 + documented truthiness fix)
   test("zero/invalid strategy parameters are rejected at construction") {
     assertThrows[IllegalArgumentException](MatchStrategy.K(0))
