@@ -203,35 +203,56 @@ object NeighborJoin {
     val (bands, rows) = graft.ops.Dedup.bandingFor(t.get)
     val seeds = graft.ops.Dedup.Seeds.take(bands * rows)
     val P = graft.ops.TextAnalysis.P
+    // Band DISTINCT TOKEN SIGNATURES, not rows: category token universes
+    // are low-cardinality, so whole clusters of rows share one token set —
+    // banding rows would re-collide every identical-set pair in all b bands
+    // (measured 35 s at sf0.1 from the band×cluster² duplication alone).
+    // |sigs| ≤ min(|rows|, Π|category domains|); with per-row-unique sets
+    // this degrades gracefully to row-level banding.
+    val sigs = c0.select(col("c_features").as("features"))
+      .union(nc0.select(col("nc_features").as("features")))
+      .distinct()
+      .withColumn("__tsig", xxhash64(col("features")))
     // token set → [0,P) hash set (the MinHash family's domain; a mod-P
     // collision merges two category tokens — vanishing for category-sized
     // universes, and it can only shift J, never break the exact verify)
-    def buckets(df: DataFrame, p: String): DataFrame = {
-      val hashed = transform(col(s"${p}features"), tk => pmod(xxhash64(tk), lit(P)))
-      val sig = org.apache.spark.sql.graftbridge.Bridge.column(
-        graft.expr.MinHashSig(
-          org.apache.spark.sql.graftbridge.Bridge.expression(hashed),
-          seeds.map(_._1), seeds.map(_._2)))
-      val bandKey = (b: Int) =>
-        xxhash64((0 until rows).map(r => col("__sig")(b * rows + r)): _*)
-      df.withColumn("__sig", sig)
-        .select(spec.cohortCols.map(col(_)) ++ Seq(col(s"${p}idx"),
-          explode(array((0 until bands).map(b =>
-            struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk")): _*)
-        .select(spec.cohortCols.map(col(_)) ++ Seq(col(s"${p}idx"),
-          col("bk.band").as("band"), col("bk.key").as("key")): _*)
-    }
-    val candidates = buckets(nc0, "nc_")
-      .join(buckets(c0, "c_"), spec.cohortCols ++ Seq("band", "key"))
-      .select(spec.cohortCols.map(col(_)) ++ Seq(col("nc_idx"), col("c_idx")): _*)
+    val hashed = transform(col("features"), tk => pmod(xxhash64(tk), lit(P)))
+    val sig = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expr.MinHashSig(
+        org.apache.spark.sql.graftbridge.Bridge.expression(hashed),
+        seeds.map(_._1), seeds.map(_._2)))
+    val bandKey = (b: Int) =>
+      xxhash64((0 until rows).map(r => col("__sig")(b * rows + r)): _*)
+    val buckets = sigs
+      .withColumn("__sig", sig)
+      .select(col("features"), col("__tsig"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
+      .select(col("features"), col("__tsig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    // Directed signature pairs (nc side × c side, self-pairs included:
+    // identical sigs agree in every band), exact-verified on the token
+    // bound — a tiny relation, broadcast into both expansion joins.
+    val iSize = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.expr.TokenIntersectionSize(
+          org.apache.spark.sql.graftbridge.Bridge.expression(a),
+          org.apache.spark.sql.graftbridge.Bridge.expression(b)))
+    val sigPairs = buckets.as("x").join(buckets.as("y"), Seq("band", "key"))
+      .select(col("x.__tsig").as("__tsig_nc"), col("y.__tsig").as("__tsig_c"),
+        col("x.features").as("fa"), col("y.features").as("fb"))
+      .filter(size(col("fa")) + size(col("fb"))
+        - lit(2) * iSize(col("fa"), col("fb")) <= tokenBound)
+      .select("__tsig_nc", "__tsig_c")
       .distinct()
     val numPairs = spec.numCols.map(n => (col(s"nc_$n"), col(s"c_$n")))
-    candidates
-      .join(nc0, spec.cohortCols :+ "nc_idx")
-      .join(c0, spec.cohortCols :+ "c_idx")
+    nc0.withColumn("__tsig_nc", xxhash64(col("nc_features")))
+      .join(broadcast(sigPairs), "__tsig_nc")
+      .join(c0.withColumn("__tsig_c", xxhash64(col("c_features"))),
+        spec.cohortCols :+ "__tsig_c")
       .withColumn("dist", spec.metric.dist(col("nc_features"), col("c_features"), numPairs))
       .filter(col("dist") <= radius)
-      .drop((Seq("nc_features", "c_features") ++
+      .drop((Seq("__tsig_nc", "__tsig_c", "nc_features", "c_features") ++
         spec.numCols.flatMap(n => Seq(s"nc_$n", s"c_$n"))): _*)
   }
 
