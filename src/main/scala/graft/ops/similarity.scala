@@ -132,7 +132,10 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val c = prep(corpus, "c_")
     val vecs = c.withColumn("__v", array_to_vector(col("c_emb")))
-    val model = new KMeans().setK(nCells).setSeed(seed)
+    // 8 Lloyd iterations: the coarse quantizer only has to be a reasonable
+    // partitioner (recall comes from nProbe, not cell optimality), and each
+    // extra iteration is a full pass over the corpus.
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(8)
       .setFeaturesCol("__v").setPredictionCol("cell").fit(vecs)
     val assigned = model.transform(vecs).drop("__v")
     // centroid relation is tiny (nCells × dim) — broadcast everywhere

@@ -65,7 +65,10 @@ class ExprSpec extends SparkSpec {
         """SELECT token_intersection_size(array('a','b'), array('b','c')) AS x,
           |       poly_hash('spark') AS h,
           |       long_intersect_size(array(1L, 2L), array(2L, 3L)) AS li,
-          |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp
+          |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
+          |       token_shingle_hashes(array('a','b','c'), 3) AS tsh,
+          |       minhash_sig(array(7L), 2) AS mh,
+          |       cosine_lsh_sig(array(1.0D, -1.0D), 8, 42) AS cl
           |""".stripMargin).head()
       assert(r.getInt(0) == 1)
       // value cross-checked against DuckDB:
@@ -73,6 +76,19 @@ class ExprSpec extends SparkSpec {
       assert(r.getLong(1) == 109638365L)
       assert(r.getInt(2) == 1)
       assert(r.getDouble(3) == 11.0)
+      // kernel parity with the Column API paths
+      assert(r.getSeq[Long](4) ==
+        spark.range(1).select(graft.ops.TextAnalysis
+          .shingleHashes(lit("a b c"), 3)).as[Seq[Long]].head())
+      val seeds = graft.ops.Dedup.Seeds.take(2)
+      assert(r.getSeq[Long](5) ==
+        seeds.map { case (a, b) => (a * 7 + b) % graft.ops.TextAnalysis.P })
+      val viaCol = spark.range(1).select(
+        org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.expr.CosineLshSig(
+            org.apache.spark.sql.graftbridge.Bridge.expression(
+              array(lit(1.0), lit(-1.0))), 8, 42L))).as[Long].head()
+      assert(r.getLong(6) == viaCol)
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)
