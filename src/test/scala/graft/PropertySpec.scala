@@ -69,6 +69,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: LSH radius join equals dense radius join on arbitrary cohorts") {
+    // exercises both regimes: r=1.5 < 2·|tokens|=2 prunes via banding,
+    // r=3.0 ≥ 2 takes the dense fallback
+    samples(5).foreach { case (c, nc) =>
+      for (r <- Seq(1.5, 3.0)) {
+        val dense = NeighborJoin
+          .withinRadius(NeighborJoin.pairs(encode(c), encode(nc), spec), r)
+          .select("nc_idx", "c_idx", "dist").collect().map(_.toSeq).toSet
+        val lsh = NeighborJoin.withinRadiusLsh(encode(c), encode(nc), spec, r)
+          .select("nc_idx", "c_idx", "dist").collect().map(_.toSeq).toSet
+        assert(lsh == dense, s"radius=$r c=$c nc=$nc")
+      }
+    }
+  }
+
   test("salted pairs relation equals the plain equi-join pairs relation") {
     val c = encode(List(CRow(1, 1.0, 5.0, "x"), CRow(2, 2.0, 6.0, "y"),
       CRow(3, 3.0, 7.0, "x"), CRow(4, 4.0, 8.0, "z")))
