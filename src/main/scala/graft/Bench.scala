@@ -14,8 +14,8 @@ import org.apache.spark.sql.SparkSession
   * the whole retry budget on whichever queries a wave happens to hit first
   * and leaves later ones un-retried (observed r01: one 149 s run recorded
   * for a ~2 s query). Instead: run every query once, then GREEDILY re-run
-  * the currently-slowest suspicious queries (min ≥ 2 s) while the wall
-  * budget lasts, reporting each query's fastest run.
+  * the currently-slowest suspicious queries (min ≥ RetryThresholdSec)
+  * while the wall budget lasts, reporting each query's fastest run.
   */
 object Bench {
   private val WallBudgetSec = 540.0 // total, incl. first pass

@@ -83,10 +83,14 @@ object RunPipeline {
     // re-attach left join (breaking |output| == |consent|), so build one
     // composite id and hard-check uniqueness per cohort like the
     // reference's positional index guarantees.
+    // JSON-struct encoding, not concat_ws: concat_ws silently DROPS null
+    // arguments, so distinct tuples like (a, NULL) and (NULL, a) would
+    // collide (and a separator char inside a value would shift the split),
+    // producing a false "not unique" abort. to_json escapes values and
+    // keys fields by name, so distinct tuples stay distinct.
     val rowIdCol = "__row_id"
     val addId = (df: org.apache.spark.sql.DataFrame) =>
-      df.withColumn(rowIdCol,
-        concat_ws("\u0001", cfg.idCols.map(c => col(c).cast("string")): _*))
+      df.withColumn(rowIdCol, to_json(struct(cfg.idCols.map(col(_)): _*)))
     val (nc, c) = (addId(nc0), addId(c0))
     def requireUniqueIds(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
       val keys = (cfg.cohortCols :+ rowIdCol).map(col(_))

@@ -34,9 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     * literals — they parameterize codegen, they can't be column-valued). */
   private def litInt(e: Expression, name: String, arg: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _)
+        if v >= Int.MinValue && v <= Int.MaxValue => v.toInt
     case other => throw new IllegalArgumentException(
-      s"$name: $arg must be an integer literal, got $other")
+      s"$name: $arg must be an int-range integer literal, got $other")
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {

@@ -198,9 +198,15 @@ object NeighborJoin {
       a <- minSize(c0, "c_features"); b <- minSize(nc0, "nc_features")
     } yield math.min(a, b)
     val t = smin.map(s => (2.0 * s - tokenBound) / (2.0 * s + tokenBound))
-    if (smin.isEmpty || t.get <= 0)
+    // dense fallback when nothing can be pruned soundly: empty side, bound
+    // vacuous (r spans whole token sets), or no banding within the hash
+    // budget reaches the 1e-9 miss bound at this threshold (shallow S-curve
+    // — silently using a weaker banding would break the equals-dense
+    // contract).
+    val banding = t.filter(_ > 0).flatMap(graft.ops.Dedup.bandingWithin(_))
+    if (banding.isEmpty)
       return withinRadius(pairs(consent, noconsent, spec), radius)
-    val (bands, rows) = graft.ops.Dedup.bandingFor(t.get)
+    val (bands, rows) = banding.get
     val seeds = graft.ops.Dedup.Seeds.take(bands * rows)
     val P = graft.ops.TextAnalysis.P
     // Band DISTINCT TOKEN SIGNATURES, not rows: category token universes
@@ -232,7 +238,10 @@ object NeighborJoin {
         col("bk.band").as("band"), col("bk.key").as("key"))
     // Directed signature pairs (nc side × c side, self-pairs included:
     // identical sigs agree in every band), exact-verified on the token
-    // bound — a tiny relation, broadcast into both expansion joins.
+    // bound. No broadcast hint: with category-sized token universes this
+    // relation is tiny and auto-broadcasts; with per-row-unique sets it is
+    // output-sized and must stay a shuffle join — a forced broadcast would
+    // OOM exactly at the scale this path exists for.
     val iSize = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
       org.apache.spark.sql.graftbridge.Bridge.column(
         graft.expr.TokenIntersectionSize(
@@ -247,7 +256,7 @@ object NeighborJoin {
       .distinct()
     val numPairs = spec.numCols.map(n => (col(s"nc_$n"), col(s"c_$n")))
     nc0.withColumn("__tsig_nc", xxhash64(col("nc_features")))
-      .join(broadcast(sigPairs), "__tsig_nc")
+      .join(sigPairs, "__tsig_nc")
       .join(c0.withColumn("__tsig_c", xxhash64(col("c_features"))),
         spec.cohortCols :+ "__tsig_c")
       .withColumn("dist", spec.metric.dist(col("nc_features"), col("c_features"), numPairs))

@@ -40,10 +40,14 @@ final class NearestCustomerMatcher(consent: DataFrame, spec: CohortSpec,
     * nothing (ADVICE r01). Both become construction-time errors here,
     * checked against the SMALLEST cohort so every cohort can satisfy k. */
   private def validateK(k: Double): Unit = {
-    val minCohort = consent
+    // an empty consent cohort yields a NULL min (zero groups) — surface it
+    // as the same validation error, not an NPE
+    val minCohort = Option(consent
       .groupBy(spec.cohortCols.map(col(_)): _*)
       .agg(count(lit(1)).as("__n"))
-      .agg(min(col("__n"))).first().getLong(0)
+      .agg(min(col("__n"))).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    require(minCohort > 0, "consent cohort is empty — nothing to fit")
     if (k >= 1)
       require(k.toInt <= minCohort,
         s"Expected n_neighbors <= n_samples_fit, but n_neighbors = ${k.toInt}, " +

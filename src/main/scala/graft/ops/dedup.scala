@@ -48,16 +48,29 @@ object Dedup {
     * admitted w.p. ≥ 1−missBound REGARDLESS of the corpus's jaccard
     * distribution. E.g. t=0.5 → (73, 2) = 146 hashes; t=0.9 → (32, 7). */
   def bandingFor(threshold: Double, missBound: Double = 1e-9,
-                 maxHashes: Int = MaxHashes): (Int, Int) = {
+                 maxHashes: Int = MaxHashes): (Int, Int) =
+    bandingWithin(threshold, missBound, maxHashes).getOrElse(
+      throw new IllegalArgumentException(
+        s"no ($maxHashes-hash) banding reaches miss <= $missBound at " +
+          s"threshold $threshold — the S-curve is too shallow; raise the " +
+          "threshold, the budget, or use an exact path"))
+
+  /** [[bandingFor]] that reports infeasibility instead of throwing. Band
+    * counts are computed in Double and compared against the budget before
+    * any narrowing — for small thresholds the required count exceeds Int
+    * range (t=0.1, r=8 → b ≈ 2.07e9), where 32-bit b·r arithmetic would
+    * wrap negative and "fit". */
+  def bandingWithin(threshold: Double, missBound: Double = 1e-9,
+                    maxHashes: Int = MaxHashes): Option[(Int, Int)] = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
     (8 to 1 by -1).iterator
       .map { r =>
-        val b = math.max(1,
-          math.ceil(math.log(missBound) / math.log1p(-math.pow(threshold, r))).toInt)
+        val b = math.max(1.0,
+          math.ceil(math.log(missBound) / math.log1p(-math.pow(threshold, r))))
         (b, r)
       }
       .find { case (b, r) => b * r <= maxHashes }
-      .getOrElse((maxHashes, 1))
+      .map { case (b, r) => (b.toInt, r) }
   }
 
   /** Exact dedup: group identical texts, keep the smallest doc_id.

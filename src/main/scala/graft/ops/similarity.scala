@@ -89,7 +89,10 @@ object Similarity {
     * seed) is pinned by OpsSpec. */
   def nearDupPairsLsh(corpus: DataFrame, threshold: Double,
                       bands: Int = 16, seed: Long = 42L): DataFrame = {
-    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    require(64 % bands == 0 && bands >= 2,
+      s"bands must divide 64 and be >= 2, got $bands")
+    // (bands=1 would need mask (1L<<64)-1, which the JVM's mod-64 shift
+    // turns into 0 — every row would share one bucket = full cross product)
     val width = 64 / bands
     val p = prep(corpus, "")
     val sigd = p.withColumn("__sig",

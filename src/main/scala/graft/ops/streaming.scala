@@ -26,12 +26,14 @@ object EventOps {
     * lands in windowDuration/slideDuration = 4 overlapping windows.
     * `window()` with a slide keeps the plan streaming-compatible; the
     * expansion is a projection (explode of 4 window structs per row), not
-    * a join. Timestamps are second-truncated so both engines assign
-    * identical instants to grid cells. */
+    * a join. Windows are assigned on the raw `ts` (a derived/truncated
+    * column would not inherit the watermark, leaving Append-mode streams
+    * without state eviction); the grid is second-aligned, so assignment is
+    * identical to the oracle's second-truncated arithmetic — sub-second
+    * parts can never cross a whole-second window boundary. */
   def slidingAgg(events: DataFrame): DataFrame =
     events
-      .withColumn("tsec", date_trunc("second", col("ts")))
-      .groupBy(window(col("tsec"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), graft.Num.rnd(sum("value"), 2).as("sum_value"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))

@@ -93,24 +93,28 @@ object Preprocess {
     * the ordering keys are unique — pinned by PreprocessSpec. */
   def withRowIdsDistributed(df: DataFrame, orderCols: Seq[String],
                             outCol: String = "idx"): DataFrame = {
-    // Persisted so the count job and the id job see the SAME partitions:
-    // RangePartitioner derives its bounds by sampling, so two separate
-    // materializations of the lineage could split differently.
+    // Persisted (at RDD level) so the count job and the id job see the SAME
+    // partitions: RangePartitioner samples by partition-iteration order, so
+    // re-materializing the lineage after an upstream shuffle could split
+    // differently. RDD caching (unlike Dataset.persist, which the cache
+    // manager pins until an explicit unpersist) is ContextCleaner-managed:
+    // the block is freed once the returned plan is garbage-collected, so
+    // repeated calls don't accumulate cached copies.
+    // Explicit partition count: an advisory repartitionByRange is fair game
+    // for AQE coalescing (small bytes ⇒ one partition ⇒ the single-task
+    // stage this op exists to avoid); an explicit count is binding.
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val sorted = df
-      .repartitionByRange(orderCols.map(col(_)): _*)
+      .repartitionByRange(n, orderCols.map(col(_)): _*)
       .sortWithinPartitions(orderCols.map(col(_)): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = sorted.rdd.mapPartitionsWithIndex { case (i, it) =>
+    val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = rdd.mapPartitionsWithIndex { case (i, it) =>
       Iterator((i, it.size.toLong))
     }.collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _)
     val schema = sorted.schema.add(outCol, org.apache.spark.sql.types.LongType,
       nullable = false)
-    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
-      org.apache.spark.sql.Encoders.row(schema)
-    sorted.mapPartitions { it =>
-      // partition index via TaskContext — mapPartitionsWithIndex is RDD-only
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+    val withIds = rdd.mapPartitionsWithIndex { case (pid, it) =>
       var next = offsets(pid)
       it.map { r =>
         val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ next)
@@ -118,6 +122,7 @@ object Preprocess {
         out
       }
     }
+    df.sparkSession.createDataFrame(withIds, schema)
   }
 
   /** Split a `sep`-joined hierarchy string into `levels` level columns

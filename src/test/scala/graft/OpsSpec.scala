@@ -42,6 +42,14 @@ class OpsSpec extends SparkSpec {
     }
     assert(Dedup.bandingFor(0.5) == (73, 2))
     assert(Dedup.bandingFor(0.9) == (32, 7))
+    // shallow S-curve region: the required band count for wide rows
+    // overflows 32-bit arithmetic (t=0.1, r=8 needs ~2.07e9 bands) — the
+    // search must fall through to the feasible (197, 1), not wrap negative
+    assert(Dedup.bandingWithin(0.1) == Some((197, 1)))
+    // and report infeasibility (instead of a silently weaker banding) when
+    // no budget-sized banding reaches the miss bound
+    assert(Dedup.bandingWithin(0.05).isEmpty)
+    assertThrows[IllegalArgumentException](Dedup.bandingFor(0.05))
   }
 
   test("MinHashSig kernel matches the per-seed Column signature") {
@@ -191,6 +199,27 @@ class OpsSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet
       assert(streamed == batch)
       assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("sliding aggregation streams in APPEND mode: watermark wires through") {
+    // regression: windowing on a derived (truncated) column loses the
+    // watermark and append-mode analysis fails / state never evicts
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val sdf = stream.toDF().toDF("ts", "event_type", "value")
+    val q = EventOps.slidingAggStream(sdf, "10 minutes").writeStream
+      .format("memory").queryName("sliding_append")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(Seq((java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), "click", 1.0)))
+      q.processAllAvailable()
+      // advance event time far past the watermark: the click's windows close
+      stream.addData(Seq((java.sql.Timestamp.valueOf("2024-01-01 03:00:00"), "view", 2.0)))
+      q.processAllAvailable()
+      val emitted = spark.table("sliding_append")
+        .filter(col("event_type") === "click").count()
+      assert(emitted == 4) // one finalized row per overlapping window
     } finally q.stop()
   }
 
