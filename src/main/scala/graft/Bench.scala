@@ -56,18 +56,24 @@ object Bench {
     def elapsed: Double = (System.nanoTime() - benchStart) / 1e9
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try materialize(fn(spark, sfDir))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        e.printStackTrace()
-      }
+      val ok =
+        try { materialize(fn(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          e.printStackTrace()
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // Timed end-to-end including any internal persists; drop leftover
       // cached relations so reruns and later queries start cold.
       spark.catalog.clearCache()
-      dt
+      // A failure's elapsed time is NOT a benchmark result: a fast crash
+      // would read as a speedup. Record a visibly-wrong sentinel and list
+      // the query in the JSON's "failed" field.
+      if (ok) dt else { failed += name; 9999.0 }
     }
 
     // Pass 1: every query exactly once.
@@ -96,7 +102,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,6 +26,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries persist intermediates (q13/q18 pairs, q26 shingle sets);
+      // Dataset caches are only freed explicitly — don't let ~45 queries'
+      // worth of pinned blocks squeeze execution memory for later ones
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -68,6 +68,10 @@ object MatchStrategy {
     * (reference: cocoa/nearest_consented_customers.py:145-147,208-211). */
   final case class K(k: Double) extends MatchStrategy {
     require(k > 0, s"number_nearest_neighbors must be > 0, got $k")
+    // k >= 1 means a count and must be integral (sklearn raises TypeError
+    // on a float n_neighbors); only k < 1 is the proportional form
+    require(k < 1 || k == math.floor(k),
+      s"number_nearest_neighbors >= 1 must be an integer, got $k")
   }
   /** All neighbors with dist <= r
     * (reference: cocoa/nearest_consented_customers.py:153-182). */

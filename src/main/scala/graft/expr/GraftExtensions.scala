@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   private def unary(name: String, usage: String, f: Expression => Expression) =
     (new FunctionIdentifier(name), info(name, usage),

@@ -29,21 +29,32 @@ object Io {
       .filter(col(dateCol) >= lit(startInclusive).cast("timestamp") &&
               col(dateCol) < lit(endExclusive).cast("timestamp"))
 
-  /** S4 — per-date CSV sink: `<out>/__date=<date>/part-*.csv` with header,
-    * no index column (reference: pipeline.py:265-295 writes
-    * `<path>/<date>/adjustments_data.csv`). One distributed write
-    * partitioned by date — not a per-date driver loop. */
-  def writeCsvPerDate(df: DataFrame, dateCol: String, outDir: String): Unit =
+  /** Shared per-date layout: `<out>/__date=<date>/part-*` via one
+    * distributed write partitioned on the derived day — never a per-date
+    * driver loop. All per-date sinks go through here so the layout contract
+    * lives in one place. */
+  private def perDate(df: DataFrame, dateCol: String) =
     df.withColumn("__date", date_format(col(dateCol), "yyyy-MM-dd"))
       .write.mode("overwrite")
       .partitionBy("__date")
-      .option("header", "true")
-      .csv(outDir)
+
+  /** S4 — per-date CSV sink with header, no index column (reference:
+    * pipeline.py:265-295 writes `<path>/<date>/adjustments_data.csv`). */
+  def writeCsvPerDate(df: DataFrame, dateCol: String, outDir: String): Unit =
+    perDate(df, dateCol).option("header", "true").csv(outDir)
 
   /** S5 — newline-joined text sink (reference: cloud_function/main.py:
     * 86-100,137-142 writes dates.txt). */
   def writeTextLines(lines: Dataset[String], path: String): Unit =
     lines.coalesce(1).write.mode("overwrite").text(path)
+
+  /** Date-partitioned parquet sink — the 100 TB layout for the cohort
+    * tables: one directory per day means a day-scoped job prunes to its
+    * partition at PLANNING time (PartitionFilters on the scan), reading
+    * none of the other days' files — strictly stronger than the row-group
+    * statistics pruning a flat file gives the same predicate. */
+  def writeParquetPerDate(df: DataFrame, dateCol: String, outDir: String): Unit =
+    perDate(df, dateCol).parquet(outDir)
 
   /** Bucketed parquet table sink — the co-located-join scale path. Rows are
     * hash-distributed into `buckets` files on `bucketCol` and sorted within

@@ -34,6 +34,21 @@ final class NearestCustomerMatcher(consent: DataFrame, spec: CohortSpec,
     require(consent.columns.sorted.sameElements(noconsent.columns.sorted),
       "Consented and non-consented data must have same columns.")
 
+  /** Null/NaN feature values would make every pair distance null, and null
+    * distances sort FIRST under Spark's ASC ordering — they would silently
+    * fill the top-k and route conversion value into null-weighted shares.
+    * sklearn raises on NaN input (the reference inherits that); so do we.
+    * Token nulls are covered too: a null token array yields null distance.
+    */
+  private def checkFeatures(df: DataFrame, name: String): Unit = {
+    val nullable = spec.numCols.map(c => col(c).isNull || isnan(col(c))) :+
+      col(spec.tokenCol).isNull
+    require(df.filter(nullable.reduce(_ || _)).limit(1).count() == 0,
+      s"$name cohort contains null/NaN feature values — distances would be " +
+        "null and silently outrank real neighbors")
+  }
+  checkFeatures(consent, "consent")
+
   /** sklearn raises when `n_neighbors > n_samples_fit` (pinned by reference
     * test cocoa/nearest_consented_customers_test.py:62-69); and a
     * proportional k resolving to `floor(k·|C|) == 0` would silently match
@@ -63,6 +78,7 @@ final class NearestCustomerMatcher(consent: DataFrame, spec: CohortSpec,
   def adjustmentsAndSummary(noconsent: DataFrame,
                             strategy: MatchStrategy): AdjustmentResult = {
     checkColumns(noconsent)
+    checkFeatures(noconsent, "noconsent")
     strategy match {
       case MatchStrategy.K(k) => validateK(k)
       case _                  => ()

@@ -85,15 +85,4 @@ object CocoaPipeline {
     AdjustmentResult(adjusted, summary)
   }
 
-  /** Per-date CSV sink matching the reference layout
-    * (`<out>/<date>/adjustments_data.csv`, pipeline.py:265-295): header, no
-    * index column. Spark-native: one pass, partitioned by the date column —
-    * not a driver loop. */
-  def writeAdjustments(adjusted: DataFrame, dateCol: String, outDir: String): Unit =
-    adjusted
-      .withColumn("__date", date_format(col(dateCol), "yyyy-MM-dd"))
-      .write.mode("overwrite")
-      .partitionBy("__date")
-      .option("header", "true")
-      .csv(outDir)
 }

@@ -265,6 +265,26 @@ class CocoaInvariantsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](MatchStrategy.Radius(0))
     assertThrows[IllegalArgumentException](MatchStrategy.Percentile(0))
     assertThrows[IllegalArgumentException](MatchStrategy.Percentile(1.5))
+    // fractional k >= 1 is a count typo, not the proportional form —
+    // sklearn raises TypeError on a float n_neighbors
+    assertThrows[IllegalArgumentException](MatchStrategy.K(2.5))
+    MatchStrategy.K(0.5) // proportional form stays legal
+  }
+
+  // --- null/NaN features would rank FIRST (null dist, ASC NULLS FIRST)
+  // and silently swallow conversion value — the matcher must refuse them
+  // like sklearn refuses NaN input.
+  test("matcher rejects null/NaN feature values in either cohort") {
+    val c = encode(consentRaw)
+    val ncBad = encode(noconsentRaw)
+      .withColumn("a", when(col("id") === 100, lit(Double.NaN))
+        .otherwise(col("a")))
+    assertThrows[IllegalArgumentException](
+      new NearestCustomerMatcher(c, spec)
+        .adjustmentsAndSummary(ncBad, MatchStrategy.K(1)))
+    val cBad = c.withColumn("a",
+      when(col("id") === 0, lit(null).cast("double")).otherwise(col("a")))
+    assertThrows[IllegalArgumentException](new NearestCustomerMatcher(cBad, spec))
   }
 
   // --- unmatched consent rows: null average_distance (pandas NaN parity)

@@ -27,6 +27,21 @@ class IoSpec extends SparkSpec {
       s"date filter not pushed to scan:\n$physical")
   }
 
+  test("date-partitioned parquet prunes partitions at planning time") {
+    val dir = tmpDir()
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    Io.writeParquetPerDate(orders, "o_orderdate", s"$dir/orders_bydate")
+    val oneDay = spark.read.parquet(s"$dir/orders_bydate")
+      .filter(col("__date") === "1995-01-05")
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(__date"),
+      s"partition filter not applied:\n$plan")
+    // pruned scan reads only that day's rows
+    val expected = orders
+      .filter(date_format(col("o_orderdate"), "yyyy-MM-dd") === "1995-01-05").count()
+    assert(oneDay.count() == expected && expected > 0)
+  }
+
   test("bucketed tables equi-join with no exchange and match the plain join") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select("l_orderkey", "l_quantity")
