@@ -545,6 +545,31 @@ object SparkEntry {
               |FROM p WHERE inter / (tot - inter) >= 0.5""".stripMargin)),
 
     // SimHash near-dup pairs (hamming <= 3 over 30-bit shingle-set hash).
+    // Cluster consolidation over the q26 near-dup pairs: connected
+    // components, min-id canonical keeper (label propagation; oracle via
+    // DuckDB's recursive reachability closure over the same exact pairs).
+    ("q46_dedup_clusters",
+      (s: SparkSession, dir: String) =>
+        Dedup.dedupClusters(Dedup.minHashPairs(Cohorts.documents(s, dir), 0.5)),
+      Some(s"""WITH RECURSIVE ${TextSql.toksCte},
+              |sh AS (SELECT doc_id, ${TextSql.shingleHashes("t", 3)} AS s
+              |       FROM toks),
+              |p AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS inter,
+              |         len(a.s) + len(b.s) AS tot
+              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |  WHERE len(a.s) > 0 AND len(b.s) > 0),
+              |prs AS (SELECT doc_a, doc_b FROM p WHERE inter / (tot - inter) >= 0.5),
+              |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+              |          UNION ALL SELECT doc_b, doc_a FROM prs),
+              |reach AS (
+              |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+              |  UNION
+              |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
+              |SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+              |FROM reach GROUP BY u""".stripMargin)),
+
     ("q27_dedup_simhash",
       (s: SparkSession, dir: String) =>
         Dedup.simHashPairs(Cohorts.documents(s, dir), 3),

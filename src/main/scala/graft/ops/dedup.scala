@@ -180,6 +180,58 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Consolidate near-duplicate PAIRS into CLUSTERS: connected components
+    * over the pair graph, labeling every matched doc with the smallest
+    * doc_id reachable from it (the canonical keeper). Pregel-style min-label
+    * propagation as plain joins/aggs — each round sends every vertex its
+    * neighbors' labels (equi-join on the edge list), takes the min, and
+    * stops at fixpoint (a driver-checked count). Rounds needed =
+    * graph diameter; near-dup clusters are dense and shallow (LSH pairs of
+    * one document family all interconnect), so this converges in a few
+    * rounds even at corpus scale — the same reason MapReduce dedup
+    * pipelines get away with label propagation instead of union-find.
+    * Output: (doc_id, cluster_id) for every doc appearing in `pairs`. */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .distinct().persist(lvl)
+    var labels = edges.select(col("u").as("doc_id"))
+      .distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .persist(lvl)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("v"), col("cluster_id").as("nl")), "v")
+        .groupBy(col("u").as("doc_id"))
+        .agg(min("nl").as("nbr"))
+      // carry the previous label through the round so convergence reads off
+      // the same checkpointed relation — no extra join per round
+      val updated = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr"), col("cluster_id")))
+            .as("cluster_id"),
+          col("cluster_id").as("__old"))
+        // checkpoint each round: persists AND truncates lineage, so the
+        // plan doesn't deepen by two joins per iteration
+        .localCheckpoint()
+      // round 0 always changes (every multi-node cluster moves) — skip the
+      // count job and only pay for convergence checks from round 1 on
+      changed =
+        if (it == 0) 1L
+        else updated.filter(col("cluster_id") =!= col("__old")).count()
+      labels.unpersist()
+      labels = updated.drop("__old")
+      it += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $maxIter rounds")
+    edges.unpersist()
+    labels
+  }
+
   /** Exact n-gram Jaccard pairs within a blocking column (e.g. lang):
     * per-block nested-loop — correct and cheap when blocks are bounded;
     * the unblocked scale path is [[minHashPairs]]. */

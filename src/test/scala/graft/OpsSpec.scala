@@ -84,6 +84,16 @@ class OpsSpec extends SparkSpec {
     assert(brute.nonEmpty) // planted near-dups exist in the corpus
   }
 
+  test("dedup clusters: connected components label by min reachable doc id") {
+    // path graph 5-4-3-2-1 forces multi-round propagation; 10-11 separate
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.dedupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("cosine LSH near-dup pairs: subset of exact answer, high recall") {
     val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val exact = Similarity.nearDupPairs(e, 0.4)
