@@ -56,8 +56,12 @@ object Bench {
     def elapsed: Double = (System.nanoTime() - benchStart) / 1e9
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Only SUCCESSFUL times are benchmark results; attempts counted apart so
+    // a crashing query can't monopolize the retry budget (see candidates).
+    val runs = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    val attempts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      attempts(name) = attempts.getOrElse(name, 0) + 1
       val t0 = System.nanoTime()
       val ok =
         try { materialize(fn(spark, sfDir)); true }
@@ -70,35 +74,45 @@ object Bench {
       // Timed end-to-end including any internal persists; drop leftover
       // cached relations so reruns and later queries start cold.
       spark.catalog.clearCache()
-      // A failure's elapsed time is NOT a benchmark result: a fast crash
-      // would read as a speedup. Record a visibly-wrong sentinel and list
-      // the query in the JSON's "failed" field.
-      if (ok) dt else { failed += name; 9999.0 }
+      if (ok) { runs(name) = dt :: runs.getOrElse(name, Nil); Some(dt) } else None
     }
 
     // Pass 1: every query exactly once.
-    val runs = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
     queries.foreach { case (name, fn) =>
       val t = once(name, fn)
-      runs(name) = List(t)
-      System.err.println(f"[bench] $name%-28s $t%8.2f s  (first)")
+      System.err.println(f"[bench] $name%-28s ${t.getOrElse(Double.NaN)}%8.2f s  (first)")
     }
 
     // Pass 2+: spend the remaining wall budget on the slowest suspicious
-    // queries — exactly the ones a stall would have distorted most.
+    // queries — exactly the ones a stall would have distorted most. A query
+    // with no successful run yet gets ONE extra attempt (enough to clear a
+    // transient crash) and is tried LAST — a deterministic failure must not
+    // burn the budget that stall-distorted successes need.
     def candidates = queries.filter { case (name, _) =>
-      runs(name).min >= RetryThresholdSec && runs(name).size < MaxRunsPerQuery
+      runs.get(name) match {
+        case Some(ts) if ts.nonEmpty =>
+          ts.min >= RetryThresholdSec && attempts(name) < MaxRunsPerQuery
+        case _ => attempts(name) < 2
+      }
+    }.sortBy { case (name, _) =>
+      runs.get(name).filter(_.nonEmpty).map(ts => -ts.min).getOrElse(0.0)
     }
-    var cs = candidates.sortBy { case (name, _) => -runs(name).min }
+    var cs = candidates
     while (cs.nonEmpty && elapsed < WallBudgetSec) {
       val (name, fn) = cs.head
-      val t = once(name, fn)
-      runs(name) = t :: runs(name)
-      System.err.println(f"[bench] $name%-28s ${runs(name).min}%8.2f s  (runs: ${runs(name).reverse.map(t => f"$t%.2f").mkString(", ")})")
-      cs = candidates.sortBy { case (n, _) => -runs(n).min }
+      once(name, fn)
+      val ts = runs.getOrElse(name, Nil)
+      if (ts.nonEmpty)
+        System.err.println(f"[bench] $name%-28s ${ts.min}%8.2f s  (runs: ${ts.reverse.map(t => f"$t%.2f").mkString(", ")})")
+      cs = candidates
     }
 
-    val results = queries.map { case (name, _) => name -> runs(name).min }
+    // A query with zero successful runs reports a visibly-wrong sentinel —
+    // a fast crash must not read as a speedup — and lands in "failed".
+    val failed = queries.map(_._1).filter(n => runs.getOrElse(n, Nil).isEmpty)
+    val results = queries.map { case (name, _) =>
+      name -> runs.getOrElse(name, Nil).minOption.getOrElse(9999.0)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -110,17 +110,21 @@ object RunPipeline {
 
     Io.writeCsvPerDate(result.adjusted.drop(spec.tokenCol, rowIdCol),
       cfg.dateCol, s"$outDir/adjustments_data")
-    Io.writeCsvPerDate(result.summary, cfg.dateCol, s"$outDir/adjustments_summary")
+    // The summary aggregation feeds both the CSV write and the zero-match
+    // warning below; cache it so the (noconsent scan + matched agg) DAG runs
+    // once, not once per consumer.
+    val summary = result.summary.persist()
+    Io.writeCsvPerDate(summary, cfg.dateCol, s"$outDir/adjustments_summary")
     // reference parity: warn when a cohort matched nothing (radius too
-    // tight — nearest_consented_customers.py:176-182 logs the same). The
-    // summary is one row per date; collecting it is free.
-    result.summary
+    // tight — nearest_consented_customers.py:176-182 logs the same).
+    summary
       .select(col(cfg.dateCol), col("number_matched_conversions"))
       .collect()
       .filter(_.getLong(1) == 0L)
       .foreach(r => System.err.println(
         s"[pipeline] WARNING: no matching customers for ${r.get(0)} — " +
           "no conversion values redistributed (radius too small?)"))
+    summary.unpersist()
     println(s"[pipeline] wrote ${dates.size} date(s) to $outDir")
   }
 }

@@ -95,6 +95,9 @@ final class NearestCustomerMatcher(consent: DataFrame, spec: CohortSpec,
     * (min_radius_by_percentile, reference :140-143). */
   def minRadiusByPercentile(noconsent: DataFrame, percentile: Double): Double = {
     checkColumns(noconsent)
+    // same hazard as adjustmentsAndSummary: a null/NaN feature makes the
+    // k=1 distances null, which sort FIRST and silently corrupt the radius
+    checkFeatures(noconsent, "noconsent")
     val pairs = NeighborJoin.pairs(consent, noconsent, spec, broadcastConsent)
     Summary.minRadiusByPercentile(
       Summary.nearestDistances(NeighborJoin.topK(pairs, spec, 1.0), spec),

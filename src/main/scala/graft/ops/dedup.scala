@@ -192,14 +192,25 @@ object Dedup {
     * pipelines get away with label propagation instead of union-find.
     * Output: (doc_id, cluster_id) for every doc appearing in `pairs`. */
   def dedupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    // Both orientations from ONE scan: `pairs` is typically a whole LSH
+    // candidate+verify pipeline, and a self-union would plan (and run) that
+    // pipeline twice — ReuseExchange only dedupes the shuffle stages, not
+    // the map-side work above the last exchange.
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("u"), col("doc_b").as("v")),
+        struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct().persist(lvl)
-    var labels = edges.select(col("u").as("doc_id"))
-      .distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .persist(lvl)
+    // Each round is eagerly materialized into an RDD-backed copy
+    // (Bridge.materialized): the flat LogicalRDD plan doesn't deepen by two
+    // joins per iteration, and — unlike Dataset.localCheckpoint, whose
+    // internal persist neither unpersist() nor clearCache() can reach — the
+    // previous round's blocks are freed deterministically below.
+    var (labels, labelsRdd) = Bridge.materialized(
+      edges.select(col("u").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id")), lvl)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -208,27 +219,27 @@ object Dedup {
         .groupBy(col("u").as("doc_id"))
         .agg(min("nl").as("nbr"))
       // carry the previous label through the round so convergence reads off
-      // the same checkpointed relation — no extra join per round
-      val updated = labels
-        .join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr"), col("cluster_id")))
-            .as("cluster_id"),
-          col("cluster_id").as("__old"))
-        // checkpoint each round: persists AND truncates lineage, so the
-        // plan doesn't deepen by two joins per iteration
-        .localCheckpoint()
+      // the same materialized relation — no extra join per round
+      val (updated, updatedRdd) = Bridge.materialized(
+        labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nbr"), col("cluster_id")))
+              .as("cluster_id"),
+            col("cluster_id").as("__old")), lvl)
       // round 0 always changes (every multi-node cluster moves) — skip the
       // count job and only pay for convergence checks from round 1 on
       changed =
         if (it == 0) 1L
         else updated.filter(col("cluster_id") =!= col("__old")).count()
-      labels.unpersist()
+      labelsRdd.unpersist(blocking = false)
       labels = updated.drop("__old")
+      labelsRdd = updatedRdd
       it += 1
     }
     require(changed == 0, s"label propagation did not converge in $maxIter rounds")
     edges.unpersist()
+    // the final round's RDD stays persisted while the caller holds `labels`;
+    // ContextCleaner frees it once the reference is dropped
     labels
   }
 
