@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, EventOps, Multimodal, Similarity, TextAnalysis, TextSql}
+import graft.ops.{Dedup, EventOps, Multimodal, Sampling, Similarity, TextAnalysis, TextSql}
 
 /** Driver contract — one entry per operator from SURVEY.md §2, each with a
   * DuckDB-equivalent oracle SQL over the same parquet tables. Column names
@@ -34,6 +34,29 @@ object SparkEntry {
       col("n_added_conversions"),
       rnd(col("sum_distribution_weights"), 6).as("sum_distribution_weights"),
       rnd(col("naive_adjusted_conversion"), 4).as("naive_adjusted_conversion"))
+
+  /** q46/q47 shared oracle CTEs: exact near-dup pairs (jaccard ≥ 0.5) →
+    * recursive reachability closure → `cl(doc_id, cluster_id)` with the
+    * min-reachable-id keeper. */
+  private def dedupClustersCtes: String =
+    s"""WITH RECURSIVE ${TextSql.toksCte},
+       |sh AS (SELECT doc_id, ${TextSql.shingleHashes("t", 3)} AS s
+       |       FROM toks),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS inter,
+       |         len(a.s) + len(b.s) AS tot
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(a.s) > 0 AND len(b.s) > 0),
+       |prs AS (SELECT doc_a, doc_b FROM p WHERE inter / (tot - inter) >= 0.5),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+       |          UNION ALL SELECT doc_b, doc_a FROM prs),
+       |reach AS (
+       |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+       |cl AS (SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+       |       FROM reach GROUP BY u)""".stripMargin
 
   /** Oracle tail shared by q13/q18: shares → scatter-add → left join + naive. */
   private def adjustedTailSql(selCte: String): String =
@@ -551,24 +574,8 @@ object SparkEntry {
     ("q46_dedup_clusters",
       (s: SparkSession, dir: String) =>
         Dedup.dedupClusters(Dedup.minHashPairs(Cohorts.documents(s, dir), 0.5)),
-      Some(s"""WITH RECURSIVE ${TextSql.toksCte},
-              |sh AS (SELECT doc_id, ${TextSql.shingleHashes("t", 3)} AS s
-              |       FROM toks),
-              |p AS (
-              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS inter,
-              |         len(a.s) + len(b.s) AS tot
-              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-              |  WHERE len(a.s) > 0 AND len(b.s) > 0),
-              |prs AS (SELECT doc_a, doc_b FROM p WHERE inter / (tot - inter) >= 0.5),
-              |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
-              |          UNION ALL SELECT doc_b, doc_a FROM prs),
-              |reach AS (
-              |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
-              |  UNION
-              |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u)
-              |SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
-              |FROM reach GROUP BY u""".stripMargin)),
+      Some(s"""$dedupClustersCtes
+              |SELECT doc_id, cluster_id FROM cl""".stripMargin)),
 
     ("q27_dedup_simhash",
       (s: SparkSession, dir: String) =>
@@ -839,7 +846,84 @@ object SparkEntry {
              |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
              |       event_type, CAST(count(*) AS BIGINT) AS n_events,
              |       ROUND(1e-9 + sum(value), 2) AS sum_value
-             |FROM w GROUP BY 1, 2""".stripMargin))
+             |FROM w GROUP BY 1, 2""".stripMargin)),
+
+    // End-to-end dedup: the corpus minus non-keeper near-dup cluster
+    // members (anti-join against q46's clusters).
+    ("q47_dedup_corpus",
+      (s: SparkSession, dir: String) => {
+        val docs = Cohorts.documents(s, dir)
+        Dedup.deduplicated(docs, Dedup.minHashPairs(docs, 0.5))
+          .select("doc_id", "lang", "n_chars")
+      },
+      Some(s"""$dedupClustersCtes
+              |SELECT doc_id, lang, n_chars FROM documents
+              |WHERE doc_id NOT IN
+              |      (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)""".stripMargin)),
+
+    // Deterministic content-addressed stratified sampling (per-language
+    // rates; membership = polynomial hash of the doc id, so the sample is
+    // stable across runs, engines and repartitioning).
+    ("q48_sample_stratified",
+      (s: SparkSession, dir: String) =>
+        Sampling.stratifiedBernoulli(Cohorts.documents(s, dir),
+            "lang", "doc_id", Map("en" -> 0.25, "de" -> 0.5),
+            defaultRate = 0.75, seed = "s42")
+          .select("doc_id", "lang", "source"),
+      Some(s"""SELECT doc_id, lang, source FROM documents
+              |WHERE ${Sampling.hashUnitSql("doc_id", "s42")} <
+              |      CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.5 ELSE 0.75 END""".stripMargin)),
+
+    // Quality-filtered selection: per-language top-5 documents by the q30
+    // quality score (window top-k with deterministic id tie-break).
+    ("q49_quality_topk",
+      (s: SparkSession, dir: String) => {
+        val toks = TextAnalysis.tokens(col("text"))
+        val n = size(toks).cast("double")
+        val stop = TextAnalysis.markerHits(toks,
+          TextAnalysis.Markers.toMap.apply("en")).cast("double")
+        val ttr = size(array_distinct(toks)).cast("double") / n
+        val scored = Cohorts.documents(s, dir).select(
+          col("doc_id"), col("lang"),
+          rnd(least(lit(1.0), n / 100) * 0.4 + (stop / n) * 0.3 + ttr * 0.3, 4)
+            .as("quality_score"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang")
+          .orderBy(col("quality_score").desc, col("doc_id").asc)
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+      },
+      Some {
+        val en = TextAnalysis.Markers.toMap.apply("en")
+        s"""WITH ${TextSql.toksCte},
+           |m AS (SELECT doc_id, lang, CAST(len(t) AS DOUBLE) AS n,
+           |             CAST(${TextSql.markerHits("t", en)} AS DOUBLE) AS stop,
+           |             CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
+           |      FROM toks),
+           |q AS (SELECT doc_id, lang,
+           |             ROUND(1e-9 + least(1.0, n / 100) * 0.4 + (stop / n) * 0.3 + ttr * 0.3, 4) AS quality_score
+           |      FROM m),
+           |r AS (SELECT *, CAST(row_number() OVER (
+           |        PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rank
+           |      FROM q)
+           |SELECT doc_id, lang, quality_score, rank FROM r WHERE rank <= 5""".stripMargin
+      }),
+
+    // Deterministic train/valid/test split: the same hash keyed by doc id,
+    // bucketed by cumulative weights; output = per-split per-language counts.
+    ("q50_split_counts",
+      (s: SparkSession, dir: String) =>
+        Sampling.splitAssign(Cohorts.documents(s, dir), "doc_id",
+            Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), "sp7")
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs")),
+      Some(s"""WITH h AS (SELECT lang,
+              |  ${Sampling.hashUnitSql("doc_id", "sp7")} AS u
+              |  FROM documents)
+              |SELECT CASE WHEN u < 0.8 THEN 'train'
+              |            WHEN u < 0.9 THEN 'valid' ELSE 'test' END AS split,
+              |       lang, CAST(count(*) AS BIGINT) AS n_docs
+              |FROM h GROUP BY 1, 2""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -243,6 +243,20 @@ object Dedup {
     labels
   }
 
+  /** The deduplicated corpus: every cluster member except the keeper (the
+    * cluster's min doc_id) is dropped; documents that appear in no near-dup
+    * pair pass through untouched. Left-anti join on the drop list; the
+    * join strategy is left to Catalyst/AQE — the drop list is a single id
+    * column, so it broadcasts up to hundreds of millions of dupes, and a
+    * heavily-duplicated corpus (where it doesn't) degrades to a shuffled
+    * anti-join rather than failing. */
+  def deduplicated(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val drop = dedupClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
+
   /** Exact n-gram Jaccard pairs within a blocking column (e.g. lang):
     * per-block nested-loop — correct and cheap when blocks are bounded;
     * the unblocked scale path is [[minHashPairs]]. */

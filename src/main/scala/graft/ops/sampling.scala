@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data curation.
+  *
+  * Everything here is CONTENT-ADDRESSED: membership is decided by a
+  * polynomial hash of (seed, row key), not by an RNG. That is the property a
+  * 100 TB pipeline actually needs — the sample is reproducible across runs,
+  * engines and task retries, stable under repartitioning, and a row's
+  * fate never changes when the corpus around it grows (unlike
+  * `Dataset.sample`, whose per-partition RNG reshuffles membership whenever
+  * partitioning changes). The hash is [[TextAnalysis.polyHash]], so every
+  * operator has an exact DuckDB twin for the oracle gate.
+  *
+  * All operators are pure narrow filters/projections — no shuffle, no
+  * driver-side state; Catalyst pushes surviving predicates to the scan.
+  */
+object Sampling {
+  private val P = TextAnalysis.P
+  // The raw polynomial hash is a fine FINGERPRINT but not uniform in [0, P)
+  // for short keys (a fixed seed prefix pins the high-order coefficients:
+  // measured mean 0.74, range [0.05, 0.81] over "seed:1".."seed:400").
+  // A multiplicative finalizer mod P — the SplitMix64 constants reduced
+  // mod P — is a bijection on [0, P) that scatters those clustered values
+  // uniformly (measured P(u<r) = r ± 0.01 for integer-key patterns).
+  // Products stay < (P-1)·MixA ≈ 3e17, inside BIGINT for both engines.
+  private[ops] val MixA = 6364136223846793005L % P
+  private[ops] val MixB = 1442695040888963407L % P
+
+  /** Deterministic uniform in [0, 1): finalized polyHash(seed ":" key) / P.
+    * `concat` (not concat_ws) so a null key yields null — caller-visible,
+    * never silently hashed as the empty string. */
+  def hashUnit(key: Column, seed: String): Column =
+    ((TextAnalysis.polyHash(concat(lit(seed + ":"), key.cast("string")))
+      * MixA + MixB) % P) / lit(P.toDouble)
+
+  /** DuckDB twin of [[hashUnit]] (oracle parity). */
+  def hashUnitSql(keyExpr: String, seed: String): String =
+    s"((${TextSql.polyHash(s"'$seed:' || CAST($keyExpr AS VARCHAR)")}" +
+      s" * $MixA + $MixB) % $P) / $P.0"
+
+  /** Keep each row independently with probability `rate`, decided by the
+    * row's key hash. */
+  def bernoulli(df: DataFrame, keyCol: String, rate: Double,
+                seed: String): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    df.filter(hashUnit(col(keyCol), seed) < rate)
+  }
+
+  /** Per-stratum Bernoulli sampling: each stratum (e.g. language, source)
+    * keeps its own rate — the standard rebalancing move when one stratum
+    * dominates the corpus. Rates ride in as a broadcast-joined tiny
+    * relation, so the plan is scan → broadcast hash join → filter: no
+    * shuffle of the corpus, and the rates table scales to millions of
+    * strata without a literal CASE chain in the plan. */
+  def stratifiedBernoulli(df: DataFrame, strataCol: String, keyCol: String,
+                          rates: Map[String, Double], defaultRate: Double,
+                          seed: String): DataFrame = {
+    (rates.values ++ Seq(defaultRate)).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"rates must be in [0,1], got $r"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ratesDf = rates.toSeq.toDF(strataCol, "__rate")
+    df.join(broadcast(ratesDf), Seq(strataCol), "left")
+      .filter(hashUnit(col(keyCol), seed) <
+        coalesce(col("__rate"), lit(defaultRate)))
+      .select(df.columns.map(col): _*) // drop __rate, restore column order
+  }
+
+  /** Deterministic train/valid/test assignment: the key hash lands in one
+    * of the cumulative-weight buckets. Cumulative bounds are rounded to
+    * 12 dp so the thresholds are the exact decimal literals a SQL twin
+    * writes (0.8 + 0.1 in IEEE is 0.9000000000000001, not 0.9). */
+  def splitAssign(df: DataFrame, keyCol: String,
+                  weights: Seq[(String, Double)], seed: String,
+                  splitCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${weights.map(_._2).sum}")
+    val cum = weights.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => BigDecimal(c).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val h = hashUnit(col(keyCol), seed)
+    val assign = weights.init.zip(cum.init).foldRight(lit(weights.last._1)) {
+      case (((name, _), bound), els) => when(h < bound, lit(name)).otherwise(els)
+    }
+    df.withColumn(splitCol, assign)
+  }
+}

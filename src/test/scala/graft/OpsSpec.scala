@@ -94,6 +94,60 @@ class OpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("deduplicated corpus keeps cluster keepers and untouched docs") {
+    val d = Seq((1L, "a"), (2L, "b"), (3L, "c"), (7L, "alone"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.deduplicated(d, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 7L)) // 2,3 collapse into keeper 1; 7 untouched
+  }
+
+  test("hash sampling is deterministic, rate-bounded, and content-addressed") {
+    val d = (1L to 400L).toDF("doc_id")
+    val s1 = Sampling.bernoulli(d, "doc_id", 0.3, "seedA")
+      .as[Long].collect().toSet
+    val s2 = Sampling.bernoulli(d, "doc_id", 0.3, "seedA")
+      .as[Long].collect().toSet
+    assert(s1 == s2) // reproducible, no RNG state
+    assert(Sampling.bernoulli(d, "doc_id", 0.0, "seedA").count() == 0)
+    assert(Sampling.bernoulli(d, "doc_id", 1.0, "seedA").count() == 400)
+    // roughly the asked-for rate (hash-uniformity sanity bound)
+    assert(s1.size > 400 * 0.15 && s1.size < 400 * 0.45, s"got ${s1.size}")
+    // content-addressed: a row's fate never changes when the corpus grows
+    val bigger = (1L to 800L).toDF("doc_id")
+    val s3 = Sampling.bernoulli(bigger, "doc_id", 0.3, "seedA")
+      .as[Long].collect().toSet
+    assert(s3.filter(_ <= 400L) == s1)
+    // and a different seed draws a different sample
+    assert(Sampling.bernoulli(d, "doc_id", 0.3, "seedB")
+      .as[Long].collect().toSet != s1)
+  }
+
+  test("stratified sampling applies per-stratum and default rates") {
+    val d = (1L to 300L).map(i => (i, if (i % 3 == 0) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.stratifiedBernoulli(d, "lang", "doc_id",
+      Map("en" -> 0.0), defaultRate = 1.0, seed = "s")
+    val langs = out.select("lang").distinct().as[String].collect().toSet
+    assert(langs == Set("fr")) // en fully dropped, fr fully kept via default
+    assert(out.count() == 200)
+    assert(out.columns.toSeq == d.columns.toSeq) // helper column dropped
+  }
+
+  test("split assignment is total, deterministic and weight-validated") {
+    val d = (1L to 1000L).toDF("doc_id")
+    val out = Sampling.splitAssign(d, "doc_id",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), "sp")
+    val counts = out.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 1000) // total: every row lands in one split
+    assert(counts.keySet == Set("train", "valid", "test"))
+    assert(counts("train") > 700 && counts("train") < 900)
+    assertThrows[IllegalArgumentException](
+      Sampling.splitAssign(d, "doc_id", Seq("a" -> 0.5, "b" -> 0.4), "sp"))
+  }
+
   test("cosine LSH near-dup pairs: subset of exact answer, high recall") {
     val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val exact = Similarity.nearDupPairs(e, 0.4)
