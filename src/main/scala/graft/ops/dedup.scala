@@ -80,6 +80,20 @@ object Dedup {
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Streaming exact dedup over a document stream carrying an event-time
+    * `tsCol`: emit only the first-seen row per content hash. State is the
+    * hash set bounded by the watermark horizon
+    * (`dropDuplicatesWithinWatermark`) — exact dedup of an unbounded
+    * stream needs unbounded state, so the horizon IS the contract a
+    * production ingest pipeline wants: duplicates arriving within the
+    * horizon are dropped, older re-arrivals are a batch backfill problem
+    * ([[exact]]/[[deduplicated]]). */
+  def exactStream(docs: DataFrame, tsCol: String = "ingest_ts",
+                  watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("text_hash", md5(col("text")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** doc_id + distinct shingle-hash set (the MinHash/Jaccard universe). */
   def shingleSets(docs: DataFrame, k: Int = 3): DataFrame =
     docs.select(col("doc_id"),

@@ -94,6 +94,32 @@ class OpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("streaming exact dedup keeps the first-seen doc per content hash") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val ts = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000)
+    val sdf = stream.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = Dedup.exactStream(sdf).writeStream
+      .format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData((1L, "a b", ts(0)), (2L, "a b", ts(1)), (3L, "x", ts(2)))
+      q.processAllAvailable()
+      stream.addData((4L, "a b", ts(3)), (5L, "new", ts(4))) // dup across batches
+      q.processAllAvailable()
+      val kept = spark.table("dedup_out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 3L, 5L)) // first-seen wins, within and across batches
+      // streaming answer == batch exact dedup hash set
+      val batchHashes = Dedup.exact(Seq((1L, "a b"), (2L, "a b"), (3L, "x"),
+        (4L, "a b"), (5L, "new")).toDF("doc_id", "text"))
+        .select("text_hash").as[String].collect().toSet
+      val streamHashes = spark.table("dedup_out")
+        .select("text_hash").as[String].collect().toSet
+      assert(streamHashes == batchHashes)
+    } finally q.stop()
+  }
+
   test("deduplicated corpus keeps cluster keepers and untouched docs") {
     val d = Seq((1L, "a"), (2L, "b"), (3L, "c"), (7L, "alone"))
       .toDF("doc_id", "text")
