@@ -36,6 +36,16 @@ object Sampling {
     ((TextAnalysis.polyHash(concat(lit(seed + ":"), key.cast("string")))
       * MixA + MixB) % P) / lit(P.toDouble)
 
+  /** [[hashUnit]] that REJECTS null keys at execution time. A null key
+    * hashes to null, and under three-valued logic that row would silently
+    * vanish from every sample — or, worse, fall through every `when`
+    * branch of a split into the last bucket. Sampling keys are row
+    * identity; a null one is a data bug the engine must surface. */
+  private def checkedUnit(key: Column, seed: String): Column =
+    when(key.isNull,
+      raise_error(lit("sampling key must not be null")).cast("double"))
+      .otherwise(hashUnit(key, seed))
+
   /** DuckDB twin of [[hashUnit]] (oracle parity). */
   def hashUnitSql(keyExpr: String, seed: String): String =
     s"((${TextSql.polyHash(s"'$seed:' || CAST($keyExpr AS VARCHAR)")}" +
@@ -46,7 +56,7 @@ object Sampling {
   def bernoulli(df: DataFrame, keyCol: String, rate: Double,
                 seed: String): DataFrame = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
-    df.filter(hashUnit(col(keyCol), seed) < rate)
+    df.filter(checkedUnit(col(keyCol), seed) < rate)
   }
 
   /** Per-stratum Bernoulli sampling: each stratum (e.g. language, source)
@@ -64,7 +74,7 @@ object Sampling {
     import spark.implicits._
     val ratesDf = rates.toSeq.toDF(strataCol, "__rate")
     df.join(broadcast(ratesDf), Seq(strataCol), "left")
-      .filter(hashUnit(col(keyCol), seed) <
+      .filter(checkedUnit(col(keyCol), seed) <
         coalesce(col("__rate"), lit(defaultRate)))
       .select(df.columns.map(col): _*) // drop __rate, restore column order
   }
@@ -81,7 +91,7 @@ object Sampling {
       s"split weights must sum to 1, got ${weights.map(_._2).sum}")
     val cum = weights.map(_._2).scanLeft(0.0)(_ + _).tail
       .map(c => BigDecimal(c).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    val h = hashUnit(col(keyCol), seed)
+    val h = checkedUnit(col(keyCol), seed)
     val assign = weights.init.zip(cum.init).foldRight(lit(weights.last._1)) {
       case (((name, _), bound), els) => when(h < bound, lit(name)).otherwise(els)
     }

@@ -174,6 +174,17 @@ class OpsSpec extends SparkSpec {
       Sampling.splitAssign(d, "doc_id", Seq("a" -> 0.5, "b" -> 0.4), "sp"))
   }
 
+  test("sampling rejects null keys instead of silently dropping rows") {
+    val d = Seq(Some(1L), None, Some(3L)).toDF("doc_id")
+    intercept[Exception] {
+      Sampling.bernoulli(d, "doc_id", 0.5, "s").count()
+    }
+    intercept[Exception] {
+      Sampling.splitAssign(d, "doc_id", Seq("a" -> 0.5, "b" -> 0.5), "s")
+        .collect()
+    }
+  }
+
   test("cosine LSH near-dup pairs: subset of exact answer, high recall") {
     val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val exact = Similarity.nearDupPairs(e, 0.4)
