@@ -923,7 +923,25 @@ object SparkEntry {
               |SELECT CASE WHEN u < 0.8 THEN 'train'
               |            WHEN u < 0.9 THEN 'valid' ELSE 'test' END AS split,
               |       lang, CAST(count(*) AS BIGINT) AS n_docs
-              |FROM h GROUP BY 1, 2""".stripMargin))
+              |FROM h GROUP BY 1, 2""".stripMargin)),
+
+    // Benchmark decontamination: train docs (source != src0) sharing any
+    // 8-token shingle with the benchmark set (source = src0), with the
+    // shared-shingle count as removal evidence.
+    ("q51_decontaminate",
+      (s: SparkSession, dir: String) => {
+        val docs = Cohorts.documents(s, dir)
+        Dedup.contaminated(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"), 8)
+      },
+      Some(s"""WITH ${TextSql.toksCte},
+              |sh AS (SELECT doc_id, source, ${TextSql.shingleHashes("t", 8)} AS s
+              |       FROM toks),
+              |bm AS (SELECT DISTINCT unnest(s) AS h FROM sh WHERE source = 'src0'),
+              |tre AS (SELECT doc_id, unnest(s) AS h FROM sh WHERE source <> 'src0')
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+              |FROM tre JOIN bm USING (h) GROUP BY doc_id""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

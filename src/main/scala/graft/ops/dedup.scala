@@ -271,6 +271,29 @@ object Dedup {
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** Benchmark decontamination: train documents sharing at least one
+    * k-token shingle with any benchmark document, with the count of shared
+    * distinct shingles (the usual evidence column for a removal decision).
+    * Plan shape at scale: the benchmark's distinct shingle-hash relation is
+    * orders of magnitude smaller than the train corpus and equi-joins
+    * against the exploded train shingles — Catalyst broadcasts it while it
+    * fits; past that the same join runs shuffled, and the classic
+    * refinement (Bloom filter of benchmark hashes pushed into the train
+    * scan) drops in without changing this operator's contract. Only
+    * contaminated docs reach the final aggregation. */
+  def contaminated(train: DataFrame, benchmark: DataFrame,
+                   k: Int = 8): DataFrame = {
+    val bm = shingleSets(benchmark, k)
+      .select(explode(col("shingles")).as("h")).distinct()
+    val tr = shingleSets(train, k)
+      .select(col("doc_id"), explode(col("shingles")).as("h"))
+    // per-doc shingles are already distinct, so a plain count is the count
+    // of distinct shared shingles
+    tr.join(bm, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Exact n-gram Jaccard pairs within a blocking column (e.g. lang):
     * per-block nested-loop — correct and cheap when blocks are bounded;
     * the unblocked scale path is [[minHashPairs]]. */

@@ -120,6 +120,15 @@ class OpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontamination flags train docs sharing k-gram with benchmark") {
+    val bench = docs((100L, "a b c d e"))
+    // doc 1 shares shingles "a b c"/"b c d" (k=3); doc 2 disjoint
+    val train = docs((1L, "x a b c d"), (2L, "p q r s t"))
+    val out = Dedup.contaminated(train, bench, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L))
+  }
+
   test("deduplicated corpus keeps cluster keepers and untouched docs") {
     val d = Seq((1L, "a"), (2L, "b"), (3L, "c"), (7L, "alone"))
       .toDF("doc_id", "text")
