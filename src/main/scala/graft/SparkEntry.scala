@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, EventOps, Multimodal, Sampling, Similarity, TextAnalysis, TextSql}
+import graft.ops.{Dedup, EventOps, Multimodal, Packing, Sampling, Similarity, TextAnalysis, TextSql}
 
 /** Driver contract — one entry per operator from SURVEY.md §2, each with a
   * DuckDB-equivalent oracle SQL over the same parquet tables. Column names
@@ -941,7 +941,31 @@ object SparkEntry {
               |bm AS (SELECT DISTINCT unnest(s) AS h FROM sh WHERE source = 'src0'),
               |tre AS (SELECT doc_id, unnest(s) AS h FROM sh WHERE source <> 'src0')
               |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
-              |FROM tre JOIN bm USING (h) GROUP BY doc_id""".stripMargin))
+              |FROM tre JOIN bm USING (h) GROUP BY doc_id""".stripMargin)),
+
+    // Sequence packing: greedy first-fit concatenation of documents into
+    // 256-token packs, sequential in doc_id order per language. Oracle =
+    // the same recurrence as a DuckDB recursive CTE.
+    ("q52_pack_sequences",
+      (s: SparkSession, dir: String) =>
+        Packing.packDocuments(Cohorts.documents(s, dir), 256).toDF(),
+      Some(s"""WITH RECURSIVE ${TextSql.toksCte},
+              |base AS (SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS tokens,
+              |                CAST(row_number() OVER (
+              |                  PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rn
+              |         FROM toks),
+              |rec AS (
+              |  SELECT lang, rn, doc_id, tokens, tokens AS acc,
+              |         CAST(1 AS BIGINT) AS pack_id
+              |  FROM base WHERE rn = 1
+              |  UNION ALL
+              |  SELECT b.lang, b.rn, b.doc_id, b.tokens,
+              |         CASE WHEN r.acc + b.tokens > 256 THEN b.tokens
+              |              ELSE r.acc + b.tokens END,
+              |         CASE WHEN r.acc + b.tokens > 256 THEN r.pack_id + 1
+              |              ELSE r.pack_id END
+              |  FROM base b JOIN rec r ON b.lang = r.lang AND b.rn = r.rn + 1)
+              |SELECT doc_id, lang, tokens, pack_id FROM rec""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -183,6 +183,22 @@ class OpsSpec extends SparkSpec {
       Sampling.splitAssign(d, "doc_id", Seq("a" -> 0.5, "b" -> 0.4), "sp"))
   }
 
+  test("sequence packing is greedy first-fit per group in doc order") {
+    val d = Seq(
+      (1L, "en", "a b c"),                            // 3 tokens → pack 1
+      (2L, "en", "d e"),                              // 2 → pack 1 (total 5)
+      (3L, "en", "f g h"),                            // 5+3 > 6 → pack 2
+      (4L, "en", (1 to 10).map("w" + _).mkString(" ")), // oversized → own pack 3
+      (5L, "en", "x"),                                // 10+1 > 6 → pack 4
+      (6L, "de", "a b")                               // new group → pack 1
+    ).toDF("doc_id", "lang", "text")
+    val out = Packing.packDocuments(d, 6).collect()
+      .map(p => p.doc_id -> ((p.lang, p.tokens, p.pack_id))).toMap
+    assert(out == Map(
+      1L -> (("en", 3L, 1L)), 2L -> (("en", 2L, 1L)), 3L -> (("en", 3L, 2L)),
+      4L -> (("en", 10L, 3L)), 5L -> (("en", 1L, 4L)), 6L -> (("de", 2L, 1L))))
+  }
+
   test("sampling rejects null keys instead of silently dropping rows") {
     val d = Seq(Some(1L), None, Some(3L)).toDF("doc_id")
     intercept[Exception] {
