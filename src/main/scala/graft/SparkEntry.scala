@@ -639,7 +639,9 @@ object SparkEntry {
            |FROM scored""".stripMargin
       }),
 
-    // Quality scoring: length/stopword/type-token signals.
+    // Quality scoring: length/stopword/type-token signals. The composite
+    // score has ONE definition per engine (TextAnalysis.qualityScore /
+    // TextSql.qualityScoreFromM), shared with q49's top-k selection.
     ("q30_text_quality",
       (s: SparkSession, dir: String) => {
         val toks = TextAnalysis.tokens(col("text"))
@@ -654,24 +656,16 @@ object SparkEntry {
           rnd(alphaLen / n, 4).as("mean_token_len"),
           rnd(stop / n, 4).as("stopword_ratio"),
           rnd(ttr, 4).as("type_token_ratio"),
-          rnd(least(lit(1.0), n / 100) * 0.4 + (stop / n) * 0.3 + ttr * 0.3, 4)
-            .as("quality_score"))
+          rnd(TextAnalysis.qualityScore(col("text")), 4).as("quality_score"))
       },
-      Some {
-        val en = TextAnalysis.Markers.toMap.apply("en")
-        s"""WITH ${TextSql.toksCte},
-           |m AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS n,
-           |             CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) AS alpha_len,
-           |             CAST(${TextSql.markerHits("t", en)} AS DOUBLE) AS stop,
-           |             CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
-           |      FROM toks)
-           |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-           |       ROUND(1e-9 + alpha_len / n, 4) AS mean_token_len,
-           |       ROUND(1e-9 + stop / n, 4) AS stopword_ratio,
-           |       ROUND(1e-9 + ttr, 4) AS type_token_ratio,
-           |       ROUND(1e-9 + least(1.0, n / 100) * 0.4 + (stop / n) * 0.3 + ttr * 0.3, 4) AS quality_score
-           |FROM m""".stripMargin
-      }),
+      Some(s"""WITH ${TextSql.toksCte},
+              |${TextSql.qualitySignalsCte()}
+              |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+              |       ROUND(1e-9 + alpha_len / n, 4) AS mean_token_len,
+              |       ROUND(1e-9 + stop / n, 4) AS stopword_ratio,
+              |       ROUND(1e-9 + ttr, 4) AS type_token_ratio,
+              |       ${TextSql.qualityScoreFromM} AS quality_score
+              |FROM m""".stripMargin)),
 
     // Token counting: whitespace + BPE-ish regex tokenizer.
     ("q31_text_tokens",
@@ -878,36 +872,24 @@ object SparkEntry {
     // quality score (window top-k with deterministic id tie-break).
     ("q49_quality_topk",
       (s: SparkSession, dir: String) => {
-        val toks = TextAnalysis.tokens(col("text"))
-        val n = size(toks).cast("double")
-        val stop = TextAnalysis.markerHits(toks,
-          TextAnalysis.Markers.toMap.apply("en")).cast("double")
-        val ttr = size(array_distinct(toks)).cast("double") / n
         val scored = Cohorts.documents(s, dir).select(
           col("doc_id"), col("lang"),
-          rnd(least(lit(1.0), n / 100) * 0.4 + (stop / n) * 0.3 + ttr * 0.3, 4)
-            .as("quality_score"))
+          rnd(TextAnalysis.qualityScore(col("text")), 4).as("quality_score"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("lang")
           .orderBy(col("quality_score").desc, col("doc_id").asc)
         scored.withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= 5)
       },
-      Some {
-        val en = TextAnalysis.Markers.toMap.apply("en")
-        s"""WITH ${TextSql.toksCte},
-           |m AS (SELECT doc_id, lang, CAST(len(t) AS DOUBLE) AS n,
-           |             CAST(${TextSql.markerHits("t", en)} AS DOUBLE) AS stop,
-           |             CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
-           |      FROM toks),
-           |q AS (SELECT doc_id, lang,
-           |             ROUND(1e-9 + least(1.0, n / 100) * 0.4 + (stop / n) * 0.3 + ttr * 0.3, 4) AS quality_score
-           |      FROM m),
-           |r AS (SELECT *, CAST(row_number() OVER (
-           |        PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rank
-           |      FROM q)
-           |SELECT doc_id, lang, quality_score, rank FROM r WHERE rank <= 5""".stripMargin
-      }),
+      Some(s"""WITH ${TextSql.toksCte},
+              |${TextSql.qualitySignalsCte(" lang,")},
+              |q AS (SELECT doc_id, lang,
+              |             ${TextSql.qualityScoreFromM} AS quality_score
+              |      FROM m),
+              |r AS (SELECT *, CAST(row_number() OVER (
+              |        PARTITION BY lang ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rank
+              |      FROM q)
+              |SELECT doc_id, lang, quality_score, rank FROM r WHERE rank <= 5""".stripMargin)),
 
     // Deterministic train/valid/test split: the same hash keyed by doc id,
     // bucketed by cumulative weights; output = per-split per-language counts.

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** One document's pack assignment (top-level for the Dataset encoder). */
@@ -32,8 +32,18 @@ object Packing {
     require(budget >= 1, s"token budget must be >= 1, got $budget")
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col(groupCol).as("lang"),
-        size(TextAnalysis.tokens(col("text"))).cast("long").as("tokens"))
+    // Null group keys or texts are data bugs, not packable rows: a null
+    // group would collide with the group-change sentinel below (and a null
+    // token count crashes the encoder with an opaque error) — reject them
+    // loudly, like Sampling does for null keys.
+    def checked(c: Column, what: String, tpe: String): Column =
+      when(c.isNull,
+        raise_error(lit(s"packing: $what must not be null")).cast(tpe))
+        .otherwise(c.cast(tpe))
+    docs.select(col("doc_id"),
+        checked(col(groupCol), s"group key $groupCol", "string").as("lang"),
+        checked(size(TextAnalysis.tokens(col("text"))).cast("long"),
+          "text", "long").as("tokens"))
       .repartition(col("lang"))
       .sortWithinPartitions(col("lang"), col("doc_id"))
       .as[(Long, String, Long)]

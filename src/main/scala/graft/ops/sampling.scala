@@ -47,9 +47,11 @@ object Sampling {
       .otherwise(hashUnit(key, seed))
 
   /** DuckDB twin of [[hashUnit]] (oracle parity). */
-  def hashUnitSql(keyExpr: String, seed: String): String =
-    s"((${TextSql.polyHash(s"'$seed:' || CAST($keyExpr AS VARCHAR)")}" +
+  def hashUnitSql(keyExpr: String, seed: String): String = {
+    val quoted = seed.replace("'", "''") // total even for quoted seeds
+    s"((${TextSql.polyHash(s"'$quoted:' || CAST($keyExpr AS VARCHAR)")}" +
       s" * $MixA + $MixB) % $P) / $P.0"
+  }
 
   /** Keep each row independently with probability `rate`, decided by the
     * row's key hash. */
@@ -87,6 +89,8 @@ object Sampling {
                   weights: Seq[(String, Double)], seed: String,
                   splitCol: String = "split"): DataFrame = {
     require(weights.nonEmpty, "weights must be non-empty")
+    weights.foreach { case (name, w) =>
+      require(w >= 0.0 && w <= 1.0, s"split weight must be in [0,1]: $name -> $w") }
     require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
       s"split weights must sum to 1, got ${weights.map(_._2).sum}")
     val cum = weights.map(_._2).scanLeft(0.0)(_ + _).tail

@@ -67,6 +67,18 @@ object TextAnalysis {
     }
     (pred, best)
   }
+
+  /** Composite document quality score (unrounded): length saturation 0.4 +
+    * en-stopword ratio 0.3 + type-token ratio 0.3. THE single definition —
+    * q30 (per-doc scoring) and q49 (per-lang top-k selection) both build on
+    * it; its SQL twin is [[TextSql.qualityScoreFromM]]. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val stop = markerHits(toks, Markers.toMap.apply("en")).cast("double")
+    val ttr = size(array_distinct(toks)).cast("double") / n
+    least(lit(1.0), n / 100) * 0.4 + (stop / n) * 0.3 + ttr * 0.3
+  }
 }
 
 /** DuckDB SQL twins of [[TextAnalysis]] — fragment builders interpolated
@@ -96,4 +108,21 @@ object TextSql {
 
   def markerHits(t: String, markers: Seq[String]): String =
     s"len(list_filter($t, x -> list_contains([${markers.map("'" + _ + "'").mkString(",")}], x)))"
+
+  /** `m` CTE body for quality signals over the toks CTE: per-doc token
+    * count `n`, en-stopword count `stop`, type-token ratio `ttr` (plus
+    * `alpha_len` for q30's mean token length). */
+  def qualitySignalsCte(extraCols: String = ""): String = {
+    val en = TextAnalysis.Markers.toMap.apply("en")
+    s"""m AS (SELECT doc_id,$extraCols CAST(len(t) AS DOUBLE) AS n,
+       |             CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) AS alpha_len,
+       |             CAST(${markerHits("t", en)} AS DOUBLE) AS stop,
+       |             CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
+       |      FROM toks)""".stripMargin
+  }
+
+  /** The quality-score formula over `m`'s columns — the SQL twin of
+    * [[TextAnalysis.qualityScore]], rounded like every oracle double. */
+  val qualityScoreFromM: String =
+    "ROUND(1e-9 + least(1.0, n / 100) * 0.4 + (stop / n) * 0.3 + ttr * 0.3, 4)"
 }

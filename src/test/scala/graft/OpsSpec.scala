@@ -181,6 +181,9 @@ class OpsSpec extends SparkSpec {
     assert(counts("train") > 700 && counts("train") < 900)
     assertThrows[IllegalArgumentException](
       Sampling.splitAssign(d, "doc_id", Seq("a" -> 0.5, "b" -> 0.4), "sp"))
+    // weights summing to 1 but outside [0,1] individually are rejected too
+    assertThrows[IllegalArgumentException](
+      Sampling.splitAssign(d, "doc_id", Seq("a" -> 1.5, "b" -> -0.5), "sp"))
   }
 
   test("sequence packing is greedy first-fit per group in doc order") {
@@ -197,6 +200,15 @@ class OpsSpec extends SparkSpec {
     assert(out == Map(
       1L -> (("en", 3L, 1L)), 2L -> (("en", 2L, 1L)), 3L -> (("en", 3L, 2L)),
       4L -> (("en", 10L, 3L)), 5L -> (("en", 1L, 4L)), 6L -> (("de", 2L, 1L))))
+    // null group keys / texts are rejected, not packed under a sentinel
+    intercept[Exception] {
+      Packing.packDocuments(Seq((1L, null: String, "a b"))
+        .toDF("doc_id", "lang", "text"), 6).collect()
+    }
+    intercept[Exception] {
+      Packing.packDocuments(Seq((1L, "en", null: String))
+        .toDF("doc_id", "lang", "text"), 6).collect()
+    }
   }
 
   test("sampling rejects null keys instead of silently dropping rows") {
