@@ -84,6 +84,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: packing invariants hold for arbitrary corpora") {
+    val docGen = for {
+      n <- Gen.choose(1, 40)
+      lang <- Gen.oneOf("en", "de", "fr")
+      toks <- Gen.listOfN(n, Gen.choose(1, 50).map("w" + _))
+    } yield (lang, toks.mkString(" "))
+    val corpusGen = for {
+      n <- Gen.choose(1, 60)
+      docs <- Gen.listOfN(n, docGen)
+      budget <- Gen.choose(5L, 60L)
+    } yield (docs, budget)
+    (1 to 6).flatMap(i => corpusGen.apply(Gen.Parameters.default, Seed(100L + i)))
+      .foreach { case (docsList, budget) =>
+        val df = docsList.zipWithIndex
+          .map { case ((lang, text), i) => (i.toLong, lang, text) }
+          .toDF("doc_id", "lang", "text")
+        val out = graft.ops.Packing.packDocuments(df, budget).collect()
+        // total: every doc packed exactly once, token counts preserved
+        assert(out.map(_.doc_id).sorted.toSeq == (0L until docsList.size).toSeq)
+        // per (group, pack): total <= budget unless it is a single oversized doc
+        out.groupBy(p => (p.lang, p.pack_id)).foreach { case ((l, pid), ps) =>
+          val tot = ps.map(_.tokens).sum
+          assert(tot <= budget || ps.length == 1,
+            s"budget=$budget pack ($l,$pid) tot=$tot n=${ps.length}")
+        }
+        // pack ids are contiguous 1..K per group
+        out.groupBy(_.lang).foreach { case (l, ps) =>
+          val ids = ps.map(_.pack_id).distinct.sorted.toSeq
+          assert(ids == (1L to ids.size).toSeq, s"group $l ids $ids")
+        }
+        // greedy: a doc opens a new pack ONLY if it did not fit the previous
+        out.groupBy(_.lang).foreach { case (_, ps) =>
+          val ordered = ps.sortBy(_.doc_id)
+          ordered.sliding(2).foreach {
+            case Array(a, b) if b.pack_id == a.pack_id + 1 =>
+              val packTot = ordered
+                .filter(p => p.pack_id == a.pack_id).map(_.tokens).sum
+              assert(packTot + b.tokens > budget,
+                s"pack ${a.pack_id} closed early: $packTot + ${b.tokens} <= $budget")
+            case _ => ()
+          }
+        }
+      }
+  }
+
   test("salted pairs relation equals the plain equi-join pairs relation") {
     val c = encode(List(CRow(1, 1.0, 5.0, "x"), CRow(2, 2.0, 6.0, "y"),
       CRow(3, 3.0, 7.0, "x"), CRow(4, 4.0, 8.0, "z")))
