@@ -947,7 +947,45 @@ object SparkEntry {
               |         CASE WHEN r.acc + b.tokens > 256 THEN r.pack_id + 1
               |              ELSE r.pack_id END
               |  FROM base b JOIN rec r ON b.lang = r.lang AND b.rn = r.rn + 1)
-              |SELECT doc_id, lang, tokens, pack_id FROM rec""".stripMargin))
+              |SELECT doc_id, lang, tokens, pack_id FROM rec""".stripMargin)),
+
+    // Intra-document repetition (Gopher-style quality signal): most
+    // frequent bigram's share of all bigram occurrences.
+    ("q53_text_repetition",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.repetition(Cohorts.documents(s, dir)),
+      Some(s"""WITH ${TextSql.toksCte},
+              |g AS (SELECT doc_id, unnest(${TextSql.shingleStrings("t", 2)}) AS g
+              |      FROM toks),
+              |c AS (SELECT doc_id, ${TextSql.polyHash("g")} AS hv,
+              |             count(*) AS cnt
+              |      FROM g GROUP BY doc_id, hv)
+              |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_2grams,
+              |       CAST(max(cnt) AS BIGINT) AS max_2gram_count,
+              |       ROUND(1e-9 + CAST(max(cnt) AS DOUBLE) / sum(cnt), 4) AS repetition_ratio
+              |FROM c GROUP BY doc_id""".stripMargin)),
+
+    // Near-dup cluster consolidation on the EMBEDDING modality: the same
+    // connected-components operator composed over cosine near-dup pairs.
+    ("q54_embed_clusters",
+      (s: SparkSession, dir: String) =>
+        Dedup.dedupClusters(
+          Similarity.nearDupPairs(Cohorts.embeddings(s, dir), 0.4)
+            .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"))),
+      Some("""WITH RECURSIVE
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |prs AS (
+             |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+             |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+             |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+             |          UNION ALL SELECT doc_b, doc_a FROM prs),
+             |reach AS (
+             |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+             |  UNION
+             |  SELECT e2.u, reach.r FROM edges e2 JOIN reach ON e2.v = reach.u)
+             |SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+             |FROM reach GROUP BY u""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

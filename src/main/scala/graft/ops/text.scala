@@ -68,6 +68,26 @@ object TextAnalysis {
     (pred, best)
   }
 
+  /** Intra-document repetition stats — the Gopher-style quality signal:
+    * total bigram occurrences, the most frequent bigram's count, and their
+    * ratio (a templated/looping document scores high). Grams are hashed to
+    * longs BEFORE the per-(doc, gram) aggregation so the shuffle carries
+    * fixed-width keys, not gram strings; docs shorter than 2 tokens have no
+    * bigrams and drop out (same as the SQL twin's `unnest` of an empty
+    * list). Both aggregations partial map-side; the second's keys are
+    * exactly the docs. */
+  def repetition(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val grams = shingles(tokens(col("text")), 2)
+    docs.select(col("doc_id"), explode(grams).as("g"))
+      .groupBy(col("doc_id"), polyHash(col("g")).as("hv"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_2grams"), max("cnt").as("max_2gram_count"))
+      .select(col("doc_id"), col("n_2grams"), col("max_2gram_count"),
+        graft.Num.rnd(col("max_2gram_count").cast("double") / col("n_2grams"), 4)
+          .as("repetition_ratio"))
+  }
+
   /** Composite document quality score (unrounded): length saturation 0.4 +
     * en-stopword ratio 0.3 + type-token ratio 0.3. THE single definition —
     * q30 (per-doc scoring) and q49 (per-lang top-k selection) both build on

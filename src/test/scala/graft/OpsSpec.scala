@@ -120,6 +120,13 @@ class OpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("repetition stats: most frequent bigram share") {
+    // "a a a b": bigrams (a a), (a a), (a b) → n=3, max=2, ratio 0.6667
+    val out = TextAnalysis.repetition(docs((1L, "a a a b"), (2L, "solo")))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 3L, 2L, 0.6667))) // doc 2 has no bigrams → absent
+  }
+
   test("decontamination flags train docs sharing k-gram with benchmark") {
     val bench = docs((100L, "a b c d e"))
     // doc 1 shares shingles "a b c"/"b c d" (k=3); doc 2 disjoint
