@@ -196,16 +196,23 @@ object Dedup {
 
   /** Consolidate near-duplicate PAIRS into CLUSTERS: connected components
     * over the pair graph, labeling every matched doc with the smallest
-    * doc_id reachable from it (the canonical keeper). Pregel-style min-label
-    * propagation as plain joins/aggs — each round sends every vertex its
-    * neighbors' labels (equi-join on the edge list), takes the min, and
-    * stops at fixpoint (a driver-checked count). Rounds needed =
-    * graph diameter; near-dup clusters are dense and shallow (LSH pairs of
-    * one document family all interconnect), so this converges in a few
-    * rounds even at corpus scale — the same reason MapReduce dedup
-    * pipelines get away with label propagation instead of union-find.
-    * Output: (doc_id, cluster_id) for every doc appearing in `pairs`. */
-  def dedupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    * doc_id reachable from it (the canonical keeper).
+    * Output: (doc_id, cluster_id) for every doc appearing in `pairs`.
+    *
+    * Size-adaptive strategy. The edge list is bounded by the number of
+    * near-duplicate PAIRS — orders of magnitude smaller than the corpus —
+    * so it is usually driver-sized even when the corpus is 100 TB:
+    * below `driverThreshold` edges, collect and run union-find with path
+    * compression (near-linear, zero iterative jobs — iterative Spark
+    * rounds cost ~1 s of scheduling each, which dominates everything for
+    * graphs of millions of edges). Past the threshold, Pregel-style
+    * min-label propagation with pointer jumping (label(label(v)) per
+    * round → O(log diameter) rounds) as plain joins/aggs. Both paths
+    * compute the identical min-id labeling; equivalence is test-pinned
+    * and the oracle gate (recursive closure in DuckDB) covers whichever
+    * path the threshold selects. */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 25,
+                    driverThreshold: Long = 4000000L): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // Both orientations from ONE scan: `pairs` is typically a whole LSH
@@ -217,6 +224,10 @@ object Dedup {
         struct(col("doc_b").as("u"), col("doc_a").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct().persist(lvl)
+    val longIds = edges.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    if (longIds && edges.count() <= driverThreshold)
+      return unionFindLocal(edges)
     // Each round is eagerly materialized into an RDD-backed copy
     // (Bridge.materialized): the flat LogicalRDD plan doesn't deepen by two
     // joins per iteration, and — unlike Dataset.localCheckpoint, whose
@@ -234,12 +245,28 @@ object Dedup {
         .agg(min("nl").as("nbr"))
       // carry the previous label through the round so convergence reads off
       // the same materialized relation — no extra join per round
+      val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr"), col("cluster_id")))
+            .as("mid"),
+          col("cluster_id").as("__old"))
+      // pointer jumping: follow the label's OWN label (label(label(v))),
+      // so propagation distance doubles per round and convergence is
+      // O(log diameter) rounds, not O(diameter) — embedding near-dup
+      // graphs form long chains (cosine similarity is barely transitive),
+      // and at ~1s of job overhead per round on a cluster the round count
+      // is the entire cost for small graphs. Labels stay monotone
+      // decreasing, so the fixpoint (= neighbor-min stability) is
+      // unchanged; the lookup side recomputes `stepped` inside the same
+      // job, a few joins over data this round already touched.
+      val jumpTo = stepped
+        .select(col("doc_id").as("__jkey"), col("mid").as("__jump"))
       val (updated, updatedRdd) = Bridge.materialized(
-        labels.join(nbrMin, Seq("doc_id"), "left")
+        stepped.join(jumpTo, col("mid") === col("__jkey"), "left")
           .select(col("doc_id"),
-            least(col("cluster_id"), coalesce(col("nbr"), col("cluster_id")))
+            least(col("mid"), coalesce(col("__jump"), col("mid")))
               .as("cluster_id"),
-            col("cluster_id").as("__old")), lvl)
+            col("__old")), lvl)
       // round 0 always changes (every multi-node cluster moves) — skip the
       // count job and only pay for convergence checks from round 1 on
       changed =
@@ -255,6 +282,35 @@ object Dedup {
     // the final round's RDD stays persisted while the caller holds `labels`;
     // ContextCleaner frees it once the reference is dropped
     labels
+  }
+
+  /** Driver-side union-find over a collected (long-id) edge list: path
+    * compression + min-root union, so every root is its component's min id.
+    * ~16 bytes/edge collected; the 4M-edge default threshold is ~64 MB on
+    * the driver and runs in milliseconds. */
+  private def unionFindLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val arr = edges.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)].collect()
+    edges.unpersist()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    arr.foreach { case (u, v) =>
+      parent.getOrElseUpdate(u, u)
+      parent.getOrElseUpdate(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+    }
+    parent.keys.toSeq.sorted
+      .map(k => (k, find(k)))
+      .toDF("doc_id", "cluster_id")
   }
 
   /** The deduplicated corpus: every cluster member except the keeper (the

@@ -92,6 +92,11 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       10L -> 10L, 11L -> 10L))
+    // the distributed label-propagation path (forced via threshold 0)
+    // computes the identical labeling
+    val distributed = Dedup.dedupClusters(pairs, driverThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(distributed == out)
   }
 
   test("streaming exact dedup keeps the first-seen doc per content hash") {
