@@ -308,8 +308,11 @@ object Dedup {
       val (ru, rv) = (find(u), find(v))
       if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
     }
-    parent.keys.toSeq.sorted
-      .map(k => (k, find(k)))
+    val labeled = parent.keys.toSeq.sorted.map(k => (k, find(k)))
+    // RDD-backed, not a LocalRelation literal: millions of rows embedded in
+    // the logical plan would weigh on every optimizer pass downstream
+    spark.sparkContext
+      .parallelize(labeled, math.max(1, labeled.size / 500000))
       .toDF("doc_id", "cluster_id")
   }
 
