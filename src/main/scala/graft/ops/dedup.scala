@@ -284,35 +284,44 @@ object Dedup {
     labels
   }
 
-  /** Driver-side union-find over a collected (long-id) edge list: path
-    * compression + min-root union, so every root is its component's min id.
-    * ~16 bytes/edge collected; the 4M-edge default threshold is ~64 MB on
-    * the driver and runs in milliseconds. */
+  /** Driver-side union-find over a collected (long-id) edge list: ids are
+    * remapped to dense ints (sorted primitive array + binary search) so
+    * parent pointers live in an Array[Int] — no boxed maps. Peak driver
+    * memory at the 4M-edge default is a few hundred MB (the Tuple2[Long,
+    * Long] edge array dominates; Tuple2 is @specialized on Long). Path
+    * compression + min-root union: the sorted remap makes the min INDEX
+    * the min ID, so every root is its component's min id. */
   private def unionFindLocal(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val arr = edges.select(col("u").cast("long"), col("v").cast("long"))
       .as[(Long, Long)].collect()
     edges.unpersist()
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-    def find(x: Long): Long = {
+    // every vertex appears on the u side (edges carry both orientations)
+    val ids = arr.map(_._1)
+    java.util.Arrays.sort(ids)
+    var n = 0
+    for (i <- ids.indices)
+      if (i == 0 || ids(i) != ids(i - 1)) { ids(n) = ids(i); n += 1 }
+    val uniq = java.util.Arrays.copyOf(ids, n)
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
       var r = x
       while (parent(r) != r) r = parent(r)
       var c = x
-      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
       r
     }
     arr.foreach { case (u, v) =>
-      parent.getOrElseUpdate(u, u)
-      parent.getOrElseUpdate(v, v)
-      val (ru, rv) = (find(u), find(v))
+      val ru = find(java.util.Arrays.binarySearch(uniq, u))
+      val rv = find(java.util.Arrays.binarySearch(uniq, v))
       if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
     }
-    val labeled = parent.keys.toSeq.sorted.map(k => (k, find(k)))
+    val labeled = (0 until n).map(i => (uniq(i), uniq(find(i))))
     // RDD-backed, not a LocalRelation literal: millions of rows embedded in
     // the logical plan would weigh on every optimizer pass downstream
     spark.sparkContext
-      .parallelize(labeled, math.max(1, labeled.size / 500000))
+      .parallelize(labeled, math.max(1, n / 500000))
       .toDF("doc_id", "cluster_id")
   }
 

@@ -36,10 +36,19 @@ class PropertySpec extends SparkSpec {
   private def encode(rows: List[CRow]): DataFrame =
     rows.toDF().withColumn("features", Preprocess.tokenFeatures(Seq("cat")))
 
-  // scalatestplus isn't on the (offline) classpath - sample the generator
-  // directly with fixed seeds for deterministic property checks.
+  // scalatestplus isn't on the (offline) classpath - sample generators
+  // directly with fixed seeds for deterministic property checks. Asserts
+  // the generator actually produced values so a failing Gen can't make a
+  // property pass vacuously.
+  private def sampled[T](g: Gen[T], n: Int, seedBase: Long): Seq[T] = {
+    val out = (1 to n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(seedBase + i)))
+    assert(out.nonEmpty, "generator produced no samples")
+    out
+  }
+
   private def samples(n: Int): Seq[(List[CRow], List[CRow])] =
-    (1 to n).flatMap(i => cohortGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    sampled(cohortGen, n, 0L)
 
   test("property: conservation + cardinality hold for arbitrary cohorts (K strategy)") {
     samples(8).foreach { case (c, nc) =>
@@ -95,7 +104,7 @@ class PropertySpec extends SparkSpec {
       docs <- Gen.listOfN(n, docGen)
       budget <- Gen.choose(5L, 60L)
     } yield (docs, budget)
-    (1 to 6).flatMap(i => corpusGen.apply(Gen.Parameters.default, Seed(100L + i)))
+    sampled(corpusGen, 6, 100L)
       .foreach { case (docsList, budget) =>
         val df = docsList.zipWithIndex
           .map { case ((lang, text), i) => (i.toLong, lang, text) }
