@@ -965,6 +965,56 @@ object SparkEntry {
               |       ROUND(1e-9 + CAST(max(cnt) AS DOUBLE) / sum(cnt), 4) AS repetition_ratio
               |FROM c GROUP BY doc_id""".stripMargin)),
 
+    // Corpus-wide most-frequent bigrams per language (boilerplate/template
+    // detection): two-level hash agg + per-lang window top-k.
+    ("q55_ngram_topk",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.topNgrams(Cohorts.documents(s, dir), 2, 20),
+      Some(s"""WITH ${TextSql.toksCte},
+              |g AS (SELECT lang, unnest(${TextSql.shingleStrings("t", 2)}) AS gram
+              |      FROM toks),
+              |cnt AS (SELECT lang, gram, CAST(count(*) AS BIGINT) AS n_occurrences
+              |        FROM g GROUP BY lang, gram),
+              |r AS (SELECT *, CAST(row_number() OVER (
+              |        PARTITION BY lang ORDER BY n_occurrences DESC, gram) AS BIGINT) AS rank
+              |      FROM cnt)
+              |SELECT lang, gram, n_occurrences, rank FROM r WHERE rank <= 20""".stripMargin)),
+
+    // Vocabulary with document frequency (the IDF input): two-level
+    // aggregation so both shuffles carry pre-aggregated rows.
+    ("q56_vocab_df",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.vocabulary(Cohorts.documents(s, dir)),
+      Some(s"""WITH ${TextSql.toksCte},
+              |o AS (SELECT doc_id, unnest(t) AS token FROM toks),
+              |tf AS (SELECT doc_id, token, count(*) AS tf FROM o GROUP BY doc_id, token)
+              |SELECT token, CAST(count(*) AS BIGINT) AS doc_freq,
+              |       CAST(sum(tf) AS BIGINT) AS n_occurrences
+              |FROM tf GROUP BY token""".stripMargin)),
+
+    // Top-3 TF-IDF terms per document (tf · ln(N/df)), deterministic
+    // rounded-score ordering with token tie-break.
+    ("q57_tfidf",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.tfIdf(Cohorts.documents(s, dir), 3),
+      Some(s"""WITH ${TextSql.toksCte},
+              |o AS (SELECT doc_id, unnest(t) AS token FROM toks),
+              |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+              |       FROM o GROUP BY doc_id, token),
+              |df AS (SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
+              |       FROM tf GROUP BY token),
+              |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+              |sc AS (SELECT tf.doc_id, tf.token, tf.tf, df.doc_freq,
+              |              tf.tf * ln(nn.n / df.doc_freq) AS tf_idf
+              |       FROM tf JOIN df USING (token), nn),
+              |r AS (SELECT *, CAST(row_number() OVER (
+              |        PARTITION BY doc_id
+              |        ORDER BY round(1e-9 + tf_idf, 9) DESC, token) AS BIGINT) AS rank
+              |      FROM sc)
+              |SELECT doc_id, token, tf, doc_freq,
+              |       ROUND(1e-9 + tf_idf, 6) AS tf_idf, rank
+              |FROM r WHERE rank <= 3""".stripMargin)),
+
     // Near-dup cluster consolidation on the EMBEDDING modality: the same
     // connected-components operator composed over cosine near-dup pairs.
     ("q54_embed_clusters",

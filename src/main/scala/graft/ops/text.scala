@@ -99,6 +99,64 @@ object TextAnalysis {
     val ttr = size(array_distinct(toks)).cast("double") / n
     least(lit(1.0), n / 100) * 0.4 + (stop / n) * 0.3 + ttr * 0.3
   }
+
+  /** Corpus-wide most-frequent k-grams per language — the boilerplate /
+    * template detector (frequent n-grams across many documents are removal
+    * candidates). Plan: explode → hash-aggregate on (lang, gram) with
+    * map-side partial counts, then a per-lang window top-k —
+    * `WindowGroupLimit` prunes each partition to `topK` rows per language
+    * before the final exchange, so the sort never sees the whole vocabulary.
+    * Gram strings stay the aggregation key (they ARE the answer); the
+    * shuffle carries one row per distinct (lang, gram), bounded by the
+    * vocabulary — not the corpus. */
+  def topNgrams(docs: org.apache.spark.sql.DataFrame, k: Int = 2,
+                topK: Int = 20): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(col("n_occurrences").desc, col("gram").asc)
+    docs.select(col("lang"), explode(shingles(tokens(col("text")), k)).as("gram"))
+      .groupBy("lang", "gram")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
+  /** Vocabulary with document frequency: one row per distinct token with
+    * the number of documents containing it and total occurrences. Two-level
+    * aggregation — (doc, token) partial counts first, then token totals —
+    * so BOTH shuffles carry pre-aggregated rows (a direct
+    * `countDistinct(doc_id)` would shuffle every token occurrence). The
+    * (doc, token) relation is also exactly the term-frequency input
+    * [[tfIdf]] reuses. */
+  def vocabulary(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("doc_freq"), sum("tf").as("n_occurrences"))
+
+  /** Top-`topK` TF-IDF terms per document: tf(doc, token) · ln(N / df).
+    * The document-frequency relation is vocabulary-sized (usually
+    * broadcast-able; Catalyst/AQE decides — at web scale it degrades to a
+    * shuffle equi-join on token). N is the corpus document count, collected
+    * as a scalar. Ordering is deterministic across engines: score rounded
+    * to 9 dp, token tie-break. */
+  def tfIdf(docs: org.apache.spark.sql.DataFrame, topK: Int = 3): org.apache.spark.sql.DataFrame = {
+    val n = docs.count()
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("doc_freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(graft.Num.rnd(col("tf_idf"), 9).desc, col("token").asc)
+    tf.join(df, "token")
+      .withColumn("tf_idf", col("tf") * log(lit(n.toDouble) / col("doc_freq")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("token"), col("tf"),
+        col("doc_freq"), graft.Num.rnd(col("tf_idf"), 6).as("tf_idf"), col("rank"))
+  }
 }
 
 /** DuckDB SQL twins of [[TextAnalysis]] — fragment builders interpolated

@@ -460,4 +460,40 @@ class OpsSpec extends SparkSpec {
       assert(batch.nonEmpty)
     } finally q.stop()
   }
+
+  test("topNgrams ranks corpus bigrams per language with gram tie-break") {
+    val d = Seq(
+      (1L, "a b a b c", "en"),
+      (2L, "a b x y", "en"),
+      (3L, "q r q r", "de")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.topNgrams(d, 2, 2)
+      .select("lang", "gram", "n_occurrences", "rank")
+      .as[(String, String, Long, Long)].collect().toSet
+    // en: "a b" ×3 (twice in doc1, once in doc2); then "b a"/"b c"/"b x"/
+    // "x y" all ×1 — tie-break picks "b a".
+    assert(out == Set(
+      ("en", "a b", 3L, 1L), ("en", "b a", 1L, 2L),
+      ("de", "q r", 2L, 1L), ("de", "r q", 1L, 2L)))
+  }
+
+  test("vocabulary counts document frequency and total occurrences") {
+    val d = Seq(
+      (1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabulary(d)
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == Set(("a", 2L, 3L), ("b", 1L, 1L), ("c", 1L, 1L)))
+  }
+
+  test("tfIdf scores tf·ln(N/df) and keeps top-k per doc deterministically") {
+    val d = Seq(
+      (1L, "a a b shared"), (2L, "c shared"), (3L, "d shared")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdf(d, 2)
+    val doc1 = out.filter($"doc_id" === 1L)
+      .select("token", "tf_idf", "rank").as[(String, Double, Long)].collect().toSeq
+    // N=3. doc1: a → 2·ln(3/1) ≈ 2.1972, b → ln(3) ≈ 1.0986, shared → ln(1)=0.
+    assert(doc1.map(_._1) == Seq("a", "b"))
+    assert(math.abs(doc1.head._2 - 2 * math.log(3.0)) < 1e-4)
+    // "shared" appears in every doc → idf 0 → never outranks a real term.
+    assert(out.filter($"token" === "shared" && $"rank" === 1L).isEmpty)
+  }
 }
