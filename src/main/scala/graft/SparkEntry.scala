@@ -198,6 +198,23 @@ object SparkEntry {
               |SELECT month, nc_idx, c_idx, rank, ROUND(1e-9 + dist, 4) AS dist
               |FROM topk""".stripMargin)),
 
+    // J1/W2 scale path — exact top-k WITHOUT the dense pairs relation:
+    // per-probe adaptive radius from the 1-D k-NN distance on the numeric
+    // feature, then a bucket band join (near-linear shuffles; the dense
+    // expansion measured ~quadratic at a 10× replica). Equals q09 exactly —
+    // same oracle.
+    ("q58_knn_topk_banded",
+      (s: SparkSession, dir: String) => {
+        val (c, nc) = cohortPair(s, dir)
+        NeighborJoin.topKBanded(c, nc, Cohorts.spec, 3)
+          .select(col("month"), col("nc_idx"), col("c_idx"),
+            col("rank").cast("long").as("rank"), rnd(col("dist"), 4).as("dist"))
+      },
+      Some(s"""${OracleCtes.prefix},
+              |${OracleCtes.topk(3)}
+              |SELECT month, nc_idx, c_idx, rank, ROUND(1e-9 + dist, 4) AS dist
+              |FROM topk""".stripMargin)),
+
     // J2 — radius (theta) join via the numeric band prune (|Δacctbal| ≤ r
     // necessary condition → equi-join on (month, bucket), then exact
     // filter); output identical to filtering the dense pairs relation.

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: replicate a testdata dir N× with offset ids to measure how the
+  * heavy operators scale (the "would this survive 10×?" experiment in
+  * DESIGN.md §10). Row keys are remapped as `key * 16 + copy` so replicas
+  * never collide; documents get a distinct copy-prefix token (near-dup
+  * clones, not exact dups — stresses MinHash banding + cluster
+  * consolidation); embeddings stay bit-identical (10-clone cosine groups —
+  * stresses the near-dup pair explosion and connected components).
+  *
+  * Usage: graft.StressGen <srcDir> <outDir> <factor>
+  */
+object StressGen {
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, f) = args.take(3)
+    val factor = f.toInt
+    require(factor >= 1 && factor <= 16, "key remap key*16+i supports factor <= 16")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is TIMESTAMP(NANOS): read as long (written back as plain
+      // BIGINT, which Cohorts.events converts the same way)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def rep(df: DataFrame): DataFrame =
+      df.withColumn("__copy", explode(array((0 until factor).map(lit(_)): _*)))
+
+    def offset(c: String): org.apache.spark.sql.Column =
+      col(c) * 16 + col("__copy")
+
+    val t = (n: String) => spark.read.parquet(s"$src/$n.parquet")
+
+    // dimensions pass through unchanged
+    for (n <- Seq("region", "nation", "customer", "supplier", "part"))
+      t(n).write.mode("overwrite").parquet(s"$out/$n.parquet")
+
+    rep(t("orders"))
+      .withColumn("o_orderkey", offset("o_orderkey")).drop("__copy")
+      .repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    rep(t("lineitem"))
+      .withColumn("l_orderkey", offset("l_orderkey")).drop("__copy")
+      .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    rep(t("events"))
+      .withColumn("event_id", offset("event_id"))
+      .withColumn("user_id", offset("user_id")).drop("__copy")
+      .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    // copy 0 keeps the original text; copies 1+ get a distinct leading token
+    // (a handful of changed shingles → jaccard stays near 1: true near-dups)
+    rep(t("documents"))
+      .withColumn("text",
+        when(col("__copy") === 0, col("text"))
+          .otherwise(concat(lit("cp"), col("__copy"), lit(" "), col("text"))))
+      .withColumn("doc_id", offset("doc_id")).drop("__copy")
+      .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    rep(t("embeddings"))
+      .withColumn("vec_id", offset("vec_id")).drop("__copy")
+      .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    println(s"[stressgen] wrote ${factor}x replica of $src to $out")
+    spark.stop()
+  }
+}

@@ -276,6 +276,39 @@ object NeighborJoin {
     joined.filter(col("dist") <= col("__radius")).drop("__radius")
   }
 
+  /** Per-cohort-radius join WITHOUT the dense pairs relation — the
+    * band-pruned twin of [[withinRadiusPerCohort]] (same output, pinned by
+    * PropertySpec), with the bucket width set per cohort from its own
+    * radius. Same necessary-condition argument as [[withinRadiusBucketed]]:
+    * dist ≥ |Δx₁| under both metrics, so |Δx₁| ≤ r prunes soundly. Falls
+    * back to the dense relation when the spec has no numeric feature. */
+  def withinRadiusBucketedPerCohort(consent: DataFrame, noconsent: DataFrame,
+                                    radii: DataFrame, spec: CohortSpec): DataFrame = {
+    if (spec.numCols.isEmpty)
+      return withinRadiusPerCohort(
+        pairs(consent, noconsent, spec), radii, spec.cohortCols)
+    val coh = spec.cohortCols
+    val x = spec.numCols.head
+    // zero/negative radii (quantile of exact-duplicate distances) still
+    // need a positive bucket width for the floor(x/w) keys
+    val widths = radii.withColumn("__w", greatest(col("__radius"), lit(1e-6)))
+    def joinCoh(df: DataFrame): DataFrame =
+      if (coh.nonEmpty) df.join(broadcast(widths), coh)
+      else df.crossJoin(broadcast(widths))
+    val cB = joinCoh(prefixed(consent, spec, "c_"))
+      .withColumn("__bucket", floor(col(s"c_$x") / col("__w")).cast("long"))
+      .drop("__w", "__radius")
+    val ncB = joinCoh(prefixed(noconsent, spec, "nc_"))
+      .withColumn("__bucket", explode(array(Seq(-1L, 0L, 1L).map(d =>
+        floor(col(s"nc_$x") / col("__w")).cast("long") + lit(d)): _*)))
+    val numPairs = spec.numCols.map(n => (col(s"nc_$n"), col(s"c_$n")))
+    ncB.join(cB, coh :+ "__bucket")
+      .withColumn("dist", spec.metric.dist(col("nc_features"), col("c_features"), numPairs))
+      .filter(col("dist") <= col("__radius"))
+      .drop((Seq("__bucket", "__w", "__radius", "nc_features", "c_features") ++
+        spec.numCols.flatMap(n => Seq(s"nc_$n", s"c_$n"))): _*)
+  }
+
   /** Map-side top-k prune: within each input partition keep only the k
     * best candidates per (cohort…, nc_idx) group, preserving the schema.
     * This is the "partial aggregation" half of a scale-proof top-k — the
@@ -312,5 +345,124 @@ object NeighborJoin {
     * [[topK]] — pinned by KnnSpec — with a shuffle that stays O(k·|NC|). */
   def topKCombined(pairs: DataFrame, spec: CohortSpec, k: Int): DataFrame =
     topK(topKLocalPrune(pairs, spec, k), spec, k.toDouble)
+
+  /** Exact top-k WITHOUT the dense pairs relation — the plan that survives a
+    * 100× cohort (measured: the dense |NC|×|C| expansion is ~quadratic, 105 s
+    * at a 10× sf0.1 replica where this path holds near-linear).
+    *
+    * Exactness argument, per noconsent row i (x = the single numeric
+    * feature; both metrics bound dist ≥ |Δx|):
+    *
+    *  1. The k consent rows nearest to i by |Δx| ALONE sit within ranks
+    *     [pos−k+1, pos+k] of the cohort's x-sorted consent order, where pos =
+    *     #{consent with x < nc.x} (|Δx| grows monotonically walking away from
+    *     the insertion point, ties included). D = the k-th smallest |Δx|
+    *     among them is the exact 1-D k-NN distance.
+    *  2. Each of those k rows has full dist ≤ bound(D): manhattan
+    *     D + B, euclidean √(D² + B), with B = |nc tokens| + max |c tokens|
+    *     ≥ any token-part distance. So the TRUE k-th best dist ≤ bound(D).
+    *  3. Any consent row in the true top-k therefore has
+    *     |Δx| ≤ dist ≤ bound(D) — the adaptive per-row radius r_i. The
+    *     bucket band join below admits every row with |Δx| ≤ r_i, i.e. a
+    *     SUPERSET of the true top-k; the exact (dist, c_idx) window rank on
+    *     that superset selects identical rows to [[topK]] on the dense
+    *     relation (equivalence pinned by PropertySpec; q58 shares q09's
+    *     oracle).
+    *
+    * Plan shape: two rank windows over (|C|+|NC|) rows, an explode-equi-join
+    * of 2k ranks per probe (shuffle O(k·|NC|)), and a bucket band join with
+    * per-cohort width W = max r_i — every shuffle is keyed and near-linear;
+    * nothing materializes |NC|×|C|. Skew note: one probe in a sparse x
+    * region inflates W for its whole cohort; the refinement (documented, not
+    * needed at tested scales) is a two-tier W with a dense fallback for the
+    * few wide-radius probes.
+    *
+    * Falls back to the dense path when the spec has no single numeric
+    * feature (the 1-D bound needs exactly one: with extra numeric columns
+    * dist ≥ |Δx₁| still holds but step 2's bound does not). */
+  def topKBanded(consent: DataFrame, noconsent: DataFrame,
+                 spec: CohortSpec, k: Int): DataFrame = {
+    require(k >= 1, s"topKBanded needs a fixed k >= 1, got $k")
+    if (spec.numCols.size != 1)
+      return topK(pairs(consent, noconsent, spec), spec, k.toDouble)
+    val coh = spec.cohortCols
+    val x = spec.numCols.head
+    val c0 = prefixed(consent, spec, "c_")
+    val nc0 = prefixed(noconsent, spec, "nc_")
+
+    // consent rows ranked by x within each cohort (+ per-cohort count and
+    // max token-set size — dimension-sized, broadcast).
+    val wRank = Window.partitionBy(coh.map(col(_)): _*)
+      .orderBy(col(s"c_$x").asc, col("c_idx").asc)
+    val cRanked = c0.withColumn("__rn", row_number().over(wRank).cast("long"))
+    val cStats = c0.groupBy(coh.map(col(_)): _*)
+      .agg(count(lit(1)).as("__cnt"), max(size(col("c_features"))).as("__cmaxtok"))
+
+    // pos = #{consent with x < probe.x}: running consent-count over the
+    // unioned x-order; at equal x probes sort FIRST (__isc asc) so same-x
+    // consent is excluded — either tie side works, the ±k rank window walks
+    // monotonically in |Δx| from the insertion point regardless.
+    val cu = c0.select(coh.map(col(_)) ++ Seq(
+      col(s"c_$x").as("__x"), col("c_idx").as("__uid"), lit(1).as("__isc")): _*)
+    val nu = nc0.select(coh.map(col(_)) ++ Seq(
+      col(s"nc_$x").as("__x"), col("nc_idx").as("__uid"), lit(0).as("__isc")): _*)
+    val wPos = Window.partitionBy(coh.map(col(_)): _*)
+      .orderBy(col("__x").asc, col("__isc").asc, col("__uid").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pos = cu.union(nu)
+      .withColumn("__pos", sum("__isc").over(wPos))
+      .filter(col("__isc") === 0)
+      .select(coh.map(col(_)) :+ col("__uid").as("nc_idx") :+ col("__pos"): _*)
+
+    // broadcast-join a dimension-sized per-cohort frame (cross when the
+    // spec has no cohort scope — both frames are then single-row/global).
+    def joinCoh(df: DataFrame, small: DataFrame): DataFrame =
+      if (coh.nonEmpty) df.join(broadcast(small), coh)
+      else df.crossJoin(broadcast(small))
+
+    // the ±k rank window per probe: ≤ 2k candidate ranks, equi-joined.
+    val joinKeys = coh :+ "nc_idx"
+    val probes = nc0.select(coh.map(col(_)) ++
+      Seq(col("nc_idx"), col(s"nc_$x")): _*).join(pos, joinKeys)
+    val probeRanks = joinCoh(probes, cStats).withColumn("__rn",
+      explode(sequence(greatest(col("__pos") - (k - 1), lit(1L)),
+        least(col("__pos") + k, col("__cnt")))))
+    val dxK = probeRanks
+      .join(cRanked.select(coh.map(col(_)) ++ Seq(col("__rn"), col(s"c_$x").as("__cx")): _*),
+        coh :+ "__rn")
+      .groupBy((coh :+ "nc_idx").map(col(_)): _*)
+      .agg(array_sort(collect_list(abs(col(s"nc_$x") - col("__cx")))).as("__ds"))
+      .select(coh.map(col(_)) ++ Seq(col("nc_idx"),
+        element_at(col("__ds"), least(lit(k), size(col("__ds")))).as("__d")): _*)
+
+    // adaptive radius r_i = bound(D); cohort band width W = max r_i.
+    val ncD = joinCoh(nc0.join(dxK, joinKeys), cStats)
+      .withColumn("__b0", size(col("nc_features")) + col("__cmaxtok"))
+      .withColumn("__r", spec.metric match {
+        case Manhattan => col("__d") + col("__b0")
+        case Euclidean => sqrt(col("__d") * col("__d") + col("__b0"))
+      })
+    val widths = ncD.groupBy(coh.map(col(_)): _*)
+      .agg(greatest(max(col("__r")), lit(1e-6)).as("__w"))
+    val ncB = joinCoh(ncD, widths)
+      .withColumn("__bucket", explode(sequence(
+        floor((col(s"nc_$x") - col("__r")) / col("__w")).cast("long"),
+        floor((col(s"nc_$x") + col("__r")) / col("__w")).cast("long"))))
+    val cB = joinCoh(cRanked.drop("__rn"), widths)
+      .withColumn("__bucket", floor(col(s"c_$x") / col("__w")).cast("long"))
+      .drop("__w")
+
+    val numPairs = spec.numCols.map(n => (col(s"nc_$n"), col(s"c_$n")))
+    val cand = ncB.join(cB, coh :+ "__bucket")
+      .filter(abs(col(s"nc_$x") - col(s"c_$x")) <= col("__r"))
+      .withColumn("dist", spec.metric.dist(col("nc_features"), col("c_features"), numPairs))
+    val w = Window
+      .partitionBy((coh :+ "nc_idx").map(col(_)): _*)
+      .orderBy(col("dist").asc, col("c_idx").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(coh.map(col(_)) ++ Seq(col("nc_idx"), col("nc_value"),
+        col("c_idx"), col("c_value"), col("dist"), col("rank")): _*)
+  }
 
 }

@@ -43,8 +43,15 @@ object CocoaPipeline {
   def run(consent: DataFrame, noconsent: DataFrame, spec: CohortSpec,
           strategy: MatchStrategy,
           broadcastConsent: Boolean = false): AdjustmentResult = {
-    val allPairs = NeighborJoin.pairs(consent, noconsent, spec, broadcastConsent)
+    lazy val allPairs = NeighborJoin.pairs(consent, noconsent, spec, broadcastConsent)
     strategy match {
+      // Fixed k with a single numeric feature: the banded exact top-k —
+      // never materializes the |NC|×|C| pairs relation (near-linear at a
+      // 10× replica where the dense expansion is ~quadratic; equivalence
+      // pinned by PropertySpec and q58's shared oracle).
+      case MatchStrategy.K(k) if k >= 1 && spec.numCols.size == 1 =>
+        finish(consent, noconsent,
+          NeighborJoin.topKBanded(consent, noconsent, spec, k.toInt), spec)
       case MatchStrategy.K(k) =>
         finish(consent, noconsent,
           NeighborJoin.topK(allPairs, spec, k, Some(consent)), spec)
@@ -62,12 +69,18 @@ object CocoaPipeline {
         // nearest-distance relation (O(|NC|) rows) is worth holding —
         // caching the full pairs relation costs more in columnar-cache build
         // than recomputing the (codegen'd) distance join for pass 2.
-        val nearest = Summary
-          .nearestDistances(NeighborJoin.topK(allPairs, spec, 1.0), spec)
+        // Both passes take the band-pruned paths when a numeric feature
+        // exists (banded top-1, per-cohort-width bucket radius join) — the
+        // dense pairs relation is never materialized; equivalence pinned by
+        // PropertySpec.
+        val pass1 =
+          if (spec.numCols.size == 1) NeighborJoin.topKBanded(consent, noconsent, spec, 1)
+          else NeighborJoin.topK(allPairs, spec, 1.0)
+        val nearest = Summary.nearestDistances(pass1, spec)
           .persist(StorageLevel.MEMORY_AND_DISK)
         val radii = Summary.minRadiusByPercentilePerCohort(nearest, p, spec)
         finish(consent, noconsent,
-          NeighborJoin.withinRadiusPerCohort(allPairs, radii, spec.cohortCols), spec)
+          NeighborJoin.withinRadiusBucketedPerCohort(consent, noconsent, radii, spec), spec)
     }
   }
 

@@ -93,6 +93,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: banded top-k equals dense top-k on arbitrary cohorts") {
+    // k spans under- and over-provisioned neighborhoods (k=3 can exceed
+    // |consent| for small samples — both paths must then return all rows);
+    // both metrics exercise both radius-bound shapes.
+    samples(5).foreach { case (c, nc) =>
+      for (m <- Seq(Manhattan, Euclidean); k <- Seq(1, 3)) {
+        val sp = spec.copy(metric = m)
+        val dense = NeighborJoin.topK(NeighborJoin.pairs(encode(c), encode(nc), sp), sp, k.toDouble)
+          .select("nc_idx", "c_idx", "rank", "dist").collect().map(_.toSeq).toSet
+        val banded = NeighborJoin.topKBanded(encode(c), encode(nc), sp, k)
+          .select("nc_idx", "c_idx", "rank", "dist").collect().map(_.toSeq).toSet
+        assert(banded == dense, s"metric=$m k=$k c=$c nc=$nc")
+      }
+    }
+  }
+
+  test("property: per-cohort bucketed radius join equals dense per-cohort filter") {
+    // radii spanning zero (exact-dup distances), sub-token and wide regimes
+    samples(5).foreach { case (c, nc) =>
+      for (r <- Seq(0.0, 1.5, 4.0)) {
+        val radii = spark.range(1).select(lit(r).as("__radius"))
+        val dense = NeighborJoin.withinRadiusPerCohort(
+            NeighborJoin.pairs(encode(c), encode(nc), spec), radii, Nil)
+          .select("nc_idx", "c_idx", "dist").collect().map(_.toSeq).toSet
+        val banded = NeighborJoin.withinRadiusBucketedPerCohort(
+            encode(c), encode(nc), radii, spec)
+          .select("nc_idx", "c_idx", "dist").collect().map(_.toSeq).toSet
+        assert(banded == dense, s"radius=$r c=$c nc=$nc")
+      }
+    }
+  }
+
   test("property: packing invariants hold for arbitrary corpora") {
     val docGen = for {
       n <- Gen.choose(1, 40)
