@@ -387,6 +387,12 @@ object NeighborJoin {
       return topK(pairs(consent, noconsent, spec), spec, k.toDouble)
     val coh = spec.cohortCols
     val x = spec.numCols.head
+    // The prefixed projections feed 3-4 consumers (rank window, pos union,
+    // probe/candidate sides). They are intentionally NOT persisted:
+    // measured at both 1× and 10×, the columnar-cache build of the
+    // token-array column costs more than recomputing the (pushed-down,
+    // codegen'd) scan+join per consumer — the same trade recorded for the
+    // pairs relation in CocoaPipeline.
     val c0 = prefixed(consent, spec, "c_")
     val nc0 = prefixed(noconsent, spec, "nc_")
 

@@ -125,6 +125,19 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("banded top-k plan is fully equi-joined under cohort scope") {
+    val sp = spec.copy(cohortCols = Seq("g"))
+    val withG = (rows: List[CRow]) => encode(rows)
+      .withColumn("g", pmod(col("id"), lit(2)).cast("string"))
+    val (c, nc) = samples(1).head
+    val plan = NeighborJoin.topKBanded(withG(c), withG(nc), sp, 3)
+      .queryExecution.executedPlan.toString
+    // every join must be hash-keyed: the dense |NC|x|C| expansion this
+    // operator exists to avoid would surface as a cartesian/BNL stage
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoop"), plan.take(2000))
+  }
+
   test("property: packing invariants hold for arbitrary corpora") {
     val docGen = for {
       n <- Gen.choose(1, 40)
