@@ -15,6 +15,23 @@ object BenchOne {
     spark.sparkContext.setLogLevel("ERROR")
     // Dev probes not in the driver registry (plan-shape comparisons).
     val probes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "x_clusters_lsh" -> ((s, dir) =>
+        graft.ops.Dedup.clustersLsh(Cohorts.documents(s, dir), 0.5)),
+      "x_clusters_exact" -> ((s, dir) =>
+        graft.ops.Dedup.dedupClusters(
+          graft.ops.Dedup.minHashPairs(Cohorts.documents(s, dir), 0.5))),
+      // throws unless the star-edge clusters equal the pair-enumeration
+      // clusters on this corpus (dev equality probe)
+      "x_clusters_eq" -> ((s, dir) => {
+        val lsh = graft.ops.Dedup.clustersLsh(Cohorts.documents(s, dir), 0.5)
+          .collect().map(_.toSeq).toSet
+        val exact = graft.ops.Dedup.dedupClusters(
+            graft.ops.Dedup.minHashPairs(Cohorts.documents(s, dir), 0.5))
+          .collect().map(_.toSeq).toSet
+        require(lsh == exact,
+          s"clustersLsh != exact: only-lsh=${(lsh -- exact).take(5)} only-exact=${(exact -- lsh).take(5)}")
+        s.range(1).toDF()
+      }),
       "x_topk_agg" -> ((s, dir) => {
         val (c, nc) = Cohorts.cohorts(s, dir)
         TopKAgg.topK(

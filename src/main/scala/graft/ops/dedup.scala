@@ -325,6 +325,54 @@ object Dedup {
       .toDF("doc_id", "cluster_id")
   }
 
+  /** Near-duplicate CLUSTERS at corpus scale WITHOUT pair enumeration — the
+    * anchor-edge (star) construction production dedup pipelines use when
+    * duplicate clusters are huge. [[minHashPairs]] must materialize every
+    * intra-cluster pair: a corpus with c-way duplication emits O(c²) true
+    * pairs per cluster AND pays a band×c² candidate blowup before its
+    * distinct (measured: 351 s at a 100×-replica corpus of 100-way clones,
+    * where the pair OUTPUT alone is ~25M rows). Here each band bucket
+    * instead contributes one VERIFIED edge per member to the bucket's
+    * min-id doc (hub): edges are O(docs × bands) regardless of clustering,
+    * the window-min needs no per-bucket materialization, and the exact
+    * Jaccard verify keeps sub-threshold bucket collisions (frequent at low
+    * thresholds, where the S-curve is shallow) out of the graph.
+    *
+    * Semantics: components of the verified hub-edge graph. Identical to
+    * `dedupClusters(minHashPairs(...))` whenever cluster members verify
+    * against their bucket hubs (clone-style clusters — the common case this
+    * operator exists for; pinned by OpsSpec); a true pair can split off
+    * only when BOTH endpoints fail verification against every shared
+    * bucket's hub — the standard anchor-doc approximation. Exact pair
+    * semantics stay available via [[minHashPairs]] + [[dedupClusters]]. */
+  def clustersLsh(docs: DataFrame, threshold: Double, k: Int = 3): DataFrame = {
+    val (bands, rows) = bandingFor(threshold)
+    val sigSeeds = Seeds.take(bands * rows)
+    val sets = shingleSets(docs, k)
+      .filter(size(col("shingles")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = sets.select(col("doc_id"), col("shingles"),
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.expr.MinHashSig(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("shingles")),
+          sigSeeds.map(_._1), sigSeeds.map(_._2))).as("sig"))
+    val bandKey = (b: Int) =>
+      xxhash64((0 until rows).map(r => col("sig")(b * rows + r)): _*)
+    val buckets = sigs.select(col("doc_id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // hub = bucket min: a window aggregate, not a groupBy+collect — no
+    // bucket is ever materialized as one row however large the cluster.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
+    val star = buckets
+      .withColumn("hub", min("doc_id").over(w))
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+    dedupClusters(verifyJaccard(star, sets, threshold).select("doc_a", "doc_b"))
+  }
+
   /** The deduplicated corpus: every cluster member except the keeper (the
     * cluster's min doc_id) is dropped; documents that appear in no near-dup
     * pair pass through untouched. Left-anti join on the drop list; the

@@ -461,6 +461,27 @@ class OpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("clustersLsh equals pair-enumeration clusters on clone-style corpora") {
+    // clone clusters around an original (the hub-verifiable shape this
+    // operator targets): 3 originals × 4 mutated clones + 2 singletons
+    val base = (g: Int) => (1 to 30).map(i => s"g${g}tok$i").mkString(" ")
+    val rows = (0 until 3).flatMap { g =>
+      (0 until 5).map { c =>
+        val text = if (c == 0) base(g) else s"cp$c " + base(g)
+        ((g * 16 + c).toLong, text)
+      }
+    } ++ Seq((100L, (1 to 30).map(i => s"solo$i").mkString(" ")),
+             (101L, (200 to 230).map(i => s"other$i").mkString(" ")))
+    val d = docs(rows: _*)
+    val exact = Dedup.dedupClusters(Dedup.minHashPairs(d, 0.5))
+      .as[(Long, Long)].collect().toSet
+    val star = Dedup.clustersLsh(d, 0.5)
+      .as[(Long, Long)].collect().toSet
+    assert(star == exact)
+    // three clusters, keeper = min id of each
+    assert(exact.count { case (id, cl) => id == cl } == 3)
+  }
+
   test("topNgrams ranks corpus bigrams per language with gram tie-break") {
     val d = Seq(
       (1L, "a b a b c", "en"),
