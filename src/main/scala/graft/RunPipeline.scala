@@ -32,15 +32,18 @@ object RunPipeline {
     try run(spark, args) finally spark.stop()
   }
 
+  /** Strategy CLI syntax shared with [[RunPipelineStream]]. */
+  def parseStrategy(s: String): MatchStrategy = s match {
+    case s if s.startsWith("k=") => MatchStrategy.K(s.drop(2).toDouble)
+    case s if s.startsWith("radius=") => MatchStrategy.Radius(s.drop(7).toDouble)
+    case s if s.startsWith("percentile=") => MatchStrategy.Percentile(s.drop(11).toDouble)
+    case s => throw new IllegalArgumentException(s"unknown strategy: $s")
+  }
+
   /** Session-agnostic body (tests drive this with their own session). */
   def run(spark: SparkSession, args: Array[String]): Unit = {
     val Array(consentPath, noconsentPath, outDir) = args.take(3)
-    val strategy: MatchStrategy = args.lift(3).getOrElse("k=3") match {
-      case s if s.startsWith("k=") => MatchStrategy.K(s.drop(2).toDouble)
-      case s if s.startsWith("radius=") => MatchStrategy.Radius(s.drop(7).toDouble)
-      case s if s.startsWith("percentile=") => MatchStrategy.Percentile(s.drop(11).toDouble)
-      case s => throw new IllegalArgumentException(s"unknown strategy: $s")
-    }
+    val strategy = parseStrategy(args.lift(3).getOrElse("k=3"))
 
     val cfg = JobConfig(
       idCols = Seq("gclid", "conversion_timestamp"),
@@ -48,7 +51,6 @@ object RunPipeline {
       dateCol = "conversion_date",
       cohortCols = Seq("conversion_date"))
 
-    val consentRaw = spark.read.parquet(consentPath)
     val noconsentRaw = spark.read.parquet(noconsentPath)
 
     // Date scope: explicit dates file, else a 1-day lookback from the
@@ -60,6 +62,21 @@ object RunPipeline {
           .agg(date_format(max(col(cfg.dateCol)), "yyyy-MM-dd")).first().getString(0)
         Seq(maxD)
     }
+    runForDates(spark, consentPath, noconsentPath, outDir, strategy, dates)
+  }
+
+  /** One adjustment job over an explicit date scope — shared by the batch
+    * CLI above and the streaming driver ([[RunPipelineStream]]). */
+  def runForDates(spark: SparkSession, consentPath: String, noconsentPath: String,
+                  outDir: String, strategy: MatchStrategy, dates: Seq[String]): Unit = {
+    val cfg = JobConfig(
+      idCols = Seq("gclid", "conversion_timestamp"),
+      conversionCol = "conversion_value",
+      dateCol = "conversion_date",
+      cohortCols = Seq("conversion_date"))
+
+    val consentRaw = spark.read.parquet(consentPath)
+    val noconsentRaw = spark.read.parquet(noconsentPath)
 
     val inDates = (df: org.apache.spark.sql.DataFrame) =>
       df.filter(date_format(col(cfg.dateCol), "yyyy-MM-dd").isin(dates: _*))

@@ -111,4 +111,50 @@ class MatcherSpec extends SparkSpec {
     assert(summary.select(col("percentage_matched_conversions").cast("double"))
       .as[Double].head() == 100.0)
   }
+
+  test("RunPipelineStream drains dates files with AvailableNow, equal to batch") {
+    val dir = Files.createTempDirectory("graft-stream-e2e").toString
+    val mk = (gclid: String, ts: String, v: Double, d: String) =>
+      (gclid, ts, v, d, "dress")
+    val consent = Seq(
+      mk("1", "2021-11-20 12:00:00 UTC", 10.0, "2021-11-20"),
+      mk("2", "2021-11-20 13:00:00 UTC", 10.0, "2021-11-20"),
+      mk("3", "2021-11-21 12:00:00 UTC", 5.0, "2021-11-21"),
+      mk("4", "2021-11-21 13:00:00 UTC", 5.0, "2021-11-21"))
+      .toDF("gclid", "conversion_timestamp", "conversion_value",
+        "conversion_date", "conversion_item")
+      .withColumn("conversion_date", to_date(col("conversion_date")))
+    val noconsent = Seq(
+      mk("10", "2021-11-20 14:00:00 UTC", 20.0, "2021-11-20"),
+      mk("11", "2021-11-21 14:00:00 UTC", 8.0, "2021-11-21"))
+      .toDF("gclid", "conversion_timestamp", "conversion_value",
+        "conversion_date", "conversion_item")
+      .withColumn("conversion_date", to_date(col("conversion_date")))
+    consent.write.parquet(s"$dir/consent")
+    noconsent.write.parquet(s"$dir/noconsent")
+    // two dates files pending before the stream starts — AvailableNow
+    // must drain both, writing both date partitions into one output dir
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/dates"))
+    Files.write(java.nio.file.Paths.get(s"$dir/dates/f1.txt"),
+      "2021-11-20\n".getBytes)
+    Files.write(java.nio.file.Paths.get(s"$dir/dates/f2.txt"),
+      "2021-11-21\n".getBytes)
+
+    RunPipelineStream.run(spark,
+      Array(s"$dir/consent", s"$dir/noconsent", s"$dir/out", s"$dir/dates", "k=2"))
+
+    val out = spark.read.option("header", "true").csv(s"$dir/out/adjustments_data")
+    assert(out.count() == 4)
+    val perDate = out.groupBy("conversion_date")
+      .agg(sum(col("adjusted_conversion").cast("double")).as("s"))
+      .as[(String, Double)].collect().toMap
+    assert(perDate("2021-11-20") == 20.0 && perDate("2021-11-21") == 8.0)
+
+    // restart with the same checkpoint: both files already committed — the
+    // drained stream must re-process nothing (exactly-once dates handling)
+    RunPipelineStream.run(spark,
+      Array(s"$dir/consent", s"$dir/noconsent", s"$dir/out", s"$dir/dates", "k=2"))
+    assert(spark.read.option("header", "true")
+      .csv(s"$dir/out/adjustments_data").count() == 4)
+  }
 }
