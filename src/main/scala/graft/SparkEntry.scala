@@ -25,6 +25,14 @@ object SparkEntry {
     NeighborJoin.pairs(c, nc, Cohorts.spec, broadcastConsent = true)
   }
 
+  /** Banded exact top-k over the standard cohorts (≡ dense top-k — q58,
+    * PropertySpec): the input for gates that test DOWNSTREAM operators, so
+    * only q08/q09 intentionally exercise the quadratic reference kernel. */
+  private def bandedTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val (c, nc) = cohortPair(s, dir)
+    NeighborJoin.topKBanded(c, nc, Cohorts.spec, k)
+  }
+
   /** Shared projection of a full adjusted frame (q13/q18). */
   private def selectAdjusted(adjusted: DataFrame): DataFrame =
     adjusted.select(
@@ -246,10 +254,12 @@ object SparkEntry {
               |FROM pairs WHERE dist <= 2.5 GROUP BY month, nc_idx""".stripMargin)),
 
     // W1 — numerically-stable softmax(−dist) shares per noconsent row.
+    // Input = the banded exact top-k (≡ dense; q58/PropertySpec) so the
+    // gate exercises the softmax operator, not the quadratic pairs kernel.
     ("q11_softmax_shares",
       (s: SparkSession, dir: String) =>
         Adjust.softmaxShares(
-            NeighborJoin.topK(allPairs(s, dir), Cohorts.spec, 3.0), Cohorts.spec)
+            bandedTopK(s, dir, 3), Cohorts.spec)
           .select(col("month"), col("nc_idx"), col("c_idx"),
             rnd(col("weight"), 6).as("weight"),
             rnd(col("weighted_value"), 4).as("weighted_value")),
@@ -264,7 +274,7 @@ object SparkEntry {
     ("q12_scatter_add",
       (s: SparkSession, dir: String) =>
         Adjust.softmaxShares(
-            NeighborJoin.topK(allPairs(s, dir), Cohorts.spec, 3.0), Cohorts.spec)
+            bandedTopK(s, dir, 3), Cohorts.spec)
           .groupBy("month", "c_idx")
           .agg(rnd(sum("weighted_value"), 4).as("adjusted_conversion"),
                rnd(sum("dist") / count(lit(1)), 4).as("average_distance"),
@@ -339,8 +349,7 @@ object SparkEntry {
     ("q16_quantile_radius",
       (s: SparkSession, dir: String) =>
         Summary.minRadiusByPercentilePerCohort(
-            Summary.nearestDistances(
-              NeighborJoin.topK(allPairs(s, dir), Cohorts.spec, 1.0), Cohorts.spec),
+            Summary.nearestDistances(bandedTopK(s, dir, 1), Cohorts.spec),
             0.9, Cohorts.spec)
           .select(col("month"), rnd(col("__radius"), 4).as("radius")),
       Some(s"""${OracleCtes.prefix},
@@ -353,8 +362,7 @@ object SparkEntry {
     ("q17_distance_describe",
       (s: SparkSession, dir: String) => {
         val d = col("distance_to_nearest_neighbor")
-        Summary.nearestDistances(
-            NeighborJoin.topK(allPairs(s, dir), Cohorts.spec, 1.0), Cohorts.spec)
+        Summary.nearestDistances(bandedTopK(s, dir, 1), Cohorts.spec)
           .agg(count(lit(1)).as("count"), rnd(avg(d), 4).as("mean"),
             rnd(stddev_samp(d), 4).as("std"), rnd(min(d), 4).as("min"),
             rnd(expr("percentile(distance_to_nearest_neighbor, 0.25)"), 4).as("p25"),
@@ -402,9 +410,7 @@ object SparkEntry {
       (s: SparkSession, dir: String) => {
         val (c, nc) = cohortPair(s, dir)
         val shares = Adjust.softmaxShares(
-          NeighborJoin.topK(NeighborJoin.pairs(c, nc, Cohorts.spec,
-            broadcastConsent = true), Cohorts.spec, 3.0),
-          Cohorts.spec)
+          NeighborJoin.topKBanded(c, nc, Cohorts.spec, 3), Cohorts.spec)
         val matchedNc = shares.select("month", "nc_idx", "nc_value").distinct()
           .groupBy("month").agg(sum("nc_value").as("nc_sum"))
         val cCnt = c.groupBy("month").agg(count(lit(1)).as("c_cnt"))
@@ -491,8 +497,7 @@ object SparkEntry {
       (s: SparkSession, dir: String) => {
         val (c, nc) = cohortPair(s, dir)
         val spec = Cohorts.spec.copy(metric = Euclidean)
-        NeighborJoin.topK(
-            NeighborJoin.pairs(c, nc, spec, broadcastConsent = true), spec, 3.0)
+        NeighborJoin.topKBanded(c, nc, spec, 3)
           .select(col("month"), col("nc_idx"), col("c_idx"),
             col("rank").cast("long").as("rank"), rnd(col("dist"), 4).as("dist"))
       },
@@ -513,9 +518,7 @@ object SparkEntry {
     ("q39_knn_proportional_k",
       (s: SparkSession, dir: String) => {
         val (c, nc) = cohortPair(s, dir)
-        NeighborJoin.topK(
-            NeighborJoin.pairs(c, nc, Cohorts.spec, broadcastConsent = true),
-            Cohorts.spec, 0.1, Some(c))
+        NeighborJoin.topKBandedProportional(c, nc, Cohorts.spec, 0.1)
           .groupBy("month", "nc_idx")
           .agg(count(lit(1)).as("n_neighbors"))
       },

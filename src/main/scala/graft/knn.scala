@@ -346,6 +346,27 @@ object NeighborJoin {
   def topKCombined(pairs: DataFrame, spec: CohortSpec, k: Int): DataFrame =
     topK(topKLocalPrune(pairs, spec, k), spec, k.toDouble)
 
+  /** Proportional k (k = frac·|cohort consent|) through the banded path:
+    * run [[topKBanded]] at the LARGEST cohort's resolved k, then filter each
+    * cohort to its own k — the banded top-kMax is a superset of every
+    * cohort's top-k with identical (dist, c_idx) ranks, so the result equals
+    * [[topK]] with proportional resolution (same oracle as q39). */
+  def topKBandedProportional(consent: DataFrame, noconsent: DataFrame,
+                             spec: CohortSpec, frac: Double): DataFrame = {
+    require(frac > 0 && frac < 1, s"proportional k must be in (0,1), got $frac")
+    val perCohort = resolveK(consent, spec, frac)
+      .getOrElse(throw new IllegalStateException("unreachable: frac < 1"))
+    val kMax = Option(perCohort.agg(max("__k")).first().get(0))
+      .map(_.asInstanceOf[Int]).getOrElse(0)
+    require(kMax >= 1,
+      s"proportional k=$frac resolves to 0 neighbors for every cohort")
+    val ranked = topKBanded(consent, noconsent, spec, kMax)
+    val joined =
+      if (spec.cohortCols.nonEmpty) ranked.join(broadcast(perCohort), spec.cohortCols)
+      else ranked.crossJoin(broadcast(perCohort))
+    joined.filter(col("rank") <= col("__k")).drop("__k")
+  }
+
   /** Exact top-k WITHOUT the dense pairs relation — the plan that survives a
     * 100× cohort (measured: the dense |NC|×|C| expansion is ~quadratic, 105 s
     * at a 10× sf0.1 replica where this path holds near-linear).
