@@ -34,15 +34,17 @@ final case class CohortSpec(
   *     codegen'd column expression — no UDF.
   *  2. [[topK]] — exact k smallest per noconsent row via window row_number,
   *     ties broken by c_idx (sklearn ties are index-ordered; SURVEY §7.4.1).
-  *  3. [[topKViaAggregator]] — same result through a typed bounded-heap
+  *  3. [[graft.TopKAgg.topK]] — same result through a typed bounded-heap
   *     Aggregator: one partial-aggregate pass, no per-group full sort /
-  *     no shuffle of all pairs — the plan that survives 100×. Used by the
-  *     pipeline when k is fixed; equivalence is pinned by KnnSpec.
+  *     no shuffle of all pairs; equivalence is pinned by CocoaInvariantsSpec.
   *  4. [[withinRadius]] — the theta variant (dist <= r).
   *
-  * Scale path beyond brute force: prune candidates with MinHash LSH before
-  * distance evaluation (see [[graft.ops.Dedup.minHashBuckets]]) — the pairs
-  * relation shrinks from |NC|×|C| to near-linear.
+  * Scale paths beyond the brute pairs relation: [[topKBanded]] /
+  * [[topKBandedProportional]] (exact, per-probe adaptive radius from the
+  * 1-D k-NN distance), [[withinRadiusBucketed]] /
+  * [[withinRadiusBucketedPerCohort]] (numeric band prune) and
+  * [[withinRadiusLsh]] (MinHash-banded token prune) — each equivalence- or
+  * oracle-pinned against its dense twin.
   */
 object NeighborJoin {
 
@@ -342,7 +344,7 @@ object NeighborJoin {
 
   /** Exact fixed-k top-k with map-side combine: local prune, then the exact
     * window rank on the (now tiny) survivor set. Result is identical to
-    * [[topK]] — pinned by KnnSpec — with a shuffle that stays O(k·|NC|). */
+    * [[topK]] — pinned by CocoaInvariantsSpec — with a shuffle that stays O(k·|NC|). */
   def topKCombined(pairs: DataFrame, spec: CohortSpec, k: Int): DataFrame =
     topK(topKLocalPrune(pairs, spec, k), spec, k.toDouble)
 

@@ -81,7 +81,7 @@ object EventOps {
   /** Streaming sessionization via flatMapGroupsWithState: per-user state
     * holds the open session; a session is emitted when the gap passes or
     * the processing-time timeout fires. The streaming twin of
-    * [[sessionize]] (KnnSpec-style equivalence pinned in StreamingSpec). */
+    * [[sessionize]] (equivalence pinned in OpsSpec). */
   def sessionizeStream(events: Dataset[(Long, java.sql.Timestamp, Double)],
                        gapSeconds: Long = 1800): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
