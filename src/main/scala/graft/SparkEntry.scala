@@ -1048,6 +1048,16 @@ object SparkEntry {
               |       ROUND(1e-9 + tf_idf, 6) AS tf_idf, rank
               |FROM r WHERE rank <= 3""".stripMargin)),
 
+    // Embedding cluster consolidation WITHOUT pair enumeration: verified
+    // star edges over SRP-LSH band buckets → connected components. Rows-only
+    // gate (SRP admission at the 0.4 boundary is probabilistic, so a hash
+    // oracle would flake); equality with the exact path on clone-style
+    // corpora is OpsSpec-pinned.
+    ("q60_embed_clusters_lsh",
+      (s: SparkSession, dir: String) =>
+        Similarity.embedClustersLsh(Cohorts.embeddings(s, dir), 0.4),
+      None),
+
     // Near-dup cluster consolidation on the EMBEDDING modality: the same
     // connected-components operator composed over cosine near-dup pairs.
     ("q54_embed_clusters",

@@ -89,33 +89,66 @@ object Similarity {
     * seed) is pinned by OpsSpec. */
   def nearDupPairsLsh(corpus: DataFrame, threshold: Double,
                       bands: Int = 16, seed: Long = 42L): DataFrame = {
-    require(64 % bands == 0 && bands >= 2,
-      s"bands must divide 64 and be >= 2, got $bands")
-    // (bands=1 would need mask (1L<<64)-1, which the JVM's mod-64 shift
-    // turns into 0 — every row would share one bucket = full cross product)
-    val width = 64 / bands
-    val p = prep(corpus, "")
-    val sigd = p.withColumn("__sig",
-      org.apache.spark.sql.graftbridge.Bridge.column(
-        graft.expr.CosineLshSig(
-          org.apache.spark.sql.graftbridge.Bridge.expression(col("emb")), 64, seed)))
-    val chunks = sigd.select(col("id"), col("__sig"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("__sig"), b * width)
-            .bitwiseAND(lit((1L << width) - 1)).as("chunk"))): _*)).as("bc"))
-      .select(col("id"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    val chunks = srpChunks(corpus, bands, seed)
     val candidates = chunks.as("x").join(chunks.as("y"),
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .distinct()
+    verifyCosine(candidates, corpus, threshold)
+  }
+
+  /** (id, band, chunk) sign-random-projection band buckets shared by the
+    * LSH pair and cluster operators. */
+  private def srpChunks(corpus: DataFrame, bands: Int, seed: Long): DataFrame = {
+    require(64 % bands == 0 && bands >= 2,
+      s"bands must divide 64 and be >= 2, got $bands")
+    // (bands=1 would need mask (1L<<64)-1, which the JVM's mod-64 shift
+    // turns into 0 — every row would share one bucket = full cross product)
+    val width = 64 / bands
+    val sigd = prep(corpus, "").withColumn("__sig",
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.expr.CosineLshSig(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("emb")), 64, seed)))
+    sigd.select(col("id"), col("__sig"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("__sig"), b * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("chunk"))): _*)).as("bc"))
+      .select(col("id"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+  }
+
+  /** Exact cosine over candidate (a_id, b_id) pairs. */
+  private def verifyCosine(candidates: DataFrame, corpus: DataFrame,
+                           threshold: Double): DataFrame =
     candidates
       .join(prep(corpus, "a_"), "a_id")
       .join(prep(corpus, "b_"), "b_id")
       .withColumn("sim", dotD(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
       .filter(col("sim") >= threshold)
       .select(col("a_id"), col("b_id"), graft.Num.rnd(col("sim"), 6).as("sim"))
+
+  /** Embedding near-dup CLUSTERS without pair enumeration — the cosine twin
+    * of [[graft.ops.Dedup.clustersLsh]]: one exact-verified edge per
+    * (band, bucket) member to the bucket's min-id hub (window aggregate),
+    * then min-label connected components. O(corpus×bands) edges however
+    * duplicated the corpus; a c-way-duplicated embedding cluster costs
+    * [[nearDupPairs]] O(c²) pairs by contract. Recall carries SRP-LSH's
+    * probabilistic admission (near-1 for true near-dups) plus the anchor
+    * approximation (members must verify against their bucket hubs — exact
+    * for clone-style clusters, OpsSpec-pinned); the exact pair path stays
+    * the oracle. */
+  def embedClustersLsh(corpus: DataFrame, threshold: Double,
+                       bands: Int = 16, seed: Long = 42L): DataFrame = {
+    val chunks = srpChunks(corpus, bands, seed)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "chunk")
+    val star = chunks
+      .withColumn("hub", min("id").over(w))
+      .filter(col("id") =!= col("hub"))
+      .select(col("hub").as("a_id"), col("id").as("b_id"))
+      .distinct()
+    Dedup.dedupClusters(verifyCosine(star, corpus, threshold)
+      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b")))
   }
 
   /** IVF with LEARNED coarse centroids — the full ANN index shape. Build:

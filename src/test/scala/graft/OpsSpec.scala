@@ -482,6 +482,27 @@ class OpsSpec extends SparkSpec {
     assert(exact.count { case (id, cl) => id == cl } == 3)
   }
 
+  test("embedClustersLsh equals pair-enumeration clusters on clone groups") {
+    // three clone groups of near-identical vectors + two isolated vectors
+    val mk = (base: Array[Float], eps: Float) => base.map(_ + eps)
+    val bases = Seq(
+      Array(1.0f, 0.0f, 0.0f, 0.5f), Array(0.0f, 1.0f, 0.0f, -0.5f),
+      Array(0.0f, 0.0f, 1.0f, 0.25f))
+    val rows = bases.zipWithIndex.flatMap { case (b, g) =>
+      (0 until 4).map(c => ((g * 16 + c).toLong, mk(b, c * 1e-4f)))
+    } ++ Seq((100L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
+             (101L, Array(-1.0f, 1.0f, -1.0f, 1.0f)))
+    val e = rows.toDF("vec_id", "embedding")
+    val exact = Dedup.dedupClusters(
+        Similarity.nearDupPairs(e, 0.99)
+          .select($"a_id".as("doc_a"), $"b_id".as("doc_b")))
+      .as[(Long, Long)].collect().toSet
+    val star = Similarity.embedClustersLsh(e, 0.99)
+      .as[(Long, Long)].collect().toSet
+    assert(star == exact)
+    assert(exact.count { case (id, cl) => id == cl } == 3)
+  }
+
   test("topNgrams ranks corpus bigrams per language with gram tie-break") {
     val d = Seq(
       (1L, "a b a b c", "en"),
