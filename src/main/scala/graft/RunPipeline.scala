@@ -40,16 +40,19 @@ object RunPipeline {
     case s => throw new IllegalArgumentException(s"unknown strategy: $s")
   }
 
+  /** The CLI's fixed column roles — ONE definition shared by the date-scope
+    * computation and the adjustment job. */
+  private val cliConfig = JobConfig(
+    idCols = Seq("gclid", "conversion_timestamp"),
+    conversionCol = "conversion_value",
+    dateCol = "conversion_date",
+    cohortCols = Seq("conversion_date"))
+
   /** Session-agnostic body (tests drive this with their own session). */
   def run(spark: SparkSession, args: Array[String]): Unit = {
     val Array(consentPath, noconsentPath, outDir) = args.take(3)
     val strategy = parseStrategy(args.lift(3).getOrElse("k=3"))
-
-    val cfg = JobConfig(
-      idCols = Seq("gclid", "conversion_timestamp"),
-      conversionCol = "conversion_value",
-      dateCol = "conversion_date",
-      cohortCols = Seq("conversion_date"))
+    val cfg = cliConfig
 
     val noconsentRaw = spark.read.parquet(noconsentPath)
 
@@ -69,11 +72,7 @@ object RunPipeline {
     * CLI above and the streaming driver ([[RunPipelineStream]]). */
   def runForDates(spark: SparkSession, consentPath: String, noconsentPath: String,
                   outDir: String, strategy: MatchStrategy, dates: Seq[String]): Unit = {
-    val cfg = JobConfig(
-      idCols = Seq("gclid", "conversion_timestamp"),
-      conversionCol = "conversion_value",
-      dateCol = "conversion_date",
-      cohortCols = Seq("conversion_date"))
+    val cfg = cliConfig
 
     val consentRaw = spark.read.parquet(consentPath)
     val noconsentRaw = spark.read.parquet(noconsentPath)

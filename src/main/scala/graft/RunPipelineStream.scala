@@ -44,8 +44,12 @@ object RunPipelineStream {
     // successive batches append NEW date partitions into one output dir;
     // static overwrite would drop every partition a batch didn't write —
     // dynamic mode replaces only the dates in the current batch (and makes
-    // per-date re-runs idempotent)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // per-date re-runs idempotent). Session-global, so save/restore around
+    // the stream: a later BATCH driver on the same session must get its
+    // static semantics back.
+    val overwriteKey = "spark.sql.sources.partitionOverwriteMode"
+    val prevOverwrite = spark.conf.getOption(overwriteKey)
+    spark.conf.set(overwriteKey, "dynamic")
 
     val q = spark.readStream
       // one dates file per micro-batch — the reference's trigger grain
@@ -71,6 +75,10 @@ object RunPipelineStream {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally prevOverwrite match {
+      case Some(v) => spark.conf.set(overwriteKey, v)
+      case None => spark.conf.unset(overwriteKey)
+    }
   }
 }

@@ -285,10 +285,11 @@ object NeighborJoin {
     * dist ≥ |Δx₁| under both metrics, so |Δx₁| ≤ r prunes soundly. Falls
     * back to the dense relation when the spec has no numeric feature. */
   def withinRadiusBucketedPerCohort(consent: DataFrame, noconsent: DataFrame,
-                                    radii: DataFrame, spec: CohortSpec): DataFrame = {
+                                    radii: DataFrame, spec: CohortSpec,
+                                    broadcastConsent: Boolean = false): DataFrame = {
     if (spec.numCols.isEmpty)
       return withinRadiusPerCohort(
-        pairs(consent, noconsent, spec), radii, spec.cohortCols)
+        pairs(consent, noconsent, spec, broadcastConsent), radii, spec.cohortCols)
     val coh = spec.cohortCols
     val x = spec.numCols.head
     // zero/negative radii (quantile of exact-duplicate distances) still
@@ -354,15 +355,17 @@ object NeighborJoin {
     * cohort's top-k with identical (dist, c_idx) ranks, so the result equals
     * [[topK]] with proportional resolution (same oracle as q39). */
   def topKBandedProportional(consent: DataFrame, noconsent: DataFrame,
-                             spec: CohortSpec, frac: Double): DataFrame = {
+                             spec: CohortSpec, frac: Double,
+                             broadcastConsent: Boolean = false): DataFrame = {
     require(frac > 0 && frac < 1, s"proportional k must be in (0,1), got $frac")
     val perCohort = resolveK(consent, spec, frac)
       .getOrElse(throw new IllegalStateException("unreachable: frac < 1"))
     val kMax = Option(perCohort.agg(max("__k")).first().get(0))
       .map(_.asInstanceOf[Int]).getOrElse(0)
-    require(kMax >= 1,
-      s"proportional k=$frac resolves to 0 neighbors for every cohort")
-    val ranked = topKBanded(consent, noconsent, spec, kMax)
+    // every cohort resolving to 0 neighbors yields an EMPTY result like the
+    // dense path's rank <= 0 filter (the matcher rejects it earlier on the
+    // validated route); run at k=1 so the final per-cohort filter decides
+    val ranked = topKBanded(consent, noconsent, spec, math.max(kMax, 1), broadcastConsent)
     val joined =
       if (spec.cohortCols.nonEmpty) ranked.join(broadcast(perCohort), spec.cohortCols)
       else ranked.crossJoin(broadcast(perCohort))
@@ -402,12 +405,19 @@ object NeighborJoin {
     *
     * Falls back to the dense path when the spec has no single numeric
     * feature (the 1-D bound needs exactly one: with extra numeric columns
-    * dist ≥ |Δx₁| still holds but step 2's bound does not). */
+    * dist ≥ |Δx₁| still holds but step 2's bound does not;
+    * `broadcastConsent` is forwarded there).
+    *
+    * A NULL/NaN numeric feature is invalid input (sklearn raises; the
+    * matcher rejects it on the validated route) — unvalidated callers get a
+    * clear per-row error here instead of dense's silent nulls-first ranking
+    * or a cryptic element_at failure. */
   def topKBanded(consent: DataFrame, noconsent: DataFrame,
-                 spec: CohortSpec, k: Int): DataFrame = {
+                 spec: CohortSpec, k: Int,
+                 broadcastConsent: Boolean = false): DataFrame = {
     require(k >= 1, s"topKBanded needs a fixed k >= 1, got $k")
     if (spec.numCols.size != 1)
-      return topK(pairs(consent, noconsent, spec), spec, k.toDouble)
+      return topK(pairs(consent, noconsent, spec, broadcastConsent), spec, k.toDouble)
     val coh = spec.cohortCols
     val x = spec.numCols.head
     // The prefixed projections feed 3-4 consumers (rank window, pos union,
@@ -416,8 +426,15 @@ object NeighborJoin {
     // token-array column costs more than recomputing the (pushed-down,
     // codegen'd) scan+join per consumer — the same trade recorded for the
     // pairs relation in CocoaPipeline.
-    val c0 = prefixed(consent, spec, "c_")
-    val nc0 = prefixed(noconsent, spec, "nc_")
+    // A codegen'd per-row branch rejects null/NaN x up front: the window /
+    // bucket arithmetic below would otherwise drop such rows silently.
+    val guardX = (p: String, df: DataFrame) => df.withColumn(s"$p$x",
+      when(col(s"$p$x").isNull || isnan(col(s"$p$x")),
+        raise_error(lit(s"topKBanded: null/NaN numeric feature '$x' — " +
+          "clean the cohort or use the validated matcher route")))
+        .otherwise(col(s"$p$x")))
+    val c0 = guardX("c_", prefixed(consent, spec, "c_"))
+    val nc0 = guardX("nc_", prefixed(noconsent, spec, "nc_"))
 
     // consent rows ranked by x within each cohort (+ per-cohort count and
     // max token-set size — dimension-sized, broadcast).

@@ -113,34 +113,42 @@ object Dedup {
     * the admission threshold. Output: (doc_a, doc_b, jaccard) with
     * doc_a < doc_b, jaccard ≥ threshold. */
   def minHashPairs(docs: DataFrame, threshold: Double, k: Int = 3): DataFrame = {
-    val (bands, rows) = bandingFor(threshold)
-    val sigSeeds = Seeds.take(bands * rows)
     // Shingle hashing (codegen'd, but over every character) is the dominant
     // per-doc cost and the sets feed three consumers (signatures + both
-    // sides of the verify join) — materialize once.
+    // sides of the verify join) — materialize once. The cache stays pinned
+    // while the returned (lazy) frame is alive; callers' clearCache /
+    // ContextCleaner free it.
     val sets = shingleSets(docs, k)
       .filter(size(col("shingles")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = sets.select(col("doc_id"),
-      org.apache.spark.sql.graftbridge.Bridge.column(
-        graft.expr.MinHashSig(
-          org.apache.spark.sql.graftbridge.Bridge.expression(col("shingles")),
-          sigSeeds.map(_._1), sigSeeds.map(_._2))).as("sig"))
-    // (band_id, band_key, doc_id): one row per band per doc. The band key
-    // folds the band's signature slots through xxhash64 — a 64-bit collision
-    // can only ADD a candidate (verified exactly below), never lose one.
-    val bandKey = (b: Int) =>
-      xxhash64((0 until rows).map(r => col("sig")(b * rows + r)): _*)
-    val buckets = sigs.select(col("doc_id"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val buckets = minHashBuckets(sets, threshold)
     val candidates = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(candidates, sets, threshold)
+  }
+
+  /** (doc_id, band, key) LSH band buckets over a shingle-set frame, banding
+    * derived from the threshold — shared by [[minHashPairs]] and
+    * [[clustersLsh]]. The band key folds the band's signature slots through
+    * xxhash64 — a 64-bit collision can only ADD a candidate (callers verify
+    * exactly), never lose one. */
+  private def minHashBuckets(sets: DataFrame, threshold: Double): DataFrame = {
+    val (bands, rows) = bandingFor(threshold)
+    val sigSeeds = Seeds.take(bands * rows)
+    val sigs = sets.select(col("doc_id"),
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.expr.MinHashSig(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("shingles")),
+          sigSeeds.map(_._1), sigSeeds.map(_._2))).as("sig"))
+    val bandKey = (b: Int) =>
+      xxhash64((0 until rows).map(r => col("sig")(b * rows + r)): _*)
+    sigs.select(col("doc_id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
   /** Exact Jaccard over candidate (doc_a, doc_b) pairs. */
@@ -346,31 +354,24 @@ object Dedup {
     * bucket's hub — the standard anchor-doc approximation. Exact pair
     * semantics stay available via [[minHashPairs]] + [[dedupClusters]]. */
   def clustersLsh(docs: DataFrame, threshold: Double, k: Int = 3): DataFrame = {
-    val (bands, rows) = bandingFor(threshold)
-    val sigSeeds = Seeds.take(bands * rows)
     val sets = shingleSets(docs, k)
       .filter(size(col("shingles")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = sets.select(col("doc_id"), col("shingles"),
-      org.apache.spark.sql.graftbridge.Bridge.column(
-        graft.expr.MinHashSig(
-          org.apache.spark.sql.graftbridge.Bridge.expression(col("shingles")),
-          sigSeeds.map(_._1), sigSeeds.map(_._2))).as("sig"))
-    val bandKey = (b: Int) =>
-      xxhash64((0 until rows).map(r => col("sig")(b * rows + r)): _*)
-    val buckets = sigs.select(col("doc_id"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     // hub = bucket min: a window aggregate, not a groupBy+collect — no
     // bucket is ever materialized as one row however large the cluster.
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
-    val star = buckets
+    val star = minHashBuckets(sets, threshold)
       .withColumn("hub", min("doc_id").over(w))
       .filter(col("doc_id") =!= col("hub"))
       .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
-    dedupClusters(verifyJaccard(star, sets, threshold).select("doc_a", "doc_b"))
+    val labels =
+      dedupClusters(verifyJaccard(star, sets, threshold).select("doc_a", "doc_b"))
+    // dedupClusters is EAGER (edge count + union-find / materialized
+    // rounds), so unlike minHashPairs' lazy return nothing references the
+    // shingle cache anymore — free it now rather than at session end.
+    sets.unpersist(blocking = false)
+    labels
   }
 
   /** The deduplicated corpus: every cluster member except the keeper (the

@@ -51,7 +51,8 @@ object CocoaPipeline {
       // pinned by PropertySpec and q58's shared oracle).
       case MatchStrategy.K(k) if k >= 1 && spec.numCols.size == 1 =>
         finish(consent, noconsent,
-          NeighborJoin.topKBanded(consent, noconsent, spec, k.toInt), spec)
+          NeighborJoin.topKBanded(consent, noconsent, spec, k.toInt,
+            broadcastConsent), spec)
       case MatchStrategy.K(k) =>
         finish(consent, noconsent,
           NeighborJoin.topK(allPairs, spec, k, Some(consent)), spec)
@@ -74,13 +75,15 @@ object CocoaPipeline {
         // dense pairs relation is never materialized; equivalence pinned by
         // PropertySpec.
         val pass1 =
-          if (spec.numCols.size == 1) NeighborJoin.topKBanded(consent, noconsent, spec, 1)
+          if (spec.numCols.size == 1)
+            NeighborJoin.topKBanded(consent, noconsent, spec, 1, broadcastConsent)
           else NeighborJoin.topK(allPairs, spec, 1.0)
         val nearest = Summary.nearestDistances(pass1, spec)
           .persist(StorageLevel.MEMORY_AND_DISK)
         val radii = Summary.minRadiusByPercentilePerCohort(nearest, p, spec)
         finish(consent, noconsent,
-          NeighborJoin.withinRadiusBucketedPerCohort(consent, noconsent, radii, spec), spec)
+          NeighborJoin.withinRadiusBucketedPerCohort(consent, noconsent, radii, spec,
+            broadcastConsent), spec)
     }
   }
 

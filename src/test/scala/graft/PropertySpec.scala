@@ -125,6 +125,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("banded top-k rejects null numeric features with a clear error") {
+    val c = encode(List(CRow(1, 1.0, 5.0, "x"), CRow(2, 2.0, 5.0, "y")))
+    val ncNull = List((100L, null.asInstanceOf[java.lang.Double], 7.0, "x"))
+      .toDF("id", "a", "conv", "cat")
+      .withColumn("a", col("a").cast("double"))
+      .withColumn("features", Preprocess.tokenFeatures(Seq("cat")))
+    val e = intercept[Exception] {
+      NeighborJoin.topKBanded(c, ncNull, spec, 1).collect()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("null/NaN numeric feature") ||
+        Option(e.getCause).exists(_.getMessage.contains("null/NaN numeric feature"))))
+  }
+
+  test("banded proportional k returns empty when every cohort resolves to 0") {
+    val (c, nc) = samples(1).head
+    // frac small enough that floor(frac * |consent|) == 0 for the sample
+    val frac = 0.5 / (c.size + 1)
+    val dense = NeighborJoin.topK(
+      NeighborJoin.pairs(encode(c), encode(nc), spec), spec, frac, Some(encode(c)))
+    val banded = NeighborJoin.topKBandedProportional(encode(c), encode(nc), spec, frac)
+    assert(dense.count() == 0 && banded.count() == 0)
+  }
+
   test("banded top-k plan is fully equi-joined under cohort scope") {
     val sp = spec.copy(cohortCols = Seq("g"))
     val withG = (rows: List[CRow]) => encode(rows)
