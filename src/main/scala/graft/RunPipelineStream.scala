@@ -51,32 +51,37 @@ object RunPipelineStream {
     val prevOverwrite = spark.conf.getOption(overwriteKey)
     spark.conf.set(overwriteKey, "dynamic")
 
-    val q = spark.readStream
-      // one dates file per micro-batch — the reference's trigger grain
-      // (one Pub/Sub message = one dates.txt); AvailableNow still drains
-      // every pending file before stopping
-      .option("maxFilesPerTrigger", "1")
-      .textFile(datesDir)
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[String], batchId: Long) =>
-        // parse + dedupe inside the batch; to_date throws on malformed
-        // lines like the batch CLI's reader (ANSI mode)
-        val dates = batch
-          .filter(length(trim(col("value"))) > 0)
-          .select(to_date(trim(col("value")), "yyyy-MM-dd").cast("string").as("d"))
-          .distinct().collect().map(_.getString(0)).toSeq.sorted
-        if (dates.nonEmpty) {
-          System.err.println(
-            s"[pipeline-stream] batch $batchId: ${dates.size} date(s)")
-          RunPipeline.runForDates(
-            spark, consentPath, noconsentPath, outDir, strategy, dates)
+    // the try covers STREAM CONSTRUCTION too, not just awaitTermination():
+    // a throw from readStream/writeStream/start() must also restore the
+    // session-global overwrite mode, or a later batch driver on the same
+    // session silently inherits dynamic semantics.
+    try {
+      val q = spark.readStream
+        // one dates file per micro-batch — the reference's trigger grain
+        // (one Pub/Sub message = one dates.txt); AvailableNow still drains
+        // every pending file before stopping
+        .option("maxFilesPerTrigger", "1")
+        .textFile(datesDir)
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[String], batchId: Long) =>
+          // parse + dedupe inside the batch; to_date throws on malformed
+          // lines like the batch CLI's reader (ANSI mode)
+          val dates = batch
+            .filter(length(trim(col("value"))) > 0)
+            .select(to_date(trim(col("value")), "yyyy-MM-dd").cast("string").as("d"))
+            .distinct().collect().map(_.getString(0)).toSeq.sorted
+          if (dates.nonEmpty) {
+            System.err.println(
+              s"[pipeline-stream] batch $batchId: ${dates.size} date(s)")
+            RunPipeline.runForDates(
+              spark, consentPath, noconsentPath, outDir, strategy, dates)
+          }
         }
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally prevOverwrite match {
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prevOverwrite match {
       case Some(v) => spark.conf.set(overwriteKey, v)
       case None => spark.conf.unset(overwriteKey)
     }

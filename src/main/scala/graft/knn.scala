@@ -349,27 +349,25 @@ object NeighborJoin {
   def topKCombined(pairs: DataFrame, spec: CohortSpec, k: Int): DataFrame =
     topK(topKLocalPrune(pairs, spec, k), spec, k.toDouble)
 
-  /** Proportional k (k = frac·|cohort consent|) through the banded path:
-    * run [[topKBanded]] at the LARGEST cohort's resolved k, then filter each
-    * cohort to its own k — the banded top-kMax is a superset of every
-    * cohort's top-k with identical (dist, c_idx) ranks, so the result equals
-    * [[topK]] with proportional resolution (same oracle as q39). */
+  /** Proportional k (k = frac·|cohort consent|) through the banded path,
+    * with EACH cohort's adaptive radius derived from its OWN resolved k —
+    * not the max across cohorts (running the band at kMax widened every
+    * small cohort's ±k window and radius to the biggest cohort's, measured
+    * 53 s at the 10× replica vs q58's ~13 s; the per-cohort k restores the
+    * banded family's near-linear shape). A cohort resolving to k = 0 emits
+    * nothing, matching the dense path's `rank <= 0` filter (the validated
+    * matcher route rejects that configuration earlier). Result equals
+    * [[topK]] with proportional resolution — same oracle as q39. */
   def topKBandedProportional(consent: DataFrame, noconsent: DataFrame,
                              spec: CohortSpec, frac: Double,
                              broadcastConsent: Boolean = false): DataFrame = {
     require(frac > 0 && frac < 1, s"proportional k must be in (0,1), got $frac")
+    if (spec.numCols.size != 1)
+      return topK(pairs(consent, noconsent, spec, broadcastConsent), spec, frac,
+        Some(consent))
     val perCohort = resolveK(consent, spec, frac)
       .getOrElse(throw new IllegalStateException("unreachable: frac < 1"))
-    val kMax = Option(perCohort.agg(max("__k")).first().get(0))
-      .map(_.asInstanceOf[Int]).getOrElse(0)
-    // every cohort resolving to 0 neighbors yields an EMPTY result like the
-    // dense path's rank <= 0 filter (the matcher rejects it earlier on the
-    // validated route); run at k=1 so the final per-cohort filter decides
-    val ranked = topKBanded(consent, noconsent, spec, math.max(kMax, 1), broadcastConsent)
-    val joined =
-      if (spec.cohortCols.nonEmpty) ranked.join(broadcast(perCohort), spec.cohortCols)
-      else ranked.crossJoin(broadcast(perCohort))
-    joined.filter(col("rank") <= col("__k")).drop("__k")
+    topKBandedImpl(consent, noconsent, spec, Right(perCohort))
   }
 
   /** Exact top-k WITHOUT the dense pairs relation — the plan that survives a
@@ -382,8 +380,10 @@ object NeighborJoin {
     *  1. The k consent rows nearest to i by |Δx| ALONE sit within ranks
     *     [pos−k+1, pos+k] of the cohort's x-sorted consent order, where pos =
     *     #{consent with x < nc.x} (|Δx| grows monotonically walking away from
-    *     the insertion point, ties included). D = the k-th smallest |Δx|
-    *     among them is the exact 1-D k-NN distance.
+    *     the insertion point, ties included). c_x is monotone in rank, so
+    *     every row in that window has |Δx| ≤ D := max(gap at the window's
+    *     clamped endpoint ranks) — an upper bound on the exact 1-D k-NN
+    *     distance, derived from just the two endpoint rows.
     *  2. Each of those k rows has full dist ≤ bound(D): manhattan
     *     D + B, euclidean √(D² + B), with B = |nc tokens| + max |c tokens|
     *     ≥ any token-part distance. So the TRUE k-th best dist ≤ bound(D).
@@ -396,17 +396,37 @@ object NeighborJoin {
     *     oracle).
     *
     * Plan shape: two rank windows over (|C|+|NC|) rows, an explode-equi-join
-    * of 2k ranks per probe (shuffle O(k·|NC|)), and a bucket band join with
-    * per-cohort width W = max r_i — every shuffle is keyed and near-linear;
-    * nothing materializes |NC|×|C|. Skew note: one probe in a sparse x
-    * region inflates W for its whole cohort; the refinement (documented, not
-    * needed at tested scales) is a two-tier W with a dense fallback for the
-    * few wide-radius probes.
+    * of 2k ranks per probe (shuffle O(k·|NC|)), and a TWO-TIER bucket band
+    * join — every shuffle is keyed and near-linear; nothing materializes
+    * |NC|×|C|.
+    *
+    * Two-tier band width (skew hardening): a single probe in a sparse x
+    * region has a huge adaptive radius r_i; with one cohort-wide bucket
+    * width W = max r_i that ONE probe used to widen every bucket, inflating
+    * every other probe's candidate set (the self-identified skew risk of
+    * rounds 2–3). Instead the cohort's band width is the ~p99 of its radii:
+    * probes with r_i ≤ W go through the bucket band join (≤ 3 buckets each,
+    * candidates from a ±W window — tight for the bulk); the few wide-radius
+    * probes (≤ ~1% by construction) fall back to a per-cohort dense
+    * equi-join filtered by |Δx| ≤ r_i. Both tiers produce a superset of
+    * their probes' true top-k and each probe rides exactly one tier, so the
+    * final (dist, c_idx) window rank over the union is exact. Measured on a
+    * skewed cohort (one planted far-x probe per cohort, sf0.1): see
+    * DESIGN.md §10.
     *
     * Falls back to the dense path when the spec has no single numeric
     * feature (the 1-D bound needs exactly one: with extra numeric columns
     * dist ≥ |Δx₁| still holds but step 2's bound does not;
     * `broadcastConsent` is forwarded there).
+    *
+    * KNOWN LIMIT — no cohort columns: with `cohortCols == Nil` the rank /
+    * position windows partition by nothing, so Spark plans ONE window-sort
+    * task over all |C|+|NC| rows — the banded join still avoids the |NC|×|C|
+    * expansion, but the x-order pass itself is single-task at exactly the
+    * scale this operator targets. Give the spec a cohort scope (the engine's
+    * pipeline always has one: per-date); a global-cohort fix would
+    * range-partition the x-order and stitch boundary ranks, which this
+    * engine does not implement.
     *
     * A NULL/NaN numeric feature is invalid input (sklearn raises; the
     * matcher rejects it on the validated route) — unvalidated callers get a
@@ -418,6 +438,16 @@ object NeighborJoin {
     require(k >= 1, s"topKBanded needs a fixed k >= 1, got $k")
     if (spec.numCols.size != 1)
       return topK(pairs(consent, noconsent, spec, broadcastConsent), spec, k.toDouble)
+    topKBandedImpl(consent, noconsent, spec, Left(k))
+  }
+
+  /** Shared body of [[topKBanded]] / [[topKBandedProportional]]: k arrives
+    * either as a constant (Left) or as a per-cohort `(cohort…, __k)` frame
+    * (Right, dimension-sized → broadcast). Requires exactly one numeric
+    * feature (callers fall back to the dense path otherwise). */
+  private def topKBandedImpl(consent: DataFrame, noconsent: DataFrame,
+                             spec: CohortSpec,
+                             kSpec: Either[Int, DataFrame]): DataFrame = {
     val coh = spec.cohortCols
     val x = spec.numCols.head
     // The prefixed projections feed 3-4 consumers (rank window, pos union,
@@ -466,22 +496,50 @@ object NeighborJoin {
       if (coh.nonEmpty) df.join(broadcast(small), coh)
       else df.crossJoin(broadcast(small))
 
-    // the ±k rank window per probe: ≤ 2k candidate ranks, equi-joined.
-    val joinKeys = coh :+ "nc_idx"
-    val probes = nc0.select(coh.map(col(_)) ++
-      Seq(col("nc_idx"), col(s"nc_$x")): _*).join(pos, joinKeys)
-    val probeRanks = joinCoh(probes, cStats).withColumn("__rn",
-      explode(sequence(greatest(col("__pos") - (k - 1), lit(1L)),
-        least(col("__pos") + k, col("__cnt")))))
-    val dxK = probeRanks
-      .join(cRanked.select(coh.map(col(_)) ++ Seq(col("__rn"), col(s"c_$x").as("__cx")): _*),
-        coh :+ "__rn")
-      .groupBy((coh :+ "nc_idx").map(col(_)): _*)
-      .agg(array_sort(collect_list(abs(col(s"nc_$x") - col("__cx")))).as("__ds"))
-      .select(coh.map(col(_)) ++ Seq(col("nc_idx"),
-        element_at(col("__ds"), least(lit(k), size(col("__ds")))).as("__d")): _*)
+    // per-probe k as a column: a constant stays a folded literal; the
+    // per-cohort frame (Right) is dimension-sized → broadcast.
+    def withK(df: DataFrame): DataFrame = kSpec match {
+      case Left(k) => df.withColumn("__kk", lit(k.toLong))
+      case Right(perCohort) =>
+        joinCoh(df, perCohort.select(
+          coh.map(col(_)) :+ col("__k").cast("long").as("__kk"): _*))
+    }
 
-    // adaptive radius r_i = bound(D); cohort band width W = max r_i.
+    // the ±k rank window per probe, reduced to its TWO ENDPOINTS: the k
+    // consent rows nearest to the probe by |Δx| sit within ranks
+    // [pos−k+1, pos+k] (step 1), every row in that rank window has
+    // |Δx| ≤ max(gap at the clamped window ends) because c_x is monotone in
+    // rank, so that endpoint max is an upper bound on the exact 1-D k-NN
+    // distance D — and step 2 only needs an UPPER bound. Deriving it costs
+    // two |NC|-row equi-joins against the rank relation instead of the
+    // 2k-rank explode + per-probe sort of rounds 1–3 (which shuffled
+    // O(k·|NC|) rows — measured 60 s for q39 at the 10× replica where k
+    // resolves to ~190; the endpoint form drops the whole stage). The bound
+    // is ≤ ~2× the exact D in the uniform-density worst case, so the band
+    // admits a ~2× candidate superset — the exact rank window still makes
+    // the result identical.
+    // Cohorts resolving to k = 0 (proportional k on a tiny cohort) emit no
+    // candidates at all — matching the dense path's `rank <= 0` filter.
+    val joinKeys = coh :+ "nc_idx"
+    val probes = withK(nc0.select(coh.map(col(_)) ++
+      Seq(col("nc_idx"), col(s"nc_$x")): _*).join(pos, joinKeys))
+      .filter(col("__kk") >= 1)
+    val cxByRank = (rn: String, cx: String) => cRanked.select(
+      coh.map(col(_)) ++ Seq(col("__rn").as(rn), col(s"c_$x").as(cx)): _*)
+    val dxK = joinCoh(probes, cStats)
+      .withColumn("__lo", greatest(col("__pos") - (col("__kk") - lit(1L)), lit(1L)))
+      .withColumn("__hi", least(col("__pos") + col("__kk"), col("__cnt")))
+      .join(cxByRank("__lo", "__cxlo"), coh :+ "__lo")
+      .join(cxByRank("__hi", "__cxhi"), coh :+ "__hi")
+      .select(coh.map(col(_)) ++ Seq(col("nc_idx"), col("__kk"),
+        greatest(abs(col(s"nc_$x") - col("__cxlo")),
+          abs(col(s"nc_$x") - col("__cxhi"))).as("__d")): _*)
+
+    // adaptive radius r_i = bound(D); TWO-TIER cohort band width W ≈ the
+    // p99 of the cohort's radii (approx_percentile: mergeable partial agg,
+    // any cohort size). Probes with r_i ≤ W ride the bucket band join
+    // (≤ 3 buckets each); the few wider probes fall back to a per-cohort
+    // dense join so one sparse-region probe can't widen everyone's buckets.
     val ncD = joinCoh(nc0.join(dxK, joinKeys), cStats)
       .withColumn("__b0", size(col("nc_features")) + col("__cmaxtok"))
       .withColumn("__r", spec.metric match {
@@ -489,8 +547,10 @@ object NeighborJoin {
         case Euclidean => sqrt(col("__d") * col("__d") + col("__b0"))
       })
     val widths = ncD.groupBy(coh.map(col(_)): _*)
-      .agg(greatest(max(col("__r")), lit(1e-6)).as("__w"))
-    val ncB = joinCoh(ncD, widths)
+      .agg(greatest(percentile_approx(col("__r"), lit(0.99), lit(1000)),
+        lit(1e-6)).as("__w"))
+    val ncT = joinCoh(ncD, widths)
+    val ncB = ncT.filter(col("__r") <= col("__w"))
       .withColumn("__bucket", explode(sequence(
         floor((col(s"nc_$x") - col("__r")) / col("__w")).cast("long"),
         floor((col(s"nc_$x") + col("__r")) / col("__w")).cast("long"))))
@@ -499,14 +559,28 @@ object NeighborJoin {
       .drop("__w")
 
     val numPairs = spec.numCols.map(n => (col(s"nc_$n"), col(s"c_$n")))
-    val cand = ncB.join(cB, coh :+ "__bucket")
+    def scored(joined: DataFrame): DataFrame = joined
       .filter(abs(col(s"nc_$x") - col(s"c_$x")) <= col("__r"))
       .withColumn("dist", spec.metric.dist(col("nc_features"), col("c_features"), numPairs))
+      .select(coh.map(col(_)) ++ Seq(col("nc_idx"), col("nc_value"),
+        col("c_idx"), col("c_value"), col("dist"), col("__kk")): _*)
+    val bandCand = scored(ncB.join(cB, coh :+ "__bucket"))
+    // dense-fallback tier: wide-radius probes (r_i > W, ≤ ~1% by the p99
+    // construction) join their cohort's whole consent side, still filtered
+    // by their own |Δx| ≤ r_i superset condition.
+    val wide = ncT.filter(col("__r") > col("__w"))
+    val cSide = cRanked.drop("__rn")
+    val denseCand = scored(
+      if (coh.nonEmpty) wide.join(cSide, coh) else wide.crossJoin(cSide))
+
+    // each probe rides exactly one tier, so the per-probe rank over the
+    // union is computed on that probe's own candidate superset — exact.
     val w = Window
       .partitionBy((coh :+ "nc_idx").map(col(_)): _*)
       .orderBy(col("dist").asc, col("c_idx").asc)
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    bandCand.unionByName(denseCand)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= col("__kk"))
       .select(coh.map(col(_)) ++ Seq(col("nc_idx"), col("nc_value"),
         col("c_idx"), col("c_value"), col("dist"), col("rank")): _*)
   }

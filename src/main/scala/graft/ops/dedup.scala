@@ -349,10 +349,13 @@ object Dedup {
     * Semantics: components of the verified hub-edge graph. Identical to
     * `dedupClusters(minHashPairs(...))` whenever cluster members verify
     * against their bucket hubs (clone-style clusters — the common case this
-    * operator exists for; pinned by OpsSpec); a true pair can split off
-    * only when BOTH endpoints fail verification against every shared
-    * bucket's hub — the standard anchor-doc approximation. Exact pair
-    * semantics stay available via [[minHashPairs]] + [[dedupClusters]]. */
+    * operator exists for; pinned by OpsSpec). The approximation is one-sided
+    * per EDGE, not per pair of endpoints: a true pair (B, C) survives only
+    * if B and C stay connected through verified hub edges, so ONE failing
+    * endpoint suffices to split it — hub A with members B, C where
+    * J(A,B) ≥ t but J(A,C) < t loses B–C even though J(B,C) ≥ t. This is
+    * the standard anchor-doc trade; exact pair semantics stay available via
+    * [[minHashPairs]] + [[dedupClusters]]. */
   def clustersLsh(docs: DataFrame, threshold: Double, k: Int = 3): DataFrame = {
     val sets = shingleSets(docs, k)
       .filter(size(col("shingles")) > 0)

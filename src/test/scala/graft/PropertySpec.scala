@@ -139,6 +139,50 @@ class PropertySpec extends SparkSpec {
         Option(e.getCause).exists(_.getMessage.contains("null/NaN numeric feature"))))
   }
 
+  test("banded top-k equals dense top-k on a SKEWED cohort (far-x probes)") {
+    // one probe per cohort sits ~1e6 x-units away from everything else: its
+    // adaptive radius is enormous and must ride the dense-fallback tier
+    // while the bulk keeps tight buckets — results must stay identical.
+    samples(3).foreach { case (c, nc) =>
+      val outliers = List(CRow(9000, 1.0e6, 11.0, "x"), CRow(9001, -5.0e5, 13.0, "y"))
+      val ncSkew = nc ++ outliers
+      for (m <- Seq(Manhattan, Euclidean); k <- Seq(1, 3)) {
+        val sp = spec.copy(metric = m)
+        val dense = NeighborJoin.topK(NeighborJoin.pairs(encode(c), encode(ncSkew), sp), sp, k.toDouble)
+          .select("nc_idx", "c_idx", "rank", "dist").collect().map(_.toSeq).toSet
+        val banded = NeighborJoin.topKBanded(encode(c), encode(ncSkew), sp, k)
+          .select("nc_idx", "c_idx", "rank", "dist").collect().map(_.toSeq).toSet
+        assert(banded == dense, s"metric=$m k=$k c=$c ncSkew=$ncSkew")
+      }
+    }
+  }
+
+  test("property: banded proportional k equals dense proportional k per cohort") {
+    // cohorts of DIFFERENT consent sizes so the per-cohort resolved k
+    // actually differs — the regression this gate pins is the old
+    // run-at-kMax-then-filter plan (whose ranks were still correct) being
+    // replaced by per-cohort radii (whose ranks must STILL be correct).
+    val sp = spec.copy(cohortCols = Seq("g"))
+    samples(3).foreach { case (c, nc) =>
+      // g=0 keeps every row, g=1 keeps roughly a third — unequal cohorts
+      val withG = (rows: List[CRow], big: Boolean) => encode(rows)
+        .withColumn("g", when(lit(big) || pmod(col("id"), lit(3)) === 0, "g0")
+          .otherwise("g1"))
+      val cDf = withG(c, false)
+      val ncDf = withG(nc, false)
+      for (frac <- Seq(0.3, 0.7)) {
+        val dense = NeighborJoin.topK(
+            NeighborJoin.pairs(cDf, ncDf, sp), sp, frac, Some(cDf))
+          .select("g", "nc_idx", "c_idx", "rank", "dist")
+          .collect().map(_.toSeq).toSet
+        val banded = NeighborJoin.topKBandedProportional(cDf, ncDf, sp, frac)
+          .select("g", "nc_idx", "c_idx", "rank", "dist")
+          .collect().map(_.toSeq).toSet
+        assert(banded == dense, s"frac=$frac c=$c nc=$nc")
+      }
+    }
+  }
+
   test("banded proportional k returns empty when every cohort resolves to 0") {
     val (c, nc) = samples(1).head
     // frac small enough that floor(frac * |consent|) == 0 for the sample
