@@ -959,28 +959,34 @@ object SparkEntry {
               |FROM tre JOIN bm USING (h) GROUP BY doc_id""".stripMargin)),
 
     // Sequence packing: greedy first-fit concatenation of documents into
-    // 256-token packs, sequential in doc_id order per language. Oracle =
-    // the same recurrence as a DuckDB recursive CTE.
+    // 256-token packs, sequential in doc_id order per (language, hash
+    // shard) — the sharded form IS the gated contract (bounded sequential
+    // chains; pack ids scoped per shard). Oracle = the same recurrence as
+    // a DuckDB recursive CTE over the identical content-addressed shard.
     ("q52_pack_sequences",
       (s: SparkSession, dir: String) =>
-        Packing.packDocuments(Cohorts.documents(s, dir), 256).toDF(),
+        Packing.packDocuments(Cohorts.documents(s, dir), 256, "lang", 4).toDF(),
       Some(s"""WITH RECURSIVE ${TextSql.toksCte},
-              |base AS (SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS tokens,
-              |                CAST(row_number() OVER (
-              |                  PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rn
-              |         FROM toks),
+              |base0 AS (SELECT doc_id, lang,
+              |                 CAST(floor(${Sampling.hashUnitSql("doc_id", Packing.ShardSeed)} * 4) AS BIGINT) AS shard,
+              |                 CAST(len(t) AS BIGINT) AS tokens
+              |          FROM toks),
+              |base AS (SELECT *, CAST(row_number() OVER (
+              |                  PARTITION BY lang, shard ORDER BY doc_id) AS BIGINT) AS rn
+              |         FROM base0),
               |rec AS (
-              |  SELECT lang, rn, doc_id, tokens, tokens AS acc,
+              |  SELECT lang, shard, rn, doc_id, tokens, tokens AS acc,
               |         CAST(1 AS BIGINT) AS pack_id
               |  FROM base WHERE rn = 1
               |  UNION ALL
-              |  SELECT b.lang, b.rn, b.doc_id, b.tokens,
+              |  SELECT b.lang, b.shard, b.rn, b.doc_id, b.tokens,
               |         CASE WHEN r.acc + b.tokens > 256 THEN b.tokens
               |              ELSE r.acc + b.tokens END,
               |         CASE WHEN r.acc + b.tokens > 256 THEN r.pack_id + 1
               |              ELSE r.pack_id END
-              |  FROM base b JOIN rec r ON b.lang = r.lang AND b.rn = r.rn + 1)
-              |SELECT doc_id, lang, tokens, pack_id FROM rec""".stripMargin)),
+              |  FROM base b JOIN rec r
+              |    ON b.lang = r.lang AND b.shard = r.shard AND b.rn = r.rn + 1)
+              |SELECT doc_id, lang, shard, tokens, pack_id FROM rec""".stripMargin)),
 
     // Intra-document repetition (Gopher-style quality signal): most
     // frequent bigram's share of all bigram occurrences.

@@ -4,32 +4,45 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** One document's pack assignment (top-level for the Dataset encoder). */
-final case class PackAssign(doc_id: Long, lang: String, tokens: Long,
-                            pack_id: Long)
+final case class PackAssign(doc_id: Long, lang: String, shard: Long,
+                            tokens: Long, pack_id: Long)
 
 /** Sequence packing for training: concatenate documents into fixed
   * token-budget packs (context windows) with minimal padding waste.
   *
   * Semantics: greedy sequential first-fit in doc_id order WITHIN each
-  * group (here: language) — the standard deterministic packing used by
+  * (group, shard) — the standard deterministic packing used by
   * training-data pipelines, where reproducibility beats the marginal
   * fill-rate of bin-packing heuristics. A document larger than the budget
   * occupies a pack alone (truncation is the trainer's decision, not the
   * packer's).
   *
-  * Plan shape: hash-repartition by group, sort within partitions, then ONE
-  * streaming pass per partition (`mapPartitions` with O(1) state — current
-  * group, running total, pack counter). Nothing is buffered, so partition
-  * size is unbounded; the sequential dependency is per GROUP, which is the
-  * operator's inherent limit. At 100 TB the group key becomes (lang,
-  * shard) with shard = a deterministic hash bucket of doc_id — same
-  * operator, bounded sequential chains, pack ids scoped per shard.
+  * Sharding IS the scale contract: packing is sequential per group by
+  * nature, so the group key is (groupCol, shard) with shard = a
+  * deterministic content-addressed hash bucket of doc_id
+  * ([[Sampling.hashUnit]] — reproducible across runs, engines and
+  * repartitionings, and exactly reproducible by the DuckDB oracle). Pack
+  * ids are scoped PER SHARD: (lang, shard, pack_id) names a pack. At
+  * `shards = 1` this degrades to the whole-group sequential chain; at
+  * corpus scale `shards` bounds every sequential chain to ~|group|/shards
+  * documents so no language becomes a single straggler task. Cross-shard
+  * residual waste is bounded by (shards − 1) tail packs per group —
+  * negligible against a corpus.
+  *
+  * Plan shape: hash-repartition by (group, shard), sort within partitions,
+  * then ONE streaming pass per partition (`mapPartitions` with O(1) state —
+  * current group, running total, pack counter). Nothing is buffered, so
+  * partition size is unbounded.
   */
 object Packing {
 
+  /** Seed for the shard hash — embedded in the DuckDB oracle too. */
+  val ShardSeed = "pack"
+
   def packDocuments(docs: DataFrame, budget: Long,
-                    groupCol: String = "lang"): Dataset[PackAssign] = {
+                    groupCol: String = "lang", shards: Int = 1): Dataset[PackAssign] = {
     require(budget >= 1, s"token budget must be >= 1, got $budget")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
     val spark = docs.sparkSession
     import spark.implicits._
     // Null group keys or texts are data bugs, not packable rows: a null
@@ -42,22 +55,27 @@ object Packing {
         .otherwise(c.cast(tpe))
     docs.select(col("doc_id"),
         checked(col(groupCol), s"group key $groupCol", "string").as("lang"),
+        floor(Sampling.hashUnit(col("doc_id"), ShardSeed) * shards)
+          .cast("long").as("shard"),
         checked(size(TextAnalysis.tokens(col("text"))).cast("long"),
           "text", "long").as("tokens"))
-      .repartition(col("lang"))
-      .sortWithinPartitions(col("lang"), col("doc_id"))
-      .as[(Long, String, Long)]
+      .repartition(col("lang"), col("shard"))
+      .sortWithinPartitions(col("lang"), col("shard"), col("doc_id"))
+      .as[(Long, String, Long, Long)]
       .mapPartitions { it =>
-        // groups are contiguous after the sort; a group never spans
-        // partitions because the repartition hashes on the group key
+        // (group, shard) chains are contiguous after the sort; a chain never
+        // spans partitions because the repartition hashes on both keys
         var curLang: String = null
+        var curShard = -1L
         var acc = 0L
         var pack = 0L
-        it.map { case (id, lang, t) =>
-          if (lang != curLang) { curLang = lang; pack = 1L; acc = t }
+        it.map { case (id, lang, shard, t) =>
+          if (lang != curLang || shard != curShard) {
+            curLang = lang; curShard = shard; pack = 1L; acc = t
+          }
           else if (acc + t > budget) { pack += 1L; acc = t }
           else acc += t
-          PackAssign(id, lang, t, pack)
+          PackAssign(id, lang, shard, t, pack)
         }
       }
   }

@@ -222,33 +222,53 @@ class PropertySpec extends SparkSpec {
         val df = docsList.zipWithIndex
           .map { case ((lang, text), i) => (i.toLong, lang, text) }
           .toDF("doc_id", "lang", "text")
-        val out = graft.ops.Packing.packDocuments(df, budget).collect()
-        // total: every doc packed exactly once, token counts preserved
-        assert(out.map(_.doc_id).sorted.toSeq == (0L until docsList.size).toSeq)
-        // per (group, pack): total <= budget unless it is a single oversized doc
-        out.groupBy(p => (p.lang, p.pack_id)).foreach { case ((l, pid), ps) =>
-          val tot = ps.map(_.tokens).sum
-          assert(tot <= budget || ps.length == 1,
-            s"budget=$budget pack ($l,$pid) tot=$tot n=${ps.length}")
-        }
-        // pack ids are contiguous 1..K per group
-        out.groupBy(_.lang).foreach { case (l, ps) =>
-          val ids = ps.map(_.pack_id).distinct.sorted.toSeq
-          assert(ids == (1L to ids.size).toSeq, s"group $l ids $ids")
-        }
-        // greedy: a doc opens a new pack ONLY if it did not fit the previous
-        out.groupBy(_.lang).foreach { case (_, ps) =>
-          val ordered = ps.sortBy(_.doc_id)
-          ordered.sliding(2).foreach {
-            case Array(a, b) if b.pack_id == a.pack_id + 1 =>
-              val packTot = ordered
-                .filter(p => p.pack_id == a.pack_id).map(_.tokens).sum
-              assert(packTot + b.tokens > budget,
-                s"pack ${a.pack_id} closed early: $packTot + ${b.tokens} <= $budget")
-            case _ => ()
+        // both the degenerate single-chain form and the sharded scale form
+        for (shards <- Seq(1, 3)) {
+          val out = graft.ops.Packing.packDocuments(df, budget, "lang", shards).collect()
+          // total: every doc packed exactly once, token counts preserved
+          assert(out.map(_.doc_id).sorted.toSeq == (0L until docsList.size).toSeq)
+          // shards stay in range
+          assert(out.forall(p => p.shard >= 0 && p.shard < shards))
+          // per (group, shard, pack): total <= budget unless single oversized doc
+          out.groupBy(p => (p.lang, p.shard, p.pack_id)).foreach { case ((l, sh, pid), ps) =>
+            val tot = ps.map(_.tokens).sum
+            assert(tot <= budget || ps.length == 1,
+              s"budget=$budget pack ($l,$sh,$pid) tot=$tot n=${ps.length}")
+          }
+          // pack ids are contiguous 1..K per (group, shard)
+          out.groupBy(p => (p.lang, p.shard)).foreach { case (key, ps) =>
+            val ids = ps.map(_.pack_id).distinct.sorted.toSeq
+            assert(ids == (1L to ids.size).toSeq, s"chain $key ids $ids")
+          }
+          // greedy: a doc opens a new pack ONLY if it did not fit the previous
+          out.groupBy(p => (p.lang, p.shard)).foreach { case (_, ps) =>
+            val ordered = ps.sortBy(_.doc_id)
+            ordered.sliding(2).foreach {
+              case Array(a, b) if b.pack_id == a.pack_id + 1 =>
+                val packTot = ordered
+                  .filter(p => p.pack_id == a.pack_id).map(_.tokens).sum
+                assert(packTot + b.tokens > budget,
+                  s"pack ${a.pack_id} closed early: $packTot + ${b.tokens} <= $budget")
+              case _ => ()
+            }
           }
         }
       }
+  }
+
+  test("packing assignments are identical under arbitrary input repartitionings") {
+    val docs = (0L until 120L).map(i =>
+      (i, if (i % 3 == 0) "en" else "de",
+        (1 to (i % 17 + 1).toInt).map("w" + _).mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    def run(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      graft.ops.Packing.packDocuments(df, 32, "lang", 4)
+        .collect().map(p => Seq[Any](p.doc_id, p.lang, p.shard, p.tokens, p.pack_id))
+        .toSet
+    val base = run(docs)
+    assert(base == run(docs.repartition(7)))
+    assert(base == run(docs.repartition(1)))
+    assert(base == run(docs.orderBy(col("text"))))
   }
 
   test("salted pairs relation equals the plain equi-join pairs relation") {
