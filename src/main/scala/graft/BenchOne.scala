@@ -32,6 +32,22 @@ object BenchOne {
           s"clustersLsh != exact: only-lsh=${(lsh -- exact).take(5)} only-exact=${(exact -- lsh).take(5)}")
         s.range(1).toDF()
       }),
+      // dev probe: at which cosine thresholds do the SRP-LSH star clusters
+      // equal the exact pair-enumeration clusters on this corpus?
+      "x_embed_eq" -> ((s, dir) => {
+        val e = Cohorts.embeddings(s, dir)
+        for (t <- Seq(0.4, 0.5, 0.7, 0.8, 0.9)) {
+          val lsh = graft.ops.Similarity.embedClustersLsh(e, t)
+            .collect().map(_.toSeq).toSet
+          val exact = graft.ops.Dedup.dedupClusters(
+              graft.ops.Similarity.nearDupPairs(e, t)
+                .select(org.apache.spark.sql.functions.col("a_id").as("doc_a"),
+                  org.apache.spark.sql.functions.col("b_id").as("doc_b")))
+            .collect().map(_.toSeq).toSet
+          println(s"x_embed_eq t=$t lsh=${lsh.size} exact=${exact.size} equal=${lsh == exact}")
+        }
+        s.range(1).toDF()
+      }),
       "x_topk_agg" -> ((s, dir) => {
         val (c, nc) = Cohorts.cohorts(s, dir)
         TopKAgg.topK(

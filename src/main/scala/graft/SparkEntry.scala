@@ -1055,14 +1055,42 @@ object SparkEntry {
               |FROM r WHERE rank <= 3""".stripMargin)),
 
     // Embedding cluster consolidation WITHOUT pair enumeration: verified
-    // star edges over SRP-LSH band buckets → connected components. Rows-only
-    // gate (SRP admission at the 0.4 boundary is probabilistic, so a hash
-    // oracle would flake); equality with the exact path on clone-style
-    // corpora is OpsSpec-pinned.
+    // star edges over SRP-LSH band buckets → connected components. The gate
+    // plants DETERMINISTIC clone clusters (every 10th vector re-enters
+    // bit-identical under an offset id) and clusters at 0.9 — a threshold
+    // the base corpus provably never reaches (its max pairwise cosine is
+    // < 0.5 at every SF), so the exact answer is precisely the clone pairs.
+    // Identical vectors share every SRP band (admission prob. 1, fixed
+    // seed) and hub-verify at sim = 1.0 exactly, so the star clusters equal
+    // the exact recursive-closure clusters — a FULL hash gate, not
+    // rows-only, exercising srpChunks → hub window → exact verify →
+    // connected components end-to-end. Diffuse-threshold recall (0.4-ish)
+    // stays characterized by OpsSpec's contract pins, not a hash oracle —
+    // SRP admission there is genuinely probabilistic.
     ("q60_embed_clusters_lsh",
-      (s: SparkSession, dir: String) =>
-        Similarity.embedClustersLsh(Cohorts.embeddings(s, dir), 0.4),
-      None),
+      (s: SparkSession, dir: String) => {
+        val e = Cohorts.embeddings(s, dir)
+        val clones = e.filter(col("vec_id") % 10 === 0)
+          .withColumn("vec_id", col("vec_id") + lit(1000000L))
+        Similarity.embedClustersLsh(e.unionByName(clones), 0.9)
+      },
+      Some("""WITH RECURSIVE
+             |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |e AS (SELECT * FROM e0
+             |      UNION ALL
+             |      SELECT vec_id + 1000000, v FROM e0 WHERE vec_id % 10 = 0),
+             |prs AS (
+             |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+             |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |  WHERE list_cosine_similarity(a.v, b.v) >= 0.9),
+             |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+             |          UNION ALL SELECT doc_b, doc_a FROM prs),
+             |reach AS (
+             |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+             |  UNION
+             |  SELECT e2.u, reach.r FROM edges e2 JOIN reach ON e2.v = reach.u)
+             |SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+             |FROM reach GROUP BY u""".stripMargin)),
 
     // Near-dup cluster consolidation on the EMBEDDING modality: the same
     // connected-components operator composed over cosine near-dup pairs.

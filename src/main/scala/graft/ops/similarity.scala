@@ -98,6 +98,14 @@ object Similarity {
     verifyCosine(candidates, corpus, threshold)
   }
 
+  /** (id, __sig) 64-bit sign-random-projection signatures. */
+  private def srpSigs(corpus: DataFrame, seed: Long): DataFrame =
+    prep(corpus, "").withColumn("__sig",
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.expr.CosineLshSig(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("emb")), 64, seed)))
+      .select(col("id"), col("__sig"))
+
   /** (id, band, chunk) sign-random-projection band buckets shared by the
     * LSH pair and cluster operators. */
   private def srpChunks(corpus: DataFrame, bands: Int, seed: Long): DataFrame = {
@@ -106,11 +114,7 @@ object Similarity {
     // (bands=1 would need mask (1L<<64)-1, which the JVM's mod-64 shift
     // turns into 0 — every row would share one bucket = full cross product)
     val width = 64 / bands
-    val sigd = prep(corpus, "").withColumn("__sig",
-      org.apache.spark.sql.graftbridge.Bridge.column(
-        graft.expr.CosineLshSig(
-          org.apache.spark.sql.graftbridge.Bridge.expression(col("emb")), 64, seed)))
-    sigd.select(col("id"), col("__sig"),
+    srpSigs(corpus, seed).select(col("id"), col("__sig"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("__sig"), b * width)
@@ -131,22 +135,37 @@ object Similarity {
   /** Embedding near-dup CLUSTERS without pair enumeration — the cosine twin
     * of [[graft.ops.Dedup.clustersLsh]]: one exact-verified edge per
     * (band, bucket) member to the bucket's min-id hub (window aggregate),
-    * then min-label connected components. O(corpus×bands) edges however
+    * UNION one verified edge per member to its FULL-SIGNATURE group's min
+    * id, then min-label connected components. O(corpus×bands) edges however
     * duplicated the corpus; a c-way-duplicated embedding cluster costs
-    * [[nearDupPairs]] O(c²) pairs by contract. Recall carries SRP-LSH's
-    * probabilistic admission (near-1 for true near-dups) plus the anchor
-    * approximation (members must verify against their bucket hubs — exact
-    * for clone-style clusters, OpsSpec-pinned); the exact pair path stays
-    * the oracle. */
+    * [[nearDupPairs]] O(c²) pairs by contract.
+    *
+    * The full-signature star is what makes exact-duplicate vectors
+    * DETERMINISTICALLY cluster: bit-identical embeddings share all 64 SRP
+    * bits, so every clone group connects through its own min-id member
+    * regardless of which unrelated vector happens to be the min of a shared
+    * band bucket (4-bit band chunks are coarse — a bucket's hub is usually
+    * an unrelated vector that fails verification, which would otherwise
+    * orphan the clones; q60 gates this exactly against the recursive
+    * closure over a planted-clone corpus). Near-duplicate (not identical)
+    * recall stays SRP-probabilistic through the band star, plus the anchor
+    * approximation: a true pair survives only if its endpoints stay
+    * connected through verified hub edges — one endpoint failing its hubs
+    * suffices to split. The exact pair path stays the oracle. */
   def embedClustersLsh(corpus: DataFrame, threshold: Double,
                        bands: Int = 16, seed: Long = 42L): DataFrame = {
     val chunks = srpChunks(corpus, bands, seed)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "chunk")
-    val star = chunks
-      .withColumn("hub", min("id").over(w))
+    val wBucket = org.apache.spark.sql.expressions.Window.partitionBy("band", "chunk")
+    val bandStar = chunks
+      .withColumn("hub", min("id").over(wBucket))
       .filter(col("id") =!= col("hub"))
       .select(col("hub").as("a_id"), col("id").as("b_id"))
-      .distinct()
+    val wSig = org.apache.spark.sql.expressions.Window.partitionBy("__sig")
+    val sigStar = srpSigs(corpus, seed)
+      .withColumn("hub", min("id").over(wSig))
+      .filter(col("id") =!= col("hub"))
+      .select(col("hub").as("a_id"), col("id").as("b_id"))
+    val star = bandStar.unionByName(sigStar).distinct()
     Dedup.dedupClusters(verifyCosine(star, corpus, threshold)
       .select(col("a_id").as("doc_a"), col("b_id").as("doc_b")))
   }
