@@ -534,6 +534,60 @@ object SparkEntry {
               |WHERE r.rank <= ck.k
               |GROUP BY r.month, r.nc_idx""".stripMargin)),
 
+    // Cosine metric — scale-invariant in the numeric feature, so every
+    // pruned path reports no-bound and the join runs the dense pairs
+    // relation by DEFINED FALLBACK (DistanceMetric.bandBound = None); this
+    // gate pins both the metric arithmetic and that fallback route.
+    ("q61_knn_topk_cosine",
+      (s: SparkSession, dir: String) => {
+        val (c, nc) = cohortPair(s, dir)
+        val spec = Cohorts.spec.copy(metric = Cosine)
+        NeighborJoin.topKBanded(c, nc, spec, 3, broadcastConsent = true)
+          .select(col("month"), col("nc_idx"), col("c_idx"),
+            col("rank").cast("long").as("rank"), rnd(col("dist"), 4).as("dist"))
+      },
+      Some(s"""WITH ${OracleCtes.base},
+              |${OracleCtes.cohortSplit},
+              |pairs AS (
+              |  SELECT nc.month, nc.idx AS nc_idx, c.idx AS c_idx,
+              |         CASE WHEN sqrt(CAST(len(nc.features) AS DOUBLE) + nc.c_acctbal * nc.c_acctbal)
+              |                   * sqrt(CAST(len(c.features) AS DOUBLE) + c.c_acctbal * c.c_acctbal) = 0
+              |              THEN 1.0
+              |              ELSE 1.0 - (CAST(len(list_intersect(nc.features, c.features)) AS DOUBLE)
+              |                            + nc.c_acctbal * c.c_acctbal)
+              |                   / (sqrt(CAST(len(nc.features) AS DOUBLE) + nc.c_acctbal * nc.c_acctbal)
+              |                      * sqrt(CAST(len(c.features) AS DOUBLE) + c.c_acctbal * c.c_acctbal))
+              |         END AS dist
+              |  FROM nc JOIN c ON nc.month = c.month),
+              |${OracleCtes.topk(3)}
+              |SELECT month, nc_idx, c_idx, rank, ROUND(1e-9 + dist, 4) AS dist
+              |FROM topk""".stripMargin)),
+
+    // Chebyshev metric — L∞ over the dummy vector: the one-hot block
+    // contributes 1 iff the token sets differ; dist ≥ |Δx| still holds, so
+    // the BANDED path applies with radius bound max(D, 1).
+    ("q62_knn_topk_chebyshev",
+      (s: SparkSession, dir: String) => {
+        val (c, nc) = cohortPair(s, dir)
+        val spec = Cohorts.spec.copy(metric = Chebyshev)
+        NeighborJoin.topKBanded(c, nc, spec, 3)
+          .select(col("month"), col("nc_idx"), col("c_idx"),
+            col("rank").cast("long").as("rank"), rnd(col("dist"), 4).as("dist"))
+      },
+      Some(s"""WITH ${OracleCtes.base},
+              |${OracleCtes.cohortSplit},
+              |pairs AS (
+              |  SELECT nc.month, nc.idx AS nc_idx, c.idx AS c_idx,
+              |         greatest(
+              |           CASE WHEN len(nc.features) + len(c.features)
+              |                     - 2 * len(list_intersect(nc.features, c.features)) > 0
+              |                THEN 1.0 ELSE 0.0 END,
+              |           abs(nc.c_acctbal - c.c_acctbal)) AS dist
+              |  FROM nc JOIN c ON nc.month = c.month),
+              |${OracleCtes.topk(3)}
+              |SELECT month, nc_idx, c_idx, rank, ROUND(1e-9 + dist, 4) AS dist
+              |FROM topk""".stripMargin)),
+
     // ====================== LLM-pipeline extension operators ==============
 
     // Exact dedup — hash-groupBy on text.

@@ -18,6 +18,29 @@ sealed trait DistanceMetric {
   /** Distance between two rows given their token arrays and numeric pairs. */
   def dist(aTokens: Column, bTokens: Column, numPairs: Seq[(Column, Column)]): Column
   def name: String
+
+  /** Scale-path capability hooks. Each pruned join in [[NeighborJoin]]
+    * relies on a metric-specific inequality; a metric that cannot supply it
+    * returns None/false and the operator FALLS BACK to the dense pairs
+    * relation — defined, documented behavior instead of a wrong prune
+    * (cosine is scale-invariant in the numeric feature, so no |Δx| bound
+    * exists for it at all). */
+
+  /** True iff dist(a,b) ≥ |Δxᵢ| for every numeric feature — the necessary
+    * condition behind the numeric bucket prunes
+    * ([[NeighborJoin.withinRadiusBucketed]] and the per-cohort twin). */
+  private[graft] def boundsNumericGap: Boolean
+
+  /** Banded-top-k adaptive radius: given an upper bound D on the single
+    * numeric feature's 1-D k-NN distance and the token-part bound B,
+    * returns r with (true top-k row ⇒ |Δx| ≤ dist ≤ r). None = no bound —
+    * [[NeighborJoin.topKBanded]] falls back to the dense path. */
+  private[graft] def bandBound: Option[(Column, Column) => Column]
+
+  /** Token-part bound for LSH radius pruning: dist ≤ r implies the token
+    * sets' symmetric difference ≤ tokenBound(r). None = no usable bound at
+    * this radius — [[NeighborJoin.withinRadiusLsh]] falls back dense. */
+  private[graft] def tokenBound(radius: Double): Option[Double]
 }
 
 /** |a ∩ b| for token arrays via the codegen'd custom expression
@@ -39,6 +62,11 @@ case object Manhattan extends DistanceMetric {
       (size(a) + size(b) - lit(2) * TokenOps.intersectionSize(a, b)).cast("double")
     num.foldLeft(oneHot) { case (acc, (x, y)) => acc + abs(x - y) }
   }
+  private[graft] val boundsNumericGap = true
+  // dist = tokenΔ + Σ|Δx| ≤ B + D for the ±k window rows
+  private[graft] val bandBound = Some((d: Column, b0: Column) => d + b0)
+  // dist ≤ r ⇒ tokenΔ ≤ r
+  private[graft] def tokenBound(radius: Double): Option[Double] = Some(radius)
 }
 
 /** Euclidean: for 0/1 dummies |x−y|² == |x−y| so the one-hot block is the
@@ -53,6 +81,65 @@ case object Euclidean extends DistanceMetric {
       (size(a) + size(b) - lit(2) * TokenOps.intersectionSize(a, b)).cast("double")
     sqrt(num.foldLeft(oneHot) { case (acc, (x, y)) => acc + pow(x - y, lit(2)) })
   }
+  private[graft] val boundsNumericGap = true
+  // dist² = tokenΔ + ΣΔx² ≤ B + D² for the ±k window rows
+  private[graft] val bandBound =
+    Some((d: Column, b0: Column) => sqrt(d * d + b0))
+  // dist ≤ r ⇒ tokenΔ ≤ r²
+  private[graft] def tokenBound(radius: Double): Option[Double] = Some(radius * radius)
+}
+
+/** Chebyshev (L∞): over 0/1 dummies the one-hot block contributes 1 iff the
+  * token sets differ at all, so dist = max(tokenΔ>0 ? 1 : 0, |Δx₁|, …).
+  * Reference passes "chebyshev" straight to sklearn
+  * (cocoa/nearest_consented_customers.py:58-66). Scale paths: dist ≥ |Δxᵢ|
+  * holds (bucket prunes apply); the banded-top-k radius is max(D, 1) since
+  * the token part never exceeds 1; the LSH token bound is 0 for r < 1
+  * (identical token sets required) and vacuous past that. */
+case object Chebyshev extends DistanceMetric {
+  val name = "chebyshev"
+  def dist(a: Column, b: Column, num: Seq[(Column, Column)]): Column = {
+    val tokenInd =
+      when(size(a) + size(b) - lit(2) * TokenOps.intersectionSize(a, b) > 0,
+        lit(1.0)).otherwise(lit(0.0))
+    num.foldLeft(tokenInd) { case (acc, (x, y)) => greatest(acc, abs(x - y)) }
+  }
+  private[graft] val boundsNumericGap = true
+  // dist ≤ max(D, token part ≤ 1) for the ±k window rows
+  private[graft] val bandBound =
+    Some((d: Column, b0: Column) => greatest(d, lit(1.0)))
+  // dist ≤ r < 1 forces identical token sets (tokenΔ = 0); r ≥ 1 gives no
+  // token constraint at all — fall back dense rather than prune wrongly
+  private[graft] def tokenBound(radius: Double): Option[Double] =
+    if (radius < 1.0) Some(0.0) else None
+}
+
+/** Cosine distance over the full dummy vector (one-hot block + numeric
+  * features): 1 − (|a∩b| + Σxᵢyᵢ) / (‖a‖·‖b‖) with
+  * ‖a‖ = √(|a| + Σxᵢ²) — exactly sklearn's "cosine" over the CSR matrix
+  * the reference builds (cocoa/nearest_consented_customers.py:58-66).
+  * A zero-norm row (no tokens, all-zero numerics) is defined as distance 1
+  * to everything. Cosine is SCALE-INVARIANT in the numeric features, so no
+  * |Δx| inequality exists: every pruned path reports no-bound and the
+  * neighbor join runs the dense pairs relation — correct by fallback,
+  * never by a wrong prune. */
+case object Cosine extends DistanceMetric {
+  val name = "cosine"
+  def dist(a: Column, b: Column, num: Seq[(Column, Column)]): Column = {
+    val dot = num.foldLeft(TokenOps.intersectionSize(a, b).cast("double")) {
+      case (acc, (x, y)) => acc + x * y
+    }
+    val na = sqrt(num.foldLeft(size(a).cast("double")) {
+      case (acc, (x, _)) => acc + x * x
+    })
+    val nb = sqrt(num.foldLeft(size(b).cast("double")) {
+      case (acc, (_, y)) => acc + y * y
+    })
+    when(na * nb === 0.0, lit(1.0)).otherwise(lit(1.0) - dot / (na * nb))
+  }
+  private[graft] val boundsNumericGap = false
+  private[graft] val bandBound: Option[(Column, Column) => Column] = None
+  private[graft] def tokenBound(radius: Double): Option[Double] = None
 }
 
 /** Exactly-one-of neighbor-selection strategy

@@ -153,7 +153,7 @@ object NeighborJoin {
   def withinRadiusBucketed(consent: DataFrame, noconsent: DataFrame,
                            spec: CohortSpec, radius: Double): DataFrame = {
     require(radius > 0, s"radius must be > 0, got $radius")
-    if (spec.numCols.isEmpty)
+    if (spec.numCols.isEmpty || !spec.metric.boundsNumericGap)
       return withinRadius(pairs(consent, noconsent, spec), radius)
     val c0 = prefixed(consent, spec, "c_")
     val nc0 = prefixed(noconsent, spec, "nc_")
@@ -182,15 +182,19 @@ object NeighborJoin {
     * equals [[withinRadius]] on the dense relation (equivalence pinned by
     * CocoaInvariantsSpec). Candidates come from an equi-join on
     * (cohort…, band, bandKey) — shuffle O((|C|+|NC|)·bands), never the
-    * per-cohort cross product. Falls back to the dense pairs relation when
-    * the bound is vacuous (r ≥ 2·sₘᵢₙ ⇒ t ≤ 0: the radius spans whole
-    * token sets and nothing can be pruned). */
+    * per-cohort cross product. The token bound B comes from
+    * [[DistanceMetric.tokenBound]] (manhattan r, euclidean r², chebyshev 0
+    * for r < 1); falls back to the dense pairs relation when the metric has
+    * no bound (cosine, chebyshev r ≥ 1) or the bound is vacuous
+    * (r ≥ 2·sₘᵢₙ ⇒ t ≤ 0: the radius spans whole token sets and nothing
+    * can be pruned). */
   def withinRadiusLsh(consent: DataFrame, noconsent: DataFrame,
                       spec: CohortSpec, radius: Double): DataFrame = {
     require(radius > 0, s"radius must be > 0, got $radius")
-    val tokenBound = spec.metric match {
-      case Manhattan => radius
-      case Euclidean => radius * radius
+    val tokenBound = spec.metric.tokenBound(radius) match {
+      case Some(b) => b
+      case None => // metric admits no token bound at this radius — dense
+        return withinRadius(pairs(consent, noconsent, spec), radius)
     }
     val c0 = prefixed(consent, spec, "c_")
     val nc0 = prefixed(noconsent, spec, "nc_")
@@ -287,7 +291,7 @@ object NeighborJoin {
   def withinRadiusBucketedPerCohort(consent: DataFrame, noconsent: DataFrame,
                                     radii: DataFrame, spec: CohortSpec,
                                     broadcastConsent: Boolean = false): DataFrame = {
-    if (spec.numCols.isEmpty)
+    if (spec.numCols.isEmpty || !spec.metric.boundsNumericGap)
       return withinRadiusPerCohort(
         pairs(consent, noconsent, spec, broadcastConsent), radii, spec.cohortCols)
     val coh = spec.cohortCols
@@ -362,7 +366,7 @@ object NeighborJoin {
                              spec: CohortSpec, frac: Double,
                              broadcastConsent: Boolean = false): DataFrame = {
     require(frac > 0 && frac < 1, s"proportional k must be in (0,1), got $frac")
-    if (spec.numCols.size != 1)
+    if (spec.numCols.size != 1 || spec.metric.bandBound.isEmpty)
       return topK(pairs(consent, noconsent, spec, broadcastConsent), spec, frac,
         Some(consent))
     val perCohort = resolveK(consent, spec, frac)
@@ -436,7 +440,7 @@ object NeighborJoin {
                  spec: CohortSpec, k: Int,
                  broadcastConsent: Boolean = false): DataFrame = {
     require(k >= 1, s"topKBanded needs a fixed k >= 1, got $k")
-    if (spec.numCols.size != 1)
+    if (spec.numCols.size != 1 || spec.metric.bandBound.isEmpty)
       return topK(pairs(consent, noconsent, spec, broadcastConsent), spec, k.toDouble)
     topKBandedImpl(consent, noconsent, spec, Left(k))
   }
@@ -540,12 +544,12 @@ object NeighborJoin {
     // any cohort size). Probes with r_i ≤ W ride the bucket band join
     // (≤ 3 buckets each); the few wider probes fall back to a per-cohort
     // dense join so one sparse-region probe can't widen everyone's buckets.
+    val bound = spec.metric.bandBound.getOrElse(
+      throw new IllegalStateException(
+        s"metric ${spec.metric.name} has no band bound — callers fall back dense"))
     val ncD = joinCoh(nc0.join(dxK, joinKeys), cStats)
       .withColumn("__b0", size(col("nc_features")) + col("__cmaxtok"))
-      .withColumn("__r", spec.metric match {
-        case Manhattan => col("__d") + col("__b0")
-        case Euclidean => sqrt(col("__d") * col("__d") + col("__b0"))
-      })
+      .withColumn("__r", bound(col("__d"), col("__b0")))
     val widths = ncD.groupBy(coh.map(col(_)): _*)
       .agg(greatest(percentile_approx(col("__r"), lit(0.99), lit(1000)),
         lit(1e-6)).as("__w"))

@@ -97,8 +97,10 @@ class PropertySpec extends SparkSpec {
     // k spans under- and over-provisioned neighborhoods (k=3 can exceed
     // |consent| for small samples — both paths must then return all rows);
     // both metrics exercise both radius-bound shapes.
+    // Chebyshev rides the banded path (bound max(D,1)); Cosine exercises
+    // the defined dense FALLBACK (bandBound = None) through the same API.
     samples(5).foreach { case (c, nc) =>
-      for (m <- Seq(Manhattan, Euclidean); k <- Seq(1, 3)) {
+      for (m <- Seq(Manhattan, Euclidean, Chebyshev, Cosine); k <- Seq(1, 3)) {
         val sp = spec.copy(metric = m)
         val dense = NeighborJoin.topK(NeighborJoin.pairs(encode(c), encode(nc), sp), sp, k.toDouble)
           .select("nc_idx", "c_idx", "rank", "dist").collect().map(_.toSeq).toSet
@@ -107,6 +109,48 @@ class PropertySpec extends SparkSpec {
         assert(banded == dense, s"metric=$m k=$k c=$c nc=$nc")
       }
     }
+  }
+
+  test("chebyshev/cosine radius joins: pruned paths equal or fall back to dense") {
+    samples(3).foreach { case (c, nc) =>
+      // chebyshev r < 1: LSH token bound 0 (identical sets) + bucket prune
+      // both apply; r >= 1: LSH declines the prune (dense fallback) but the
+      // numeric bucket prune still holds — all must equal the dense filter.
+      for (m <- Seq(Chebyshev, Cosine); r <- Seq(0.9, 2.5)) {
+        val sp = spec.copy(metric = m)
+        val dense = NeighborJoin
+          .withinRadius(NeighborJoin.pairs(encode(c), encode(nc), sp), r)
+          .select("nc_idx", "c_idx", "dist").collect().map(_.toSeq).toSet
+        val bucketed = NeighborJoin.withinRadiusBucketed(encode(c), encode(nc), sp, r)
+          .select("nc_idx", "c_idx", "dist").collect().map(_.toSeq).toSet
+        val lsh = NeighborJoin.withinRadiusLsh(encode(c), encode(nc), sp, r)
+          .select("nc_idx", "c_idx", "dist").collect().map(_.toSeq).toSet
+        assert(bucketed == dense, s"bucketed metric=$m r=$r c=$c nc=$nc")
+        assert(lsh == dense, s"lsh metric=$m r=$r c=$c nc=$nc")
+      }
+    }
+  }
+
+  test("metric arithmetic: known-value distances") {
+    // a = tokens {x}, x=3.0 ; b = tokens {y}, x=7.0 → symmetric diff 2
+    val a = encode(List(CRow(1, 3.0, 1.0, "x")))
+    val b = encode(List(CRow(2, 7.0, 1.0, "y"))).withColumnRenamed("a", "b_a")
+      .withColumnRenamed("features", "b_features")
+    val row = a.crossJoin(b).select(
+      Manhattan.dist(col("features"), col("b_features"),
+        Seq((col("a"), col("b_a")))).as("man"),
+      Euclidean.dist(col("features"), col("b_features"),
+        Seq((col("a"), col("b_a")))).as("euc"),
+      Chebyshev.dist(col("features"), col("b_features"),
+        Seq((col("a"), col("b_a")))).as("che"),
+      Cosine.dist(col("features"), col("b_features"),
+        Seq((col("a"), col("b_a")))).as("cos")).head()
+    assert(math.abs(row.getDouble(0) - (2.0 + 4.0)) < 1e-12)            // 2 + |3-7|
+    assert(math.abs(row.getDouble(1) - math.sqrt(2.0 + 16.0)) < 1e-12)  // √(2 + 16)
+    assert(math.abs(row.getDouble(2) - 4.0) < 1e-12)                    // max(1, 4)
+    // cos: dot = 0 (disjoint tokens) + 21; norms √(1+9), √(1+49)
+    val expCos = 1.0 - 21.0 / (math.sqrt(10.0) * math.sqrt(50.0))
+    assert(math.abs(row.getDouble(3) - expCos) < 1e-12)
   }
 
   test("property: per-cohort bucketed radius join equals dense per-cohort filter") {
