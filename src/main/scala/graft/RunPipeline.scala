@@ -124,13 +124,16 @@ object RunPipeline {
     val result = new NearestCustomerMatcher(c, spec)
       .adjustmentsAndSummary(nc, strategy)
 
-    Io.writeCsvPerDate(result.adjusted.drop(spec.tokenCol, rowIdCol),
-      cfg.dateCol, s"$outDir/adjustments_data")
+    // Reference artifact layout: <out>/<date>/adjustments_data.csv +
+    // adjustments_summary.csv (pipeline.py:265-295) — exact names, one
+    // plain CSV per date.
+    Io.writeCsvExact(result.adjusted.drop(spec.tokenCol, rowIdCol),
+      cfg.dateCol, outDir, "adjustments_data.csv")
     // The summary aggregation feeds both the CSV write and the zero-match
     // warning below; cache it so the (noconsent scan + matched agg) DAG runs
     // once, not once per consumer.
     val summary = result.summary.persist()
-    Io.writeCsvPerDate(summary, cfg.dateCol, s"$outDir/adjustments_summary")
+    Io.writeCsvExact(summary, cfg.dateCol, outDir, "adjustments_summary.csv")
     // reference parity: warn when a cohort matched nothing (radius too
     // tight — nearest_consented_customers.py:176-182 logs the same).
     summary

@@ -43,6 +43,46 @@ object Io {
   def writeCsvPerDate(df: DataFrame, dateCol: String, outDir: String): Unit =
     perDate(df, dateCol).option("header", "true").csv(outDir)
 
+  /** S4 with the reference's EXACT artifact names: one plain
+    * `<outDir>/<date>/<fileName>` CSV per date (pipeline.py:265-295 —
+    * downstream Offline Conversion Import tooling globs those names).
+    * Spark writes a staged `__date=`-partitioned dir — `repartition` on the
+    * derived date guarantees ONE part file per date — then a driver-side
+    * FileSystem pass renames each part file to its exact destination
+    * (metadata-only on HDFS-like filesystems; one rename per DATE, which is
+    * dimension-sized, never per row/file-count of the corpus). Existing
+    * destination files are replaced, so per-date re-runs are idempotent
+    * regardless of the session's partitionOverwriteMode. This is the OCI
+    * artifact sink; [[writeParquetPerDate]] remains the bulk-data path. */
+  def writeCsvExact(df: DataFrame, dateCol: String, outDir: String,
+                    fileName: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val staging = s"$outDir/.staging_${fileName.replace('.', '_')}"
+    df.withColumn("__date", date_format(col(dateCol), "yyyy-MM-dd"))
+      .repartition(col("__date"))
+      .write.mode("overwrite").partitionBy("__date")
+      .option("header", "true").csv(staging)
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val stagingPath = new Path(staging)
+    val fs = stagingPath.getFileSystem(conf)
+    fs.listStatus(stagingPath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__date="))
+      .foreach { d =>
+        val date = d.getPath.getName.stripPrefix("__date=")
+        val parts = fs.listStatus(d.getPath)
+          .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        require(parts.length == 1,
+          s"expected exactly one part file for $date, got ${parts.length} " +
+            "(the date repartition guarantees one writer per date)")
+        val destDir = new Path(s"$outDir/$date")
+        fs.mkdirs(destDir)
+        val dest = new Path(destDir, fileName)
+        if (fs.exists(dest)) fs.delete(dest, false)
+        require(fs.rename(parts.head.getPath, dest), s"rename to $dest failed")
+      }
+    fs.delete(stagingPath, true)
+  }
+
   /** S5 — newline-joined text sink (reference: cloud_function/main.py:
     * 86-100,137-142 writes dates.txt). */
   def writeTextLines(lines: Dataset[String], path: String): Unit =

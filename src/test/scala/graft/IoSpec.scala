@@ -79,4 +79,30 @@ class IoSpec extends SparkSpec {
     assert(back.count() == 3)
     assert(back.columns.contains("gclid")) // header preserved
   }
+
+  test("S4 exact names: <out>/<date>/<file>.csv artifacts, idempotent re-run") {
+    val dir = tmpDir()
+    val df = Seq(
+      ("2021-11-20", "g1", 10.0), ("2021-11-20", "g2", 20.0),
+      ("2021-11-21", "g3", 30.0)
+    ).toDF("d", "gclid", "adjusted_conversion")
+      .withColumn("d", to_date(col("d")))
+    Io.writeCsvExact(df, "d", s"$dir/out", "adjustments_data.csv")
+    // the reference's exact artifact paths (pipeline.py:265-295)
+    for (day <- Seq("2021-11-20", "2021-11-21"))
+      assert(new java.io.File(s"$dir/out/$day/adjustments_data.csv").isFile,
+        s"missing exact artifact for $day")
+    // no staging residue
+    assert(!new java.io.File(s"$dir/out").listFiles()
+      .exists(_.getName.startsWith(".staging")))
+    val back = spark.read.option("header", "true")
+      .csv(s"$dir/out/*/adjustments_data.csv")
+    assert(back.count() == 3)
+    assert(back.columns.contains("gclid"))
+    // re-run replaces in place (per-date idempotence, any overwrite mode)
+    Io.writeCsvExact(df.filter(col("gclid") =!= "g2"), "d", s"$dir/out",
+      "adjustments_data.csv")
+    assert(spark.read.option("header", "true")
+      .csv(s"$dir/out/*/adjustments_data.csv").count() == 2)
+  }
 }

@@ -56,7 +56,8 @@ class MatcherSpec extends SparkSpec {
 
     RunPipeline.run(spark, Array(s"$dir/consent", s"$dir/noconsent", s"$dir/out", "k=2"))
 
-    val out = spark.read.option("header", "true").csv(s"$dir/out/adjustments_data")
+    val out = spark.read.option("header", "true")
+      .csv(s"$dir/out/*/adjustments_data.csv")
     assert(out.count() == 2) // cardinality preserved despite repeated gclid
     // conservation: both nc values split 50/50 over the two equidistant
     // consent rows -> each receives (20+30)/2 = 25.0
@@ -99,14 +100,18 @@ class MatcherSpec extends SparkSpec {
 
     RunPipeline.run(spark, Array(s"$dir/consent", s"$dir/noconsent", s"$dir/out", "k=2"))
 
+    // EXACT artifact names, reference parity (pipeline.py:265-295):
+    // <out>/<date>/adjustments_data.csv + adjustments_summary.csv
+    assert(new java.io.File(s"$dir/out/2021-11-20/adjustments_data.csv").isFile)
+    assert(new java.io.File(s"$dir/out/2021-11-20/adjustments_summary.csv").isFile)
     val out = spark.read.option("header", "true")
-      .csv(s"$dir/out/adjustments_data")
+      .csv(s"$dir/out/2021-11-20/adjustments_data.csv")
     assert(out.count() == 2)
     val adds = out.select(col("adjusted_conversion").cast("double"))
       .as[Double].collect().sorted
     assert(adds.toSeq == Seq(10.0, 10.0)) // k=2 equidistant -> 10.0 each
     val summary = spark.read.option("header", "true")
-      .csv(s"$dir/out/adjustments_summary")
+      .csv(s"$dir/out/2021-11-20/adjustments_summary.csv")
     assert(summary.count() == 1)
     assert(summary.select(col("percentage_matched_conversions").cast("double"))
       .as[Double].head() == 100.0)
@@ -143,7 +148,10 @@ class MatcherSpec extends SparkSpec {
     RunPipelineStream.run(spark,
       Array(s"$dir/consent", s"$dir/noconsent", s"$dir/out", s"$dir/dates", "k=2"))
 
-    val out = spark.read.option("header", "true").csv(s"$dir/out/adjustments_data")
+    assert(new java.io.File(s"$dir/out/2021-11-20/adjustments_data.csv").isFile)
+    assert(new java.io.File(s"$dir/out/2021-11-21/adjustments_data.csv").isFile)
+    val out = spark.read.option("header", "true")
+      .csv(s"$dir/out/*/adjustments_data.csv")
     assert(out.count() == 4)
     val perDate = out.groupBy("conversion_date")
       .agg(sum(col("adjusted_conversion").cast("double")).as("s"))
@@ -155,6 +163,6 @@ class MatcherSpec extends SparkSpec {
     RunPipelineStream.run(spark,
       Array(s"$dir/consent", s"$dir/noconsent", s"$dir/out", s"$dir/dates", "k=2"))
     assert(spark.read.option("header", "true")
-      .csv(s"$dir/out/adjustments_data").count() == 4)
+      .csv(s"$dir/out/*/adjustments_data.csv").count() == 4)
   }
 }
