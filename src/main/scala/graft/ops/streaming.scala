@@ -74,38 +74,69 @@ object EventOps {
   def hourlyAggStream(stream: DataFrame, watermark: String = "2 hours"): DataFrame =
     hourlyAgg(stream.withWatermark("ts", watermark))
 
-  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  /** Open-session buffer: (epoch-second, value) events not yet emitted —
+    * only sessions the watermark has not closed, so state size is bounded
+    * by the watermark horizon's events per user, not history. */
+  final case class SessBuf(events: Seq[(Long, Double)])
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                               n_events: Long, sum_value: Double)
 
-  /** Streaming sessionization via flatMapGroupsWithState: per-user state
-    * holds the open session; a session is emitted when the gap passes or
-    * the processing-time timeout fires. The streaming twin of
-    * [[sessionize]] (equivalence pinned in OpsSpec). */
+  /** Production streaming sessionization: event-time WATERMARK + event-time
+    * TIMEOUT, correct under out-of-order arrival (the per-batch-ordered
+    * assumption of rounds 1–3 is gone).
+    *
+    * Protocol, per user: state buffers the OPEN sessions' events; each
+    * invocation merges the batch's events (Spark has already dropped rows
+    * older than the watermark), re-sorts the buffer, splits it into
+    * gap-delimited sessions, and emits exactly the sessions the watermark
+    * has sealed — last event + gap < watermark means no admissible late
+    * event can extend or reorder them. Open sessions stay buffered and arm
+    * an event-time timeout at (last + gap); when the watermark passes it,
+    * Spark re-invokes the function with no data (no-data micro-batches) and
+    * the same seal-and-emit logic flushes them. Session identity (start,
+    * count, sum) is order-insensitive WITHIN a second, and same-second
+    * events always share a session, so the emitted rows equal batch
+    * [[sessionize]] whenever no event arrives later than the watermark
+    * allows (OpsSpec pins this with shuffled out-of-order batches).
+    *
+    * Late-beyond-watermark events are dropped by Spark before the function
+    * runs — the documented streaming contract; the batch twin remains the
+    * backfill path. */
   def sessionizeStream(events: Dataset[(Long, java.sql.Timestamp, Double)],
-                       gapSeconds: Long = 1800): Dataset[SessionOut] = {
+                       gapSeconds: Long = 1800,
+                       watermark: String = "2 hours"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("_2", watermark)
       .groupByKey(_._1)
-      .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (user, rows, state: GroupState[SessionState]) =>
-          // Sort within the micro-batch; correct for per-batch-ordered input
-          // (tests feed ordered batches; production would add a watermark
-          // and event-time timeout).
-          val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
-          var st = state.getOption.orNull
-          val out = Seq.newBuilder[SessionOut]
-          sorted.foreach { case (_, ts, v) =>
-            val t = ts.getTime / 1000
-            if (st == null) st = SessionState(t, t, 1, v)
-            else if (t - st.last > gapSeconds) {
-              out += SessionOut(user, new java.sql.Timestamp(st.start * 1000), st.n, st.sum)
-              st = SessionState(t, t, 1, v)
-            } else st = st.copy(last = t, n = st.n + 1, sum = st.sum + v)
+      .flatMapGroupsWithState[SessBuf, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[SessBuf]) =>
+          val merged =
+            (state.getOption.map(_.events).getOrElse(Seq.empty) ++
+              rows.map(r => (r._2.getTime / 1000, r._3))).sortBy(_._1)
+          // split into gap-delimited sessions (buffer is time-sorted)
+          val sessions = merged.foldLeft(List.empty[List[(Long, Double)]]) {
+            case (acc, e) => acc match {
+              case cur :: rest if e._1 - cur.head._1 <= gapSeconds =>
+                (e :: cur) :: rest // cur is newest-first; head = last event
+              case _ => List(e) :: acc
+            }
+          }.map(_.reverse).reverse
+          val wmSec = state.getCurrentWatermarkMs() / 1000
+          val (closed, open) = sessions.partition(s => s.last._1 + gapSeconds < wmSec)
+          val out = closed.map(s => SessionOut(user,
+            new java.sql.Timestamp(s.head._1 * 1000), s.size.toLong, s.map(_._2).sum))
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessBuf(open.flatten))
+            // arm at the EARLIEST open session's close point so it flushes
+            // as soon as the watermark passes it (not when the newest one
+            // does); strictly above the current watermark by construction:
+            // open ⇒ last + gap ≥ wmSec ⇒ (last+gap)*1000 + 1000 > wmMs
+            state.setTimeoutTimestamp((open.head.last._1 + gapSeconds) * 1000 + 1000)
           }
-          if (st != null) state.update(st) else state.remove()
-          out.result().iterator
+          out.iterator
       }
   }
 }

@@ -323,11 +323,15 @@ class OpsSpec extends SparkSpec {
     implicit val sq = spark.sqlContext
     val raw = Cohorts.events(spark, "/root/testdata/sf0.001")
       .filter($"user_id" < 20)
-    val rows = raw
+    // SHUFFLED (seeded) — the watermarked operator must not depend on
+    // arrival order; correctness comes from the state buffer + seal logic
+    val rows = new scala.util.Random(7).shuffle(raw
       .select($"user_id", date_trunc("second", $"ts").as("ts"), $"value")
       .as[(Long, java.sql.Timestamp, Double)]
-      .collect().sortBy(r => (r._2.getTime, r._1)).toSeq
-    // sentinel event per user far in the future closes every real session
+      .collect().toSeq)
+    // sentinel event per user far in the future advances the watermark
+    // past every real session's close point; the event-time timeouts then
+    // flush them in the no-data batch
     val flushTs = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
     val users = rows.map(_._1).distinct
     val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
@@ -349,6 +353,48 @@ class OpsSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet
       assert(streamed == batch)
       assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming sessionize: out-of-order ACROSS batches within the watermark") {
+    implicit val sq = spark.sqlContext
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // user 1: one session 10:00-10:10 whose interior events arrive LATE and
+    // OUT OF ORDER in a second batch (admissible: watermark after batch 1 is
+    // 10:10 - 1h = 09:10); a 12:00 event then both advances the watermark to
+    // 11:00 (sealing the first session: 10:10 + 30min < 11:00) and opens a
+    // second session. user 2 interleaves to prove per-key isolation.
+    val b1 = Seq((1L, ts("2024-05-01 10:00:00"), 1.0),
+                 (1L, ts("2024-05-01 10:10:00"), 2.0),
+                 (2L, ts("2024-05-01 10:07:00"), 5.0))
+    val b2 = Seq((1L, ts("2024-05-01 10:05:00"), 3.0),  // late, in-gap
+                 (1L, ts("2024-05-01 09:30:00"), 4.0),  // late, EXTENDS session backwards
+                 (2L, ts("2024-05-01 10:02:00"), 6.0))
+    val b3 = Seq((1L, ts("2024-05-01 12:00:00"), 7.0),
+                 (2L, ts("2024-05-01 12:00:00"), 8.0))
+    val b4 = Seq((1L, ts("2030-01-01 00:00:00"), 0.0),
+                 (2L, ts("2030-01-01 00:00:00"), 0.0))
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = EventOps.sessionizeStream(stream.toDS().map(identity),
+        gapSeconds = 1800, watermark = "1 hour")
+      .writeStream.format("memory").queryName("sess_ooo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(b1, b2, b3, b4).foreach { b => stream.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("sess_ooo")
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .collect().map(_.toSeq).toSet
+      val batch = EventOps.sessionize(
+          (b1 ++ b2 ++ b3).toDF("user_id", "ts", "value")
+            .withColumn("event_id", lit(0L)))
+        .select(col("user_id"), col("session_start"), col("n_events"), col("sum_value"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      // the late 09:30 arrival must have been absorbed into user 1's session
+      assert(streamed.exists(r => r.head == 1L &&
+        r(1) == "2024-05-01 09:30:00" && r(2) == 4L))
     } finally q.stop()
   }
 
