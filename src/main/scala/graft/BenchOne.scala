@@ -48,6 +48,40 @@ object BenchOne {
         }
         s.range(1).toDF()
       }),
+      "x_decon_bloom" -> ((s, dir) => {
+        val d = Cohorts.documents(s, dir)
+        graft.ops.Dedup.contaminated(
+          d.filter(org.apache.spark.sql.functions.col("source") =!= "src0"),
+          d.filter(org.apache.spark.sql.functions.col("source") === "src0"), 8)
+      }),
+      "x_decon_nobloom" -> ((s, dir) => {
+        val d = Cohorts.documents(s, dir)
+        graft.ops.Dedup.contaminated(
+          d.filter(org.apache.spark.sql.functions.col("source") =!= "src0"),
+          d.filter(org.apache.spark.sql.functions.col("source") === "src0"), 8,
+          bloomFpp = None)
+      }),
+      // prints how many exploded train shingle rows the bloom prune drops
+      // before the decontamination shuffle join
+      "x_decon_drop" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d = Cohorts.documents(s, dir)
+        val bench = graft.ops.Dedup.shingleSets(d.filter(col("source") === "src0"), 8)
+          .select(explode(col("shingles")).as("h")).distinct()
+          .persist()
+        val n = math.max(1L, bench.count())
+        val bloom = bench.stat.bloomFilter("h", n, 0.01)
+        val tr = graft.ops.Dedup.shingleSets(d.filter(col("source") =!= "src0"), 8)
+          .select(explode(col("shingles")).as("h"))
+        val total = tr.count()
+        val kept = tr.filter(org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.expr.BloomMightContainLong(
+            org.apache.spark.sql.graftbridge.Bridge.expression(col("h")), bloom))).count()
+        println(f"x_decon_drop: train shingles $total%,d -> bloom-kept $kept%,d " +
+          f"(${100.0 * kept / total}%.2f%% reach the join)")
+        bench.unpersist()
+        s.range(1).toDF()
+      }),
       "x_topk_agg" -> ((s, dir) => {
         val (c, nc) = Cohorts.cohorts(s, dir)
         TopKAgg.topK(

@@ -182,3 +182,30 @@ case class DotProduct(left: Expression, right: Expression)
       l: Expression, r: Expression): DotProduct = copy(left = l, right = r)
   override def prettyName: String = "dot_product"
 }
+
+/** bloom_might_contain(bigint) → boolean: membership probe against a
+  * driver-built [[org.apache.spark.util.sketch.BloomFilter]] carried as a
+  * reference object into the generated code — the scan-side refinement for
+  * decontamination ([[graft.ops.Dedup.contaminated]]): train shingles that
+  * cannot be benchmark shingles are dropped BEFORE the shuffle join. False
+  * positives only pass extra rows to the exact join; never wrong results. */
+case class BloomMightContainLong(
+    child: Expression,
+    bloom: org.apache.spark.util.sketch.BloomFilter) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain expects bigint, got ${t.sql}")
+  }
+  override def nullSafeEval(x: Any): Any =
+    bloom.mightContainLong(x.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom,
+      "org.apache.spark.util.sketch.BloomFilter")
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainLong =
+    copy(child = newChild)
+  override def prettyName: String = "bloom_might_contain"
+}

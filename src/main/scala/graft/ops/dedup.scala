@@ -394,22 +394,40 @@ object Dedup {
   /** Benchmark decontamination: train documents sharing at least one
     * k-token shingle with any benchmark document, with the count of shared
     * distinct shingles (the usual evidence column for a removal decision).
+    *
     * Plan shape at scale: the benchmark's distinct shingle-hash relation is
-    * orders of magnitude smaller than the train corpus and equi-joins
-    * against the exploded train shingles — Catalyst broadcasts it while it
-    * fits; past that the same join runs shuffled, and the classic
-    * refinement (Bloom filter of benchmark hashes pushed into the train
-    * scan) drops in without changing this operator's contract. Only
+    * orders of magnitude smaller than the train corpus. By default a BLOOM
+    * FILTER of those hashes (built driver-side — benchmarks are MB-sized by
+    * nature) is pushed into the train side as a codegen'd map-side filter
+    * ([[graft.expr.BloomMightContainLong]]): almost every train shingle is
+    * dropped AT THE SCAN, so the shuffle join carries ~only the
+    * contaminated shingles instead of the whole exploded corpus (measured
+    * at the 10× documents replica: see DESIGN.md §10). The exact equi-join
+    * still follows, so Bloom false positives can only cost a few extra
+    * joined rows — results are identical with or without the filter
+    * (`bloomFpp = None` disables it; OpsSpec pins equality). Only
     * contaminated docs reach the final aggregation. */
   def contaminated(train: DataFrame, benchmark: DataFrame,
-                   k: Int = 8): DataFrame = {
+                   k: Int = 8, bloomFpp: Option[Double] = Some(0.01)): DataFrame = {
     val bm = shingleSets(benchmark, k)
       .select(explode(col("shingles")).as("h")).distinct()
     val tr = shingleSets(train, k)
       .select(col("doc_id"), explode(col("shingles")).as("h"))
+    val trPruned = bloomFpp match {
+      case Some(fpp) =>
+        // the distinct benchmark hashes feed the bloom build AND the exact
+        // join — materialize once (freed by the caller / ContextCleaner)
+        val bmP = bm.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = math.max(1L, bmP.count())
+        val bloom = bmP.stat.bloomFilter("h", n, fpp)
+        tr.filter(org.apache.spark.sql.graftbridge.Bridge.column(
+          graft.expr.BloomMightContainLong(
+            org.apache.spark.sql.graftbridge.Bridge.expression(col("h")), bloom)))
+      case None => tr
+    }
     // per-doc shingles are already distinct, so a plain count is the count
     // of distinct shared shingles
-    tr.join(bm, Seq("h"))
+    trPruned.join(bm, Seq("h"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
   }

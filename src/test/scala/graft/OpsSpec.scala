@@ -141,6 +141,20 @@ class OpsSpec extends SparkSpec {
     assert(out == Map(1L -> 2L))
   }
 
+  test("bloom-refined decontamination equals the unfiltered join") {
+    // real corpus slice: bloom prune (default) vs no bloom must agree
+    // exactly — false positives die in the exact join
+    val d = Cohorts.documents(spark, "/root/testdata/sf0.001")
+    val train = d.filter($"source" =!= "src0")
+    val bench = d.filter($"source" === "src0")
+    val withBloom = Dedup.contaminated(train, bench, 8)
+      .collect().map(_.toSeq).toSet
+    val noBloom = Dedup.contaminated(train, bench, 8, bloomFpp = None)
+      .collect().map(_.toSeq).toSet
+    assert(withBloom == noBloom)
+    spark.catalog.clearCache()
+  }
+
   test("deduplicated corpus keeps cluster keepers and untouched docs") {
     val d = Seq((1L, "a"), (2L, "b"), (3L, "c"), (7L, "alone"))
       .toDF("doc_id", "text")
