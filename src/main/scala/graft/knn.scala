@@ -553,37 +553,39 @@ object NeighborJoin {
     val widths = ncD.groupBy(coh.map(col(_)): _*)
       .agg(greatest(percentile_approx(col("__r"), lit(0.99), lit(1000)),
         lit(1e-6)).as("__w"))
-    val ncT = joinCoh(ncD, widths)
-    val ncB = ncT.filter(col("__r") <= col("__w"))
-      .withColumn("__bucket", explode(sequence(
-        floor((col(s"nc_$x") - col("__r")) / col("__w")).cast("long"),
-        floor((col(s"nc_$x") + col("__r")) / col("__w")).cast("long"))))
+    // Single-join two-tier: bulk probes (r ≤ W) emit their ±r bucket range
+    // (≤ 3 buckets); the ≤ ~1% wide probes emit ONE wildcard bucket, and
+    // every consent row rides under its real bucket AND the wildcard — so
+    // one equi-join serves both tiers. No second join branch, no union:
+    // the probe-prep lineage is planned once (a two-branch union measured
+    // ~+0.6 s/query at sf0.1 from the duplicated subtree), and the consent
+    // side grows by exactly one wildcard replica (dimension-×2, map-side).
+    // The wildcard key never collides with a real bucket: |x/w| ≤ 1e13
+    // while the sentinel is Long.MinValue.
+    val Wild = Long.MinValue
+    val ncB = joinCoh(ncD, widths)
+      .withColumn("__bucket", explode(
+        when(col("__r") <= col("__w"), sequence(
+          floor((col(s"nc_$x") - col("__r")) / col("__w")).cast("long"),
+          floor((col(s"nc_$x") + col("__r")) / col("__w")).cast("long")))
+        .otherwise(array(lit(Wild)))))
     val cB = joinCoh(cRanked.drop("__rn"), widths)
-      .withColumn("__bucket", floor(col(s"c_$x") / col("__w")).cast("long"))
+      .withColumn("__bucket", explode(array(
+        floor(col(s"c_$x") / col("__w")).cast("long"), lit(Wild))))
       .drop("__w")
 
     val numPairs = spec.numCols.map(n => (col(s"nc_$n"), col(s"c_$n")))
-    def scored(joined: DataFrame): DataFrame = joined
+    val cand = ncB.join(cB, coh :+ "__bucket")
       .filter(abs(col(s"nc_$x") - col(s"c_$x")) <= col("__r"))
       .withColumn("dist", spec.metric.dist(col("nc_features"), col("c_features"), numPairs))
-      .select(coh.map(col(_)) ++ Seq(col("nc_idx"), col("nc_value"),
-        col("c_idx"), col("c_value"), col("dist"), col("__kk")): _*)
-    val bandCand = scored(ncB.join(cB, coh :+ "__bucket"))
-    // dense-fallback tier: wide-radius probes (r_i > W, ≤ ~1% by the p99
-    // construction) join their cohort's whole consent side, still filtered
-    // by their own |Δx| ≤ r_i superset condition.
-    val wide = ncT.filter(col("__r") > col("__w"))
-    val cSide = cRanked.drop("__rn")
-    val denseCand = scored(
-      if (coh.nonEmpty) wide.join(cSide, coh) else wide.crossJoin(cSide))
 
-    // each probe rides exactly one tier, so the per-probe rank over the
-    // union is computed on that probe's own candidate superset — exact.
+    // each probe rides exactly one tier (real buckets xor wildcard), so the
+    // per-probe rank is computed on that probe's own candidate superset —
+    // exact.
     val w = Window
       .partitionBy((coh :+ "nc_idx").map(col(_)): _*)
       .orderBy(col("dist").asc, col("c_idx").asc)
-    bandCand.unionByName(denseCand)
-      .withColumn("rank", row_number().over(w))
+    cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= col("__kk"))
       .select(coh.map(col(_)) ++ Seq(col("nc_idx"), col("nc_value"),
         col("c_idx"), col("c_value"), col("dist"), col("rank")): _*)
