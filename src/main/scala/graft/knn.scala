@@ -423,14 +423,13 @@ object NeighborJoin {
     * dist ≥ |Δx₁| still holds but step 2's bound does not;
     * `broadcastConsent` is forwarded there).
     *
-    * KNOWN LIMIT — no cohort columns: with `cohortCols == Nil` the rank /
-    * position windows partition by nothing, so Spark plans ONE window-sort
-    * task over all |C|+|NC| rows — the banded join still avoids the |NC|×|C|
-    * expansion, but the x-order pass itself is single-task at exactly the
-    * scale this operator targets. Give the spec a cohort scope (the engine's
-    * pipeline always has one: per-date); a global-cohort fix would
-    * range-partition the x-order and stitch boundary ranks, which this
-    * engine does not implement.
+    * Global cohort scope (`cohortCols == Nil`) is also scale-safe: a bare
+    * window there would funnel all |C|+|NC| rows through ONE sort task, so
+    * the rank / position passes switch to the range-partitioned
+    * zipWithIndex shape ([[Preprocess.withRowIdsDistributed]] /
+    * [[Preprocess.withRunningFlagCount]] — per-partition offsets from a
+    * tiny count job, no single-task stage). Same rows, pinned by the
+    * PropertySpec equivalences, which all run with `cohortCols = Nil`.
     *
     * A NULL/NaN numeric feature is invalid input (sklearn raises; the
     * matcher rejects it on the validated route) — unvalidated callers get a
@@ -471,26 +470,41 @@ object NeighborJoin {
     val nc0 = guardX("nc_", prefixed(noconsent, spec, "nc_"))
 
     // consent rows ranked by x within each cohort (+ per-cohort count and
-    // max token-set size — dimension-sized, broadcast).
-    val wRank = Window.partitionBy(coh.map(col(_)): _*)
-      .orderBy(col(s"c_$x").asc, col("c_idx").asc)
-    val cRanked = c0.withColumn("__rn", row_number().over(wRank).cast("long"))
+    // max token-set size — dimension-sized, broadcast). With NO cohort
+    // scope a bare window would funnel all rows through one task, so the
+    // global form switches to the range-partitioned zipWithIndex shape
+    // ([[Preprocess.withRowIdsDistributed]] — 0-based, hence the +1).
+    val cRanked =
+      if (coh.nonEmpty) {
+        val wRank = Window.partitionBy(coh.map(col(_)): _*)
+          .orderBy(col(s"c_$x").asc, col("c_idx").asc)
+        c0.withColumn("__rn", row_number().over(wRank).cast("long"))
+      } else
+        Preprocess.withRowIdsDistributed(c0, Seq(s"c_$x", "c_idx"), "__rn")
+          .withColumn("__rn", col("__rn") + lit(1L))
     val cStats = c0.groupBy(coh.map(col(_)): _*)
       .agg(count(lit(1)).as("__cnt"), max(size(col("c_features"))).as("__cmaxtok"))
 
     // pos = #{consent with x < probe.x}: running consent-count over the
     // unioned x-order; at equal x probes sort FIRST (__isc asc) so same-x
     // consent is excluded — either tie side works, the ±k rank window walks
-    // monotonically in |Δx| from the insertion point regardless.
+    // monotonically in |Δx| from the insertion point regardless. Global
+    // scope again swaps the single-task window for the range-partitioned
+    // running count ([[Preprocess.withRunningFlagCount]]).
     val cu = c0.select(coh.map(col(_)) ++ Seq(
       col(s"c_$x").as("__x"), col("c_idx").as("__uid"), lit(1).as("__isc")): _*)
     val nu = nc0.select(coh.map(col(_)) ++ Seq(
       col(s"nc_$x").as("__x"), col("nc_idx").as("__uid"), lit(0).as("__isc")): _*)
-    val wPos = Window.partitionBy(coh.map(col(_)): _*)
-      .orderBy(col("__x").asc, col("__isc").asc, col("__uid").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pos = cu.union(nu)
-      .withColumn("__pos", sum("__isc").over(wPos))
+    val counted =
+      if (coh.nonEmpty) {
+        val wPos = Window.partitionBy(coh.map(col(_)): _*)
+          .orderBy(col("__x").asc, col("__isc").asc, col("__uid").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cu.union(nu).withColumn("__pos", sum("__isc").over(wPos))
+      } else
+        Preprocess.withRunningFlagCount(cu.union(nu),
+          Seq("__x", "__isc", "__uid"), "__isc", "__pos")
+    val pos = counted
       .filter(col("__isc") === 0)
       .select(coh.map(col(_)) :+ col("__uid").as("nc_idx") :+ col("__pos"): _*)
 

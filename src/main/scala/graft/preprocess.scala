@@ -125,6 +125,43 @@ object Preprocess {
     df.sparkSession.createDataFrame(withIds, schema)
   }
 
+  /** Distributed INCLUSIVE running count of rows with `flagCol` != 0 in the
+    * total order of `orderCols` — the zipWithIndex-shaped scale twin of
+    * `sum(flag).over(Window.orderBy(orderCols…).rowsBetween(
+    * unboundedPreceding, currentRow))`, which funnels every row through ONE
+    * task when there is no partition key. Same two-job shape as
+    * [[withRowIdsDistributed]]: range-partition + sort, one tiny job for
+    * per-partition flag counts → cumulative offsets, then a streaming
+    * per-partition pass. Requires the order keys to form a total order
+    * (ties would make both forms nondeterministic). Used by the banded
+    * neighbor join's global-cohort path; equivalence to the window form is
+    * pinned by PreprocessSpec. */
+  def withRunningFlagCount(df: DataFrame, orderCols: Seq[String],
+                           flagCol: String, outCol: String): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = df
+      .repartitionByRange(n, orderCols.map(col(_)): _*)
+      .sortWithinPartitions(orderCols.map(col(_)): _*)
+    val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val flagIdx = sorted.schema.fieldIndex(flagCol)
+    def flagged(r: org.apache.spark.sql.Row): Boolean =
+      r.getAs[Number](flagIdx).longValue() != 0L
+    val counts = rdd.mapPartitionsWithIndex { case (i, it) =>
+      Iterator((i, it.count(flagged).toLong))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val schema = sorted.schema.add(outCol, org.apache.spark.sql.types.LongType,
+      nullable = false)
+    val out = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var acc = offsets(pid)
+      it.map { r =>
+        if (flagged(r)) acc += 1
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+      }
+    }
+    df.sparkSession.createDataFrame(out, schema)
+  }
+
   /** Split a `sep`-joined hierarchy string into `levels` level columns
     * (`furniture/living/sofa` style — reference: cocoa/preprocess.py:52-78
     * `_additional_feature_engineering` guidance + notebook cell 13's

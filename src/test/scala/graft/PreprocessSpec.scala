@@ -95,4 +95,21 @@ class PreprocessSpec extends SparkSpec {
     assert(dist.rdd.getNumPartitions > 1) // genuinely distributed
     assert(dist.select("key", "payload", "idx").collect().map(_.toSeq).toSet == window)
   }
+
+  test("distributed running flag count equals the global window form") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 499).select(
+      (col("id") * 7919 % 499).as("key"),
+      (col("id") % 3 === 0).cast("int").as("flag"),
+      col("id").as("payload"))
+      .repartition(11)
+    val w = Window.orderBy("key")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val windowed = df.withColumn("rc", sum("flag").over(w))
+      .select("key", "flag", "payload", "rc").collect().map(_.toSeq).toSet
+    val dist = Preprocess.withRunningFlagCount(df, Seq("key"), "flag", "rc")
+    assert(dist.rdd.getNumPartitions > 1) // no single-task stage
+    assert(dist.select("key", "flag", "payload", "rc")
+      .collect().map(_.toSeq).toSet == windowed)
+  }
 }
