@@ -566,30 +566,45 @@ object NeighborJoin {
       .withColumn("__r", bound(col("__d"), col("__b0")))
     val widths = ncD.groupBy(coh.map(col(_)): _*)
       .agg(greatest(percentile_approx(col("__r"), lit(0.99), lit(1000)),
-        lit(1e-6)).as("__w"))
+        lit(1e-6)).as("__w"),
+        max(col("__r")).as("__rmax"))
     // Single-join two-tier: bulk probes (r ≤ W) emit their ±r bucket range
-    // (≤ 3 buckets); the ≤ ~1% wide probes emit ONE wildcard bucket, and
-    // every consent row rides under its real bucket AND the wildcard — so
-    // one equi-join serves both tiers. No second join branch, no union:
-    // the probe-prep lineage is planned once (a two-branch union measured
-    // ~+0.6 s/query at sf0.1 from the duplicated subtree), and the consent
-    // side grows by exactly one wildcard replica (dimension-×2, map-side).
-    // The wildcard key never collides with a real bucket: |x/w| ≤ 1e13
-    // while the sentinel is Long.MinValue.
-    val Wild = Long.MinValue
+    // (≤ 3 buckets); the ≤ ~1% wide probes emit ONE wildcard key, and each
+    // consent row rides under its real bucket plus — ONLY in cohorts that
+    // actually have a wide probe (rmax > W) — a wildcard replica. So one
+    // equi-join serves both tiers, and the common no-skew cohort pays zero
+    // for the wildcard machinery (the r4 fold replicated consent
+    // unconditionally; r5 makes the replica conditional). No second join
+    // branch, no union: the probe-prep lineage is planned once (a
+    // two-branch union measured ~+0.6 s/query at sf0.1 from the duplicated
+    // subtree). The wildcard lives in its OWN key space — the join key is
+    // (tier, bucket), tier 1 = wildcard — so no bucket value can ever
+    // collide with it (the r4 Long.MinValue sentinel could, if
+    // floor(x/w) saturated on the double→long cast).
+    val tb = (t: Int, b: org.apache.spark.sql.Column) =>
+      struct(lit(t).as("tier"), b.as("bucket"))
     val ncB = joinCoh(ncD, widths)
-      .withColumn("__bucket", explode(
-        when(col("__r") <= col("__w"), sequence(
+      .withColumn("__tb", explode(
+        when(col("__r") <= col("__w"), transform(sequence(
           floor((col(s"nc_$x") - col("__r")) / col("__w")).cast("long"),
-          floor((col(s"nc_$x") + col("__r")) / col("__w")).cast("long")))
-        .otherwise(array(lit(Wild)))))
+          floor((col(s"nc_$x") + col("__r")) / col("__w")).cast("long")),
+          b => tb(0, b)))
+        .otherwise(array(tb(1, lit(0L))))))
+      .withColumn("__tier", col("__tb.tier"))
+      .withColumn("__bucket", col("__tb.bucket"))
+      .drop("__tb", "__rmax")
     val cB = joinCoh(cRanked.drop("__rn"), widths)
-      .withColumn("__bucket", explode(array(
-        floor(col(s"c_$x") / col("__w")).cast("long"), lit(Wild))))
-      .drop("__w")
+      .withColumn("__tb", explode(
+        when(col("__rmax") > col("__w"),
+          array(tb(0, floor(col(s"c_$x") / col("__w")).cast("long")),
+            tb(1, lit(0L))))
+        .otherwise(array(tb(0, floor(col(s"c_$x") / col("__w")).cast("long"))))))
+      .withColumn("__tier", col("__tb.tier"))
+      .withColumn("__bucket", col("__tb.bucket"))
+      .drop("__tb", "__w", "__rmax")
 
     val numPairs = spec.numCols.map(n => (col(s"nc_$n"), col(s"c_$n")))
-    val cand = ncB.join(cB, coh :+ "__bucket")
+    val cand = ncB.join(cB, coh ++ Seq("__tier", "__bucket"))
       .filter(abs(col(s"nc_$x") - col(s"c_$x")) <= col("__r"))
       .withColumn("dist", spec.metric.dist(col("nc_features"), col("c_features"), numPairs))
 
