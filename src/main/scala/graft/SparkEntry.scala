@@ -815,9 +815,11 @@ object SparkEntry {
              |SELECT q_id, c_id, rank, ROUND(1e-9 + sim, 6) AS sim
              |FROM r WHERE rank <= 5""".stripMargin)),
 
-    // Learned-centroid IVF (k-means cells + nProbe search). No DuckDB
-    // oracle — k-means isn't SQL-expressible — so the driver records the
-    // weaker rows-only check; exactness-vs-cosineTopK is pinned in OpsSpec.
+    // Learned-centroid IVF (k-means cells + nProbe search). The oracle is
+    // GENERATED, not static: the fit is deterministic under seed 42, so
+    // Verify refits on the same data and embeds the learned centroids as
+    // literals in relational DuckDB SQL (ivfKmeansOracle below) — the full
+    // rows+schema+hash gate. Exactness-vs-cosineTopK stays OpsSpec-pinned.
     ("q44_sim_ivf_kmeans",
       (s: SparkSession, dir: String) => {
         val e = Cohorts.embeddings(s, dir)
@@ -1183,7 +1185,57 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (n, fn, _) => n -> fn }.toMap
 
-  /** DuckDB-equivalent SQL per query (omitted ⇒ rows-only check). */
+  /** Set by [[Verify]] before dumping [[oracleSql]]: the sf dir the queries
+    * just ran against, enabling oracles whose SQL must embed LEARNED model
+    * literals (q44's k-means centroids). None ⇒ those queries stay
+    * rows-only, exactly the pre-round-5 behavior. */
+  @volatile var oracleDataDir: Option[String] = None
+
+  /** q44's full oracle: the k-means fit is deterministic under its fixed
+    * seed, so refit on the SAME data the query ran against and splice the
+    * learned centroids into relational DuckDB SQL — assignment is the
+    * argmin over the centroid literals, probing and ranking replay
+    * [[graft.ops.Similarity.ivfTopK]]'s exact expressions (d² and sim are
+    * sequential-accumulation dot products on both engines, rounded before
+    * every ordering, so the comparison is engine-stable). */
+  private def ivfKmeansOracle(dir: String): String = {
+    val spark = SparkSession.active
+    val cents = Similarity.ivfCentroids(Cohorts.embeddings(spark, dir))
+    // Double.toString round-trips the exact IEEE value through DuckDB's
+    // literal parser — no precision is lost driver → SQL.
+    val rows = cents.zipWithIndex.map { case (v, i) =>
+      s"($i, [${v.map(_.toString).mkString(", ")}]::DOUBLE[], " +
+        s"${Similarity.selfDot(v).toString})"
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents(cell, c, c2) AS (VALUES
+       |$rows),
+       |ad AS (SELECT e.vec_id, e.v, cents.cell,
+       |              ROUND(1e-9 + cents.c2 - 2 * list_inner_product(e.v, cents.c), 6) AS d2
+       |       FROM e CROSS JOIN cents),
+       |assigned AS (SELECT vec_id, v, cell FROM
+       |  (SELECT *, row_number() OVER (
+       |     PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn FROM ad)
+       |  WHERE rn = 1),
+       |probes AS (SELECT q_id, v, cell FROM
+       |  (SELECT vec_id AS q_id, v, cell,
+       |     row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS pr
+       |   FROM ad WHERE vec_id % 50 = 0) WHERE pr <= 4),
+       |cand AS (SELECT p.q_id, a.vec_id AS c_id,
+       |                list_cosine_similarity(p.v, a.v) AS sim
+       |         FROM probes p JOIN assigned a USING (cell)
+       |         WHERE a.vec_id <> p.q_id),
+       |r AS (SELECT q_id, c_id, sim, CAST(row_number() OVER (
+       |        PARTITION BY q_id ORDER BY round(1e-9 + sim, 9) DESC, c_id) AS BIGINT) AS rank
+       |      FROM cand)
+       |SELECT q_id, c_id, rank, ROUND(1e-9 + sim, 6) AS sim
+       |FROM r WHERE rank <= 10""".stripMargin
+  }
+
+  /** DuckDB-equivalent SQL per query (omitted ⇒ rows-only check). Queries
+    * whose oracle embeds learned literals appear only when
+    * [[oracleDataDir]] is set. */
   def oracleSql: Map[String, String] =
-    registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+    registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap ++
+      oracleDataDir.map(dir => "q44_sim_ivf_kmeans" -> ivfKmeansOracle(dir))
 }

@@ -35,6 +35,9 @@ object Verify {
       // worth of pinned blocks squeeze execution memory for later ones
       spark.catalog.clearCache()
     }
+    // Learned-literal oracles (q44) refit their model on this sf dir when
+    // generating SQL — set before the oracleSql dump below.
+    SparkEntry.oracleDataDir = Some(sfDir)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

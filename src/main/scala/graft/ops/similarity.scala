@@ -170,45 +170,79 @@ object Similarity {
       .select(col("a_id").as("doc_a"), col("b_id").as("doc_b")))
   }
 
-  /** IVF with LEARNED coarse centroids — the full ANN index shape. Build:
-    * k-means (spark.ml, fixed seed) over the corpus; every vector is
-    * assigned to its nearest centroid (the inverted list). Search: each
-    * query probes its `nProbe` nearest cells, candidates come from an
-    * equi-join on the cell id — shuffle O(|corpus| + nProbe·|queries|),
-    * never |Q|×|C|. Recall is tunable via nProbe (test-pinned ≥ 0.9 at
-    * nProbe=4/16 cells on the synthetic corpus); the exact [[cosineTopK]]
-    * stays the oracle path. At 100 TB the fit runs on a sample and the
-    * assignment is one broadcast-map pass — centroids are dimension-sized.
-    */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
-    val spark = corpus.sparkSession
+  /** Learned IVF coarse centroids: k-means (spark.ml, fixed seed, 8 Lloyd
+    * iterations — the coarse quantizer only has to be a reasonable
+    * partitioner; recall comes from nProbe, not cell optimality). When the
+    * corpus exceeds `fitSampleCap` rows the fit runs on a seeded ~cap-row
+    * SAMPLE — at 100 TB the 8 Lloyd passes touch ≤ cap rows, not the
+    * corpus; the full corpus only ever sees the single assignment pass in
+    * [[ivfTopK]]. Deterministic for a given corpus + seed (sampling
+    * included); sampled-fit recall is pinned by OpsSpec. */
+  def ivfCentroids(corpus: DataFrame, nCells: Int = 16, seed: Long = 42L,
+                   fitSampleCap: Long = 65536): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val c = prep(corpus, "c_")
-    val vecs = c.withColumn("__v", array_to_vector(col("c_emb")))
-    // 8 Lloyd iterations: the coarse quantizer only has to be a reasonable
-    // partitioner (recall comes from nProbe, not cell optimality), and each
-    // extra iteration is a full pass over the corpus.
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(8)
-      .setFeaturesCol("__v").setPredictionCol("cell").fit(vecs)
-    val assigned = model.transform(vecs).drop("__v")
-    // centroid relation is tiny (nCells × dim) — broadcast everywhere
-    import spark.implicits._
-    val cents = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray) }.toSeq
-      .toDF("cell", "centroid")
-      .withColumn("c2", dotD(col("centroid"), col("centroid")))
-    // nProbe nearest cells per query by euclidean distance to centroid:
-    // d² = |q|² − 2·q·cent + |cent|² (|q|² constant per query — dropped)
-    val q = prep(queries, "q_")
-    val probeW = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("d2").asc, col("cell").asc)
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("d2", col("c2") - lit(2.0) * dotD(col("q_emb"), col("centroid")))
-      .withColumn("pr", row_number().over(probeW))
-      .filter(col("pr") <= nProbe)
-      .select(col("cell"), col("q_id"), col("q_emb"), col("q_norm"))
+    val vecs = prep(corpus, "c_").withColumn("__v", array_to_vector(col("c_emb")))
+    val n = vecs.count()
+    val fitInput =
+      if (n > fitSampleCap) vecs.sample(fitSampleCap.toDouble / n, seed)
+      else vecs
+    new KMeans().setK(nCells).setSeed(seed).setMaxIter(8)
+      .setFeaturesCol("__v").setPredictionCol("cell").fit(fitInput)
+      .clusterCenters.map(_.toArray)
+  }
+
+  /** Sequential Σv², matching [[graft.expr.DotProduct]]'s left-to-right
+    * accumulation so driver-side centroid norms are bit-identical to the
+    * codegen'd ones (and to DuckDB's list_inner_product in the generated
+    * q44 oracle). */
+  def selfDot(v: Array[Double]): Double = {
+    var s = 0.0; var j = 0
+    while (j < v.length) { s += v(j) * v(j); j += 1 }
+    s
+  }
+
+  /** Nearest-centroid cell id for an embedding column, against LITERAL
+    * centroids: per-cell d² = ‖cent‖² − 2·emb·cent (the ‖emb‖² term is
+    * constant per row — dropped), rounded to 6 dp with cell-id tie-break so
+    * the choice is reproducible across engines (the generated q44 oracle
+    * evaluates the same expression in DuckDB), then argmin via array_min
+    * over (d², cell) structs. Pure map-side codegen — no shuffle, no ml
+    * transform; the centroid relation is nCells × dim literals. */
+  private def nearestCell(emb: Column, cents: Array[Array[Double]]): Column = {
+    val c2 = cents.map(selfDot)
+    array_min(array(cents.indices.map(i =>
+      struct(graft.Num.rnd(lit(c2(i)) - lit(2.0) * dotD(emb, lit(cents(i))), 6).as("d2"),
+        lit(i).as("cell"))): _*)).getField("cell")
+  }
+
+  /** IVF with LEARNED coarse centroids — the full ANN index shape. Build:
+    * [[ivfCentroids]] (sample-capped k-means fit); every corpus vector is
+    * assigned to its nearest centroid ([[nearestCell]] — one map-side
+    * codegen'd pass, the inverted list). Search: each query probes its
+    * `nProbe` nearest cells (array_sort over the literal centroid set —
+    * no window, no crossJoin), candidates come from an equi-join on the
+    * cell id — shuffle O(nProbe·|queries|) broadcast against the assigned
+    * corpus, never |Q|×|C|. Recall is tunable via nProbe (test-pinned
+    * ≥ 0.9 at nProbe=8/16 cells on the synthetic corpus; nProbe=nCells
+    * recovers the exact answer); the exact [[cosineTopK]] stays the oracle
+    * path, and q44's DuckDB oracle replays this exact plan over the
+    * learned centroid literals. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+              fitSampleCap: Long = 65536): DataFrame = {
+    val cents = ivfCentroids(corpus, nCells, seed, fitSampleCap)
+    val c2 = cents.map(selfDot)
+    val assigned = prep(corpus, "c_")
+      .withColumn("cell", nearestCell(col("c_emb"), cents))
+    // nProbe nearest cells per query: sort the literal (d², cell) structs
+    // ascending and explode the first nProbe — map-side, |Q|·nProbe rows.
+    val probes = prep(queries, "q_")
+      .select(col("q_id"), col("q_emb"), col("q_norm"),
+        explode(slice(array_sort(array(cents.indices.map(i =>
+          struct(graft.Num.rnd(lit(c2(i)) - lit(2.0) * dotD(col("q_emb"), lit(cents(i))), 6).as("d2"),
+            lit(i).as("cell"))): _*)), 1, nProbe)).as("pc"))
+      .select(col("pc.cell").as("cell"), col("q_id"), col("q_emb"), col("q_norm"))
     val joined = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("sim", dotD(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))

@@ -299,6 +299,26 @@ class OpsSpec extends SparkSpec {
     assert(key(Similarity.ivfTopK(e, q, 10, nProbe = 16)) == exact)
   }
 
+  test("IVF sample-capped fit: deterministic, recall holds, full probe exact") {
+    // cap far below the corpus so the k-means fit really runs on a sample
+    // (the 100 TB contract: Lloyd passes touch <= cap rows, assignment is
+    // still the full corpus)
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = e.filter($"vec_id" % 50 === 0)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val sampled = key(Similarity.ivfTopK(e, q, 10, fitSampleCap = 64))
+    assert(sampled == key(Similarity.ivfTopK(e, q, 10, fitSampleCap = 64)))
+    val exact = key(Similarity.cosineTopK(e, q, 10))
+    val r8 = (key(Similarity.ivfTopK(e, q, 10, nProbe = 8, fitSampleCap = 64)) & exact)
+      .size.toDouble / exact.size
+    // slightly looser than the full-fit pin (0.9): the fit saw less than a
+    // third of the corpus, measured 0.83 on this corpus
+    assert(r8 >= 0.80, s"sampled-fit IVF recall@8 $r8")
+    // probing every cell recovers the exact answer regardless of the fit
+    assert(key(Similarity.ivfTopK(e, q, 10, nProbe = 16, fitSampleCap = 64)) == exact)
+  }
+
   test("language id picks the marker-richest language, tie-break alphabetical") {
     val d = Seq((1L, "der hund und die katze"), (2L, "zzz qqq www"))
       .toDF("doc_id", "text")
