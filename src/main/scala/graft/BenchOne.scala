@@ -82,6 +82,27 @@ object BenchOne {
         bench.unpersist()
         s.range(1).toDF()
       }),
+      // cosine top-k: pruned (quadratic x-interval band) vs dense plan
+      "x_cosine_banded" -> ((s, dir) => {
+        val (c, nc) = Cohorts.cohorts(s, dir)
+        NeighborJoin.topKBanded(c, nc, Cohorts.spec.copy(metric = Cosine), 3)
+      }),
+      "x_cosine_dense" -> ((s, dir) => {
+        val (c, nc) = Cohorts.cohorts(s, dir)
+        val sp = Cohorts.spec.copy(metric = Cosine)
+        NeighborJoin.topK(NeighborJoin.pairs(c, nc, sp), sp, 3.0)
+      }),
+      // throws unless pruned == dense on this dir (dev equality probe)
+      "x_cosine_eq" -> ((s, dir) => {
+        val (c, nc) = Cohorts.cohorts(s, dir)
+        val sp = Cohorts.spec.copy(metric = Cosine)
+        val a = NeighborJoin.topKBanded(c, nc, sp, 3)
+          .select("month", "nc_idx", "c_idx", "rank").collect().map(_.toSeq).toSet
+        val b = NeighborJoin.topK(NeighborJoin.pairs(c, nc, sp), sp, 3.0)
+          .select("month", "nc_idx", "c_idx", "rank").collect().map(_.toSeq).toSet
+        require(a == b, s"cosine banded != dense: only-banded=${(a -- b).take(5)} only-dense=${(b -- a).take(5)}")
+        s.range(1).toDF()
+      }),
       "x_topk_agg" -> ((s, dir) => {
         val (c, nc) = Cohorts.cohorts(s, dir)
         TopKAgg.topK(

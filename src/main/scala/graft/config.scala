@@ -120,9 +120,12 @@ case object Chebyshev extends DistanceMetric {
   * the reference builds (cocoa/nearest_consented_customers.py:58-66).
   * A zero-norm row (no tokens, all-zero numerics) is defined as distance 1
   * to everything. Cosine is SCALE-INVARIANT in the numeric features, so no
-  * |Δx| inequality exists: every pruned path reports no-bound and the
-  * neighbor join runs the dense pairs relation — correct by fallback,
-  * never by a wrong prune. */
+  * |Δx| inequality exists and every bound hook below reports no-bound —
+  * the RADIUS joins run the dense pairs relation by defined fallback. The
+  * fixed-k top-k does NOT go dense: [[graft.NeighborJoin.topKBanded]]
+  * routes cosine through its own pruned path (a per-probe admissible
+  * x-interval from the quadratic cosine bound — see
+  * `topKCosineBandedImpl`), exact by superset + rank. */
 case object Cosine extends DistanceMetric {
   val name = "cosine"
   def dist(a: Column, b: Column, num: Seq[(Column, Column)]): Column = {

@@ -58,9 +58,19 @@ object Io {
                     fileName: String): Unit = {
     import org.apache.hadoop.fs.Path
     val staging = s"$outDir/.staging_${fileName.replace('.', '_')}"
-    df.withColumn("__date", date_format(col(dateCol), "yyyy-MM-dd"))
+    df.withColumn("__date",
+        // fail fast on a null/unparseable date: it would otherwise land in
+        // a __HIVE_DEFAULT_PARTITION__ dir — a silently misnamed artifact
+        when(date_format(col(dateCol), "yyyy-MM-dd").isNull,
+          raise_error(lit(s"writeCsvExact: null/unparseable '$dateCol' — " +
+            "every row must carry a real date to name its artifact")))
+          .otherwise(date_format(col(dateCol), "yyyy-MM-dd")))
       .repartition(col("__date"))
       .write.mode("overwrite").partitionBy("__date")
+      // a session-level spark.sql.files.maxRecordsPerFile would split a
+      // date across part files and break the one-writer-per-date invariant
+      // the rename below requires — pin it off for this staged write
+      .option("maxRecordsPerFile", 0)
       .option("header", "true").csv(staging)
     val conf = df.sparkSession.sessionState.newHadoopConf()
     val stagingPath = new Path(staging)

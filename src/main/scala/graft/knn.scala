@@ -439,26 +439,39 @@ object NeighborJoin {
                  spec: CohortSpec, k: Int,
                  broadcastConsent: Boolean = false): DataFrame = {
     require(k >= 1, s"topKBanded needs a fixed k >= 1, got $k")
+    if (spec.numCols.size == 1 && spec.metric == Cosine)
+      return topKCosineBandedImpl(consent, noconsent, spec, k)
     if (spec.numCols.size != 1 || spec.metric.bandBound.isEmpty)
       return topK(pairs(consent, noconsent, spec, broadcastConsent), spec, k.toDouble)
     topKBandedImpl(consent, noconsent, spec, Left(k))
   }
 
-  /** Shared body of [[topKBanded]] / [[topKBandedProportional]]: k arrives
-    * either as a constant (Left) or as a per-cohort `(cohort…, __k)` frame
-    * (Right, dimension-sized → broadcast). Requires exactly one numeric
-    * feature (callers fall back to the dense path otherwise). */
-  private def topKBandedImpl(consent: DataFrame, noconsent: DataFrame,
-                             spec: CohortSpec,
-                             kSpec: Either[Int, DataFrame]): DataFrame = {
+  /** Shared probe-prep of the banded top-k family (manhattan/euclidean/
+    * chebyshev AND the cosine variant): guarded prefixed projections, the
+    * cohort-scoped consent x-rank relation, per-cohort consent stats
+    * (count, min/max token-set size — dimension-sized, broadcast), and each
+    * probe's insertion position in the consent x-order.
+    *
+    * The prefixed projections feed 3-4 consumers (rank window, pos union,
+    * probe/candidate sides). They are intentionally NOT persisted:
+    * measured at both 1× and 10×, the columnar-cache build of the
+    * token-array column costs more than recomputing the (pushed-down,
+    * codegen'd) scan+join per consumer — the same trade recorded for the
+    * pairs relation in CocoaPipeline.
+    *
+    * With NO cohort scope a bare window would funnel all rows through one
+    * task, so the global forms switch to the range-partitioned zipWithIndex
+    * / running-count shapes ([[Preprocess.withRowIdsDistributed]] /
+    * [[Preprocess.withRunningFlagCount]] — per-partition offsets from a
+    * tiny count job, no single-task stage). */
+  private final case class BandPrep(c0: DataFrame, nc0: DataFrame,
+                                    cRanked: DataFrame, cStats: DataFrame,
+                                    pos: DataFrame)
+
+  private def bandPrep(consent: DataFrame, noconsent: DataFrame,
+                       spec: CohortSpec): BandPrep = {
     val coh = spec.cohortCols
     val x = spec.numCols.head
-    // The prefixed projections feed 3-4 consumers (rank window, pos union,
-    // probe/candidate sides). They are intentionally NOT persisted:
-    // measured at both 1× and 10×, the columnar-cache build of the
-    // token-array column costs more than recomputing the (pushed-down,
-    // codegen'd) scan+join per consumer — the same trade recorded for the
-    // pairs relation in CocoaPipeline.
     // A codegen'd per-row branch rejects null/NaN x up front: the window /
     // bucket arithmetic below would otherwise drop such rows silently.
     val guardX = (p: String, df: DataFrame) => df.withColumn(s"$p$x",
@@ -469,11 +482,8 @@ object NeighborJoin {
     val c0 = guardX("c_", prefixed(consent, spec, "c_"))
     val nc0 = guardX("nc_", prefixed(noconsent, spec, "nc_"))
 
-    // consent rows ranked by x within each cohort (+ per-cohort count and
-    // max token-set size — dimension-sized, broadcast). With NO cohort
-    // scope a bare window would funnel all rows through one task, so the
-    // global form switches to the range-partitioned zipWithIndex shape
-    // ([[Preprocess.withRowIdsDistributed]] — 0-based, hence the +1).
+    // consent rows ranked by x within each cohort (0-based zipWithIndex in
+    // the global form, hence the +1)
     val cRanked =
       if (coh.nonEmpty) {
         val wRank = Window.partitionBy(coh.map(col(_)): _*)
@@ -483,14 +493,13 @@ object NeighborJoin {
         Preprocess.withRowIdsDistributed(c0, Seq(s"c_$x", "c_idx"), "__rn")
           .withColumn("__rn", col("__rn") + lit(1L))
     val cStats = c0.groupBy(coh.map(col(_)): _*)
-      .agg(count(lit(1)).as("__cnt"), max(size(col("c_features"))).as("__cmaxtok"))
+      .agg(count(lit(1)).as("__cnt"), max(size(col("c_features"))).as("__cmaxtok"),
+        min(size(col("c_features"))).as("__cmintok"))
 
     // pos = #{consent with x < probe.x}: running consent-count over the
     // unioned x-order; at equal x probes sort FIRST (__isc asc) so same-x
     // consent is excluded — either tie side works, the ±k rank window walks
-    // monotonically in |Δx| from the insertion point regardless. Global
-    // scope again swaps the single-task window for the range-partitioned
-    // running count ([[Preprocess.withRunningFlagCount]]).
+    // monotonically in |Δx| from the insertion point regardless.
     val cu = c0.select(coh.map(col(_)) ++ Seq(
       col(s"c_$x").as("__x"), col("c_idx").as("__uid"), lit(1).as("__isc")): _*)
     val nu = nc0.select(coh.map(col(_)) ++ Seq(
@@ -507,6 +516,23 @@ object NeighborJoin {
     val pos = counted
       .filter(col("__isc") === 0)
       .select(coh.map(col(_)) :+ col("__uid").as("nc_idx") :+ col("__pos"): _*)
+    BandPrep(c0, nc0, cRanked, cStats, pos)
+  }
+
+  /** Shared body of [[topKBanded]] / [[topKBandedProportional]]: k arrives
+    * either as a constant (Left) or as a per-cohort `(cohort…, __k)` frame
+    * (Right, dimension-sized → broadcast). Requires exactly one numeric
+    * feature (callers fall back to the dense path otherwise). */
+  private def topKBandedImpl(consent: DataFrame, noconsent: DataFrame,
+                             spec: CohortSpec,
+                             kSpec: Either[Int, DataFrame]): DataFrame = {
+    val coh = spec.cohortCols
+    val x = spec.numCols.head
+    val prep = bandPrep(consent, noconsent, spec)
+    val nc0 = prep.nc0
+    val cRanked = prep.cRanked
+    val cStats = prep.cStats
+    val pos = prep.pos
 
     // broadcast-join a dimension-sized per-cohort frame (cross when the
     // spec has no cohort scope — both frames are then single-row/global).
@@ -616,6 +642,147 @@ object NeighborJoin {
       .orderBy(col("dist").asc, col("c_idx").asc)
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= col("__kk"))
+      .select(coh.map(col(_)) ++ Seq(col("nc_idx"), col("nc_value"),
+        col("c_idx"), col("c_value"), col("dist"), col("rank")): _*)
+  }
+
+  /** Exact COSINE top-k without the dense pairs relation. Cosine is
+    * scale-invariant in the numeric feature, so the |Δx| ≤ r bound behind
+    * [[topKBandedImpl]] does not exist — but a different 1-D prune does.
+    * Per probe a (token count A, numeric x_a, norm n_a = √(A + x_a²)),
+    * against consent b (token count |b|, numeric x_b):
+    *
+    *  1. dot(a,b) = |a∩b| + x_a·x_b ≤ A + x_a·x_b, and
+    *     n_b = √(|b| + x_b²) ≥ √(m + x_b²) with m = the cohort's min
+    *     consent token-set size. If A + x_a·x_b < 0 then dot < 0 and
+    *     sim < 0. So sim ≥ s > 0 requires
+    *     (A + x_a·x_b)² ≥ s²·n_a²·(m + x_b²) — call it g(x_b) ≥ 0.
+    *  2. g is a quadratic with leading coefficient a₂ = x_a² − c²
+    *     (c² = s²·n_a²). When a₂ < 0 it opens downward, so {g ≥ 0} is the
+    *     INTERVAL between its roots — computable in closed form
+    *     (discriminant D = c²(A² + m·a₂)). When a₂ ≥ 0 or D < 0 the set is
+    *     not a usable interval → that probe rides the wildcard tier.
+    *  3. The threshold s per probe: phase 1 scores the probe's ±k x-rank
+    *     neighbors EXACTLY (the same rank/pos machinery; ≤ 2k candidates,
+    *     shuffle O(k·|NC|)) and takes d_k = the k-th smallest cosine
+    *     distance — an upper bound on the true k-th best. s = 1 − d_k.
+    *     Every true top-k row has dist ≤ d_k, i.e. sim ≥ s, i.e. its x_b
+    *     lies in the interval — so the banded candidates are a SUPERSET of
+    *     the true top-k, and the exact (dist, c_idx) window rank over them
+    *     returns rows identical to [[topK]] on the dense relation
+    *     (PropertySpec pins the equivalence, arbitrary + skewed cohorts;
+    *     q61 shares the dense oracle).
+    *
+    * The interval is padded by a relative ε against root-finding roundoff
+    * (padding only widens the superset). Probes with fewer than k phase-1
+    * candidates, s ≤ 0 (weak bound), or an unusable interval fall back to
+    * the wildcard tier — the same conditional two-tier single equi-join as
+    * [[topKBandedImpl]], so one skewed probe never widens its cohort's
+    * buckets. Everything shuffles O(k·|NC| + (|C|+|NC|)·buckets) — nothing
+    * materializes |NC|×|C|. */
+  private def topKCosineBandedImpl(consent: DataFrame, noconsent: DataFrame,
+                                   spec: CohortSpec, k: Int): DataFrame = {
+    val coh = spec.cohortCols
+    val x = spec.numCols.head
+    val prep = bandPrep(consent, noconsent, spec)
+    val nc0 = prep.nc0
+    val cRanked = prep.cRanked
+    val cStats = prep.cStats
+    val pos = prep.pos
+    def joinCoh(df: DataFrame, small: DataFrame): DataFrame =
+      if (coh.nonEmpty) df.join(broadcast(small), coh)
+      else df.crossJoin(broadcast(small))
+    val joinKeys = coh :+ "nc_idx"
+    val numPairs = Seq((col(s"nc_$x"), col(s"c_$x")))
+
+    // phase 1: the ±k rank window per probe, scored EXACTLY (unlike the
+    // metric-bound impl, the token part matters here, so the window cannot
+    // be reduced to its endpoints). ≤ 2k rows per probe.
+    val probes = joinCoh(nc0.join(pos, joinKeys), cStats)
+    val cand1 = probes
+      .withColumn("__lo", greatest(col("__pos") - lit(k - 1L), lit(1L)))
+      .withColumn("__hi", least(col("__pos") + lit(k.toLong), col("__cnt")))
+      .filter(col("__hi") >= col("__lo"))
+      .withColumn("__rn", explode(sequence(col("__lo"), col("__hi"))))
+      .join(cRanked.select(coh.map(col(_)) ++ Seq(
+        col("__rn"), col("c_idx").as("__c1idx"),
+        col("c_features").as("__c1f"), col(s"c_$x").as("__c1x")): _*),
+        coh :+ "__rn")
+      .withColumn("__pd", spec.metric.dist(col("nc_features"), col("__c1f"),
+        Seq((col(s"nc_$x"), col("__c1x")))))
+    // d_k = k-th smallest phase-1 distance (null when the probe has fewer
+    // than k candidates → wildcard). ≤ 2k values per probe: collect+sort is
+    // a bounded per-group buffer, not a data-sized one.
+    val dk = cand1.groupBy(joinKeys.map(col(_)): _*)
+      .agg(sort_array(collect_list(col("__pd"))).as("__pds"))
+      .select(joinKeys.map(col(_)) :+
+        when(size(col("__pds")) >= k, element_at(col("__pds"), k)).as("__dk"): _*)
+
+    // phase 2: per-probe admissible x_b interval from the quadratic bound.
+    val A = size(col("nc_features")).cast("double")
+    val xa = col(s"nc_$x")
+    val s = lit(1.0) - col("__dk") - lit(1e-9) // ε-loosened: superset-safe
+    val c2 = s * s * (A + xa * xa)
+    val a2 = xa * xa - c2
+    val m = col("__cmintok").cast("double")
+    val disc = c2 * (A * A + m * a2)
+    val probesD = probes.join(dk, joinKeys)
+      .withColumn("__wild",
+        col("__dk").isNull || s <= 0 || a2 >= 0 || disc < 0)
+      .withColumn("__r1", when(!col("__wild"), (-(A * xa) + sqrt(disc)) / a2))
+      .withColumn("__r2", when(!col("__wild"), (-(A * xa) - sqrt(disc)) / a2))
+      .withColumn("__pad",
+        lit(1e-9) * (lit(1.0) + abs(col("__r1")) + abs(col("__r2"))))
+      .withColumn("__ilo", least(col("__r1"), col("__r2")) - col("__pad"))
+      .withColumn("__ihi", greatest(col("__r1"), col("__r2")) + col("__pad"))
+      .withColumn("__r", (col("__ihi") - col("__ilo")) / lit(2.0))
+      .drop("__r1", "__r2", "__pad", "__lo", "__hi")
+
+    // the same conditional two-tier single equi-join as topKBandedImpl:
+    // W = p99 of the non-wild interval half-widths; wild or wider-than-W
+    // probes ride the wildcard tier, consent replicates into it only in
+    // cohorts that have such probes.
+    val widths = probesD.groupBy(coh.map(col(_)): _*)
+      .agg(greatest(percentile_approx(col("__r"), lit(0.99), lit(1000)),
+        lit(1e-6)).as("__w"),
+        max(col("__r")).as("__rmax"),
+        max(col("__wild").cast("int")).as("__anywild"))
+    val tb = (t: Int, b: org.apache.spark.sql.Column) =>
+      struct(lit(t).as("tier"), b.as("bucket"))
+    val ncB = joinCoh(probesD, widths)
+      .withColumn("__tb", explode(
+        when(!col("__wild") && col("__r") <= col("__w"), transform(sequence(
+          floor(col("__ilo") / col("__w")).cast("long"),
+          floor(col("__ihi") / col("__w")).cast("long")),
+          b => tb(0, b)))
+        .otherwise(array(tb(1, lit(0L))))))
+      .withColumn("__tier", col("__tb.tier"))
+      .withColumn("__bucket", col("__tb.bucket"))
+      .drop("__tb", "__rmax", "__anywild")
+    val cB = joinCoh(cRanked.drop("__rn"), widths)
+      .withColumn("__tb", explode(
+        when(col("__anywild") === 1 || col("__rmax") > col("__w"),
+          array(tb(0, floor(col(s"c_$x") / col("__w")).cast("long")),
+            tb(1, lit(0L))))
+        .otherwise(array(tb(0, floor(col(s"c_$x") / col("__w")).cast("long"))))))
+      .withColumn("__tier", col("__tb.tier"))
+      .withColumn("__bucket", col("__tb.bucket"))
+      .drop("__tb", "__w", "__rmax", "__anywild")
+
+    // candidates: interval refinement, exact distance, and the d_k cut —
+    // every true top-k row has dist ≤ d_k and ≥ k candidate rows survive
+    // it, so removing dist > d_k rows changes neither the top-k rows nor
+    // their rank numbers.
+    val cand = ncB.join(cB, coh ++ Seq("__tier", "__bucket"))
+      .filter(col("__wild") ||
+        (col(s"c_$x") >= col("__ilo") && col(s"c_$x") <= col("__ihi")))
+      .withColumn("dist", spec.metric.dist(col("nc_features"), col("c_features"), numPairs))
+      .filter(col("__dk").isNull || col("dist") <= col("__dk"))
+    val w = Window
+      .partitionBy(joinKeys.map(col(_)): _*)
+      .orderBy(col("dist").asc, col("c_idx").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
       .select(coh.map(col(_)) ++ Seq(col("nc_idx"), col("nc_value"),
         col("c_idx"), col("c_value"), col("dist"), col("rank")): _*)
   }

@@ -415,11 +415,18 @@ object Dedup {
       .select(col("doc_id"), explode(col("shingles")).as("h"))
     val trPruned = bloomFpp match {
       case Some(fpp) =>
-        // the distinct benchmark hashes feed the bloom build AND the exact
-        // join — materialize once (freed by the caller / ContextCleaner)
+        // the distinct benchmark hashes feed the count and the bloom build
+        // back to back — persist across those two jobs, then UNPERSIST
+        // eagerly: Dataset.persist entries are pinned by the CacheManager
+        // (not ContextCleaner-managed), so leaving it cached would
+        // accumulate one benchmark-sized relation per call in a long-lived
+        // session. The exact join below recomputes bm from lineage — it is
+        // benchmark-sized by contract, the cheap side of this operator.
         val bmP = bm.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val n = math.max(1L, bmP.count())
-        val bloom = bmP.stat.bloomFilter("h", n, fpp)
+        val bloom = try {
+          val n = math.max(1L, bmP.count())
+          bmP.stat.bloomFilter("h", n, fpp)
+        } finally bmP.unpersist()
         tr.filter(org.apache.spark.sql.graftbridge.Bridge.column(
           graft.expr.BloomMightContainLong(
             org.apache.spark.sql.graftbridge.Bridge.expression(col("h")), bloom)))

@@ -105,4 +105,30 @@ class IoSpec extends SparkSpec {
     assert(spark.read.option("header", "true")
       .csv(s"$dir/out/*/adjustments_data.csv").count() == 2)
   }
+
+  test("S4 exact names: null date fails fast, maxRecordsPerFile can't split a date") {
+    val dir = tmpDir()
+    val bad = Seq(("2021-11-20", "g1", 10.0)).toDF("d", "gclid", "adjusted_conversion")
+      .withColumn("d", to_date(col("d")))
+      .union(Seq((null.asInstanceOf[String], "g2", 20.0))
+        .toDF("d", "gclid", "adjusted_conversion").withColumn("d", to_date(col("d"))))
+    val e = intercept[Exception] {
+      Io.writeCsvExact(bad, "d", s"$dir/bad", "adjustments_data.csv")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("null/unparseable")), msgs(e).mkString("; "))
+    // a session-level record cap must not break the one-file-per-date
+    // invariant (the staged write pins maxRecordsPerFile=0)
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "1")
+    try {
+      val many = Seq(
+        ("2021-11-20", "g1", 10.0), ("2021-11-20", "g2", 20.0),
+        ("2021-11-20", "g3", 30.0)
+      ).toDF("d", "gclid", "adjusted_conversion").withColumn("d", to_date(col("d")))
+      Io.writeCsvExact(many, "d", s"$dir/capped", "adjustments_data.csv")
+      assert(spark.read.option("header", "true")
+        .csv(s"$dir/capped/2021-11-20/adjustments_data.csv").count() == 3)
+    } finally spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+  }
 }

@@ -97,8 +97,8 @@ class PropertySpec extends SparkSpec {
     // k spans under- and over-provisioned neighborhoods (k=3 can exceed
     // |consent| for small samples — both paths must then return all rows);
     // both metrics exercise both radius-bound shapes.
-    // Chebyshev rides the banded path (bound max(D,1)); Cosine exercises
-    // the defined dense FALLBACK (bandBound = None) through the same API.
+    // Chebyshev rides the banded path (bound max(D,1)); Cosine rides its
+    // OWN pruned path (the quadratic x-interval impl) through the same API.
     samples(5).foreach { case (c, nc) =>
       for (m <- Seq(Manhattan, Euclidean, Chebyshev, Cosine); k <- Seq(1, 3)) {
         val sp = spec.copy(metric = m)
@@ -190,7 +190,7 @@ class PropertySpec extends SparkSpec {
     samples(3).foreach { case (c, nc) =>
       val outliers = List(CRow(9000, 1.0e6, 11.0, "x"), CRow(9001, -5.0e5, 13.0, "y"))
       val ncSkew = nc ++ outliers
-      for (m <- Seq(Manhattan, Euclidean); k <- Seq(1, 3)) {
+      for (m <- Seq(Manhattan, Euclidean, Cosine); k <- Seq(1, 3)) {
         val sp = spec.copy(metric = m)
         val dense = NeighborJoin.topK(NeighborJoin.pairs(encode(c), encode(ncSkew), sp), sp, k.toDouble)
           .select("nc_idx", "c_idx", "rank", "dist").collect().map(_.toSeq).toSet
