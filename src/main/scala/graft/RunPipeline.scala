@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * column — not the reference's one-date-per-worker loop.
   *
   * Usage: graft.RunPipeline <consentParquet> <noconsentParquet> <outDir>
-  *          [k=3 | radius=R | percentile=P] [datesFile]
+  *          [k=3 | radius=R | percentile=P] [metric=<sklearn name>] [datesFile]
   */
 object RunPipeline {
   def main(args: Array[String]): Unit = {
@@ -40,6 +40,9 @@ object RunPipeline {
     case s => throw new IllegalArgumentException(s"unknown strategy: $s")
   }
 
+  private def isStrategy(s: String): Boolean =
+    s.startsWith("k=") || s.startsWith("radius=") || s.startsWith("percentile=")
+
   /** The CLI's fixed column roles — ONE definition shared by the date-scope
     * computation and the adjustment job. */
   private val cliConfig = JobConfig(
@@ -48,31 +51,41 @@ object RunPipeline {
     dateCol = "conversion_date",
     cohortCols = Seq("conversion_date"))
 
-  /** Session-agnostic body (tests drive this with their own session). */
+  /** Session-agnostic body (tests drive this with their own session).
+    * Trailing args are recognized by prefix, any order: a strategy
+    * (`k=|radius=|percentile=`), a `metric=<sklearn name>` (the reference's
+    * config surface forwards metric strings verbatim, pipeline.py:121-140),
+    * and anything else is the dates file path. */
   def run(spark: SparkSession, args: Array[String]): Unit = {
     val Array(consentPath, noconsentPath, outDir) = args.take(3)
-    val strategy = parseStrategy(args.lift(3).getOrElse("k=3"))
+    val trailing = args.drop(3)
+    val strategy = parseStrategy(trailing.find(isStrategy).getOrElse("k=3"))
+    val metric = trailing.find(_.startsWith("metric="))
+      .map(s => DistanceMetric.parse(s.stripPrefix("metric="))).getOrElse(Manhattan)
+    val datesFile = trailing.filterNot(a => isStrategy(a) || a.startsWith("metric="))
+      .headOption
     val cfg = cliConfig
 
     val noconsentRaw = spark.read.parquet(noconsentPath)
 
     // Date scope: explicit dates file, else a 1-day lookback from the
     // noconsent table's max date (cloud_function/main.py:34,103-121).
-    val dates: Seq[String] = args.lift(4) match {
+    val dates: Seq[String] = datesFile match {
       case Some(f) => Io.readDatesFile(spark, f).collect().map(_.toString).toSeq
       case None =>
         val maxD = noconsentRaw
           .agg(date_format(max(col(cfg.dateCol)), "yyyy-MM-dd")).first().getString(0)
         Seq(maxD)
     }
-    runForDates(spark, consentPath, noconsentPath, outDir, strategy, dates)
+    runForDates(spark, consentPath, noconsentPath, outDir, strategy, dates, metric)
   }
 
   /** One adjustment job over an explicit date scope — shared by the batch
     * CLI above and the streaming driver ([[RunPipelineStream]]). */
   def runForDates(spark: SparkSession, consentPath: String, noconsentPath: String,
-                  outDir: String, strategy: MatchStrategy, dates: Seq[String]): Unit = {
-    val cfg = cliConfig
+                  outDir: String, strategy: MatchStrategy, dates: Seq[String],
+                  metric: DistanceMetric = Manhattan): Unit = {
+    val cfg = cliConfig.copy(metric = metric)
 
     val consentRaw = spark.read.parquet(consentPath)
     val noconsentRaw = spark.read.parquet(noconsentPath)

@@ -20,7 +20,8 @@ import org.apache.spark.sql.streaming.Trigger
   *    idempotence the reference delegates to Cloud Function retries.
   *
   * Usage: graft.RunPipelineStream <consentParquet> <noconsentParquet>
-  *          <outDir> <datesDir> [k=3 | radius=R | percentile=P] [checkpointDir]
+  *          <outDir> <datesDir> [k=3 | radius=R | percentile=P]
+  *          [metric=<sklearn name>] [checkpointDir]
   */
 object RunPipelineStream {
   def main(args: Array[String]): Unit = {
@@ -35,11 +36,20 @@ object RunPipelineStream {
     try run(spark, args) finally spark.stop()
   }
 
-  /** Session-agnostic body (tests drive this with their own session). */
+  /** Session-agnostic body (tests drive this with their own session).
+    * Trailing args by prefix like the batch CLI: strategy, `metric=…`,
+    * anything else is the checkpoint dir. */
   def run(spark: SparkSession, args: Array[String]): Unit = {
     val Array(consentPath, noconsentPath, outDir, datesDir) = args.take(4)
-    val strategy = RunPipeline.parseStrategy(args.lift(4).getOrElse("k=3"))
-    val checkpoint = args.lift(5).getOrElse(s"$outDir/__checkpoint")
+    val trailing = args.drop(4)
+    def isStrategy(s: String) = s.startsWith("k=") ||
+      s.startsWith("radius=") || s.startsWith("percentile=")
+    val strategy = RunPipeline.parseStrategy(trailing.find(isStrategy).getOrElse("k=3"))
+    val metric = trailing.find(_.startsWith("metric="))
+      .map(s => DistanceMetric.parse(s.stripPrefix("metric="))).getOrElse(Manhattan)
+    val checkpoint = trailing
+      .filterNot(a => isStrategy(a) || a.startsWith("metric="))
+      .headOption.getOrElse(s"$outDir/__checkpoint")
 
     // successive batches append NEW date partitions into one output dir;
     // static overwrite would drop every partition a batch didn't write —
@@ -75,7 +85,7 @@ object RunPipelineStream {
             System.err.println(
               s"[pipeline-stream] batch $batchId: ${dates.size} date(s)")
             RunPipeline.runForDates(
-              spark, consentPath, noconsentPath, outDir, strategy, dates)
+              spark, consentPath, noconsentPath, outDir, strategy, dates, metric)
           }
         }
         .trigger(Trigger.AvailableNow())

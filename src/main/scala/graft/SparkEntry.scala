@@ -588,6 +588,30 @@ object SparkEntry {
               |SELECT month, nc_idx, c_idx, rank, ROUND(1e-9 + dist, 4) AS dist
               |FROM topk""".stripMargin)),
 
+    // Minkowski-p metric (p=3) — the parameterized L_p family between the
+    // named metrics; rides the banded path via the (D^p + B)^(1/p) radius
+    // bound. Reference forwards any sklearn metric string, and sklearn's
+    // minkowski takes the p kwarg (cocoa/nearest_consented_customers.py:58-66).
+    ("q63_knn_topk_minkowski",
+      (s: SparkSession, dir: String) => {
+        val (c, nc) = cohortPair(s, dir)
+        val spec = Cohorts.spec.copy(metric = Minkowski(3.0))
+        NeighborJoin.topKBanded(c, nc, spec, 3)
+          .select(col("month"), col("nc_idx"), col("c_idx"),
+            col("rank").cast("long").as("rank"), rnd(col("dist"), 4).as("dist"))
+      },
+      Some(s"""WITH ${OracleCtes.base},
+              |${OracleCtes.cohortSplit},
+              |pairs AS (
+              |  SELECT nc.month, nc.idx AS nc_idx, c.idx AS c_idx,
+              |         pow(CAST(len(nc.features) + len(c.features)
+              |              - 2 * len(list_intersect(nc.features, c.features)) AS DOUBLE)
+              |           + pow(abs(nc.c_acctbal - c.c_acctbal), 3), 1.0/3) AS dist
+              |  FROM nc JOIN c ON nc.month = c.month),
+              |${OracleCtes.topk(3)}
+              |SELECT month, nc_idx, c_idx, rank, ROUND(1e-9 + dist, 4) AS dist
+              |FROM topk""".stripMargin)),
+
     // ====================== LLM-pipeline extension operators ==============
 
     // Exact dedup — hash-groupBy on text.

@@ -43,6 +43,26 @@ sealed trait DistanceMetric {
   private[graft] def tokenBound(radius: Double): Option[Double]
 }
 
+object DistanceMetric {
+  /** Parse a metric string from the CLI / config surface, mirroring the
+    * sklearn spellings the reference forwards verbatim
+    * (cocoa/nearest_consented_customers.py:58-66, pipeline.py:121-140):
+    * manhattan/cityblock/l1, euclidean/l2, chebyshev, cosine, and
+    * minkowski:p (p ≥ 1; bare "minkowski" = sklearn's default p = 2). */
+  def parse(s: String): DistanceMetric = s.trim.toLowerCase match {
+    case "manhattan" | "cityblock" | "l1" => Manhattan
+    case "euclidean" | "l2" => Euclidean
+    case "chebyshev" => Chebyshev
+    case "cosine" => Cosine
+    case "minkowski" => Minkowski(2.0)
+    case m if m.startsWith("minkowski:") =>
+      Minkowski(m.stripPrefix("minkowski:").toDouble)
+    case other => throw new IllegalArgumentException(
+      s"unknown metric '$other' — supported: manhattan|cityblock|l1, " +
+        "euclidean|l2, chebyshev, cosine, minkowski[:p]")
+  }
+}
+
 /** |a ∩ b| for token arrays via the codegen'd custom expression
   * [[graft.expr.TokenIntersectionSize]]. The built-in routes
   * (`array_intersect`, `filter`+`array_contains`) are interpreted
@@ -96,6 +116,32 @@ case object Euclidean extends DistanceMetric {
   * holds (bucket prunes apply); the banded-top-k radius is max(D, 1) since
   * the token part never exceeds 1; the LSH token bound is 0 for r < 1
   * (identical token sets required) and vacuous past that. */
+/** Minkowski-p over the dummy vector: for 0/1 dummies |a−b|ᵖ == |a−b|, so
+  * the one-hot block again contributes the symmetric-difference count and
+  * dist = (tokenΔ + Σ|Δxᵢ|ᵖ)^(1/p). p = 1 is manhattan, p = 2 euclidean,
+  * p → ∞ chebyshev; sklearn takes "minkowski" with a p kwarg and the
+  * reference forwards any metric string verbatim
+  * (cocoa/nearest_consented_customers.py:58-66). Scale paths mirror
+  * euclidean's: dist ≥ |Δxᵢ| (each term nonnegative), banded radius
+  * (Dᵖ + B)^(1/p), LSH token bound rᵖ. */
+final case class Minkowski(p: Double) extends DistanceMetric {
+  require(p >= 1, s"minkowski needs p >= 1, got $p")
+  val name = s"minkowski:$p"
+  def dist(a: Column, b: Column, num: Seq[(Column, Column)]): Column = {
+    val oneHot =
+      (size(a) + size(b) - lit(2) * TokenOps.intersectionSize(a, b)).cast("double")
+    pow(num.foldLeft(oneHot) { case (acc, (x, y)) => acc + pow(abs(x - y), lit(p)) },
+      lit(1.0 / p))
+  }
+  private[graft] val boundsNumericGap = true
+  // distᵖ = tokenΔ + Σ|Δx|ᵖ ≤ B + Dᵖ for the ±k window rows
+  private[graft] val bandBound =
+    Some((d: Column, b0: Column) => pow(pow(d, lit(p)) + b0, lit(1.0 / p)))
+  // dist ≤ r ⇒ tokenΔ ≤ rᵖ
+  private[graft] def tokenBound(radius: Double): Option[Double] =
+    Some(math.pow(radius, p))
+}
+
 case object Chebyshev extends DistanceMetric {
   val name = "chebyshev"
   def dist(a: Column, b: Column, num: Seq[(Column, Column)]): Column = {

@@ -117,6 +117,45 @@ class MatcherSpec extends SparkSpec {
       .as[Double].head() == 100.0)
   }
 
+  test("RunPipeline end-to-end per metric string: every sklearn spelling runs") {
+    val dir = Files.createTempDirectory("graft-e2e-metric").toString
+    val consent = Seq(
+      ("1", "2021-11-20 12:00:00 UTC", 10.0, "2021-11-20", "dress", 5.0),
+      ("2", "2021-11-20 13:00:00 UTC", 30.0, "2021-11-20", "shoe", 9.0))
+      .toDF("gclid", "conversion_timestamp", "conversion_value",
+        "conversion_date", "conversion_item", "basket_size")
+      .withColumn("conversion_date", to_date(col("conversion_date")))
+    val noconsent = Seq(
+      ("10", "2021-11-20 14:00:00 UTC", 20.0, "2021-11-20", "dress", 5.5))
+      .toDF("gclid", "conversion_timestamp", "conversion_value",
+        "conversion_date", "conversion_item", "basket_size")
+      .withColumn("conversion_date", to_date(col("conversion_date")))
+    consent.write.parquet(s"$dir/consent")
+    noconsent.write.parquet(s"$dir/noconsent")
+    // k=1: the numeric feature (basket_size) makes gclid 1 the nearest
+    // neighbor under every metric here — all 20.0 goes to it; what the loop
+    // pins is that each metric string parses, routes (banded, cosine-banded,
+    // and dense-fallback paths all reachable from the CLI), and conserves.
+    for (m <- Seq("manhattan", "cityblock", "l1", "euclidean", "l2",
+        "chebyshev", "cosine", "minkowski", "minkowski:3")) {
+      val out = s"$dir/out-${m.replace(':', '_')}"
+      RunPipeline.run(spark, Array(s"$dir/consent", s"$dir/noconsent", out,
+        "k=1", s"metric=$m"))
+      val adj = spark.read.option("header", "true")
+        .csv(s"$out/2021-11-20/adjustments_data.csv")
+      assert(adj.count() == 2, s"metric=$m")
+      val byId = adj.select(col("gclid"),
+          col("adjusted_conversion").cast("double"))
+        .as[(String, Double)].collect().toMap
+      assert(math.abs(byId("1") - 20.0) < 1e-9, s"metric=$m got $byId")
+      assert(math.abs(byId("2") - 0.0) < 1e-9, s"metric=$m got $byId")
+    }
+    intercept[IllegalArgumentException] {
+      RunPipeline.run(spark, Array(s"$dir/consent", s"$dir/noconsent",
+        s"$dir/out-bad", "k=1", "metric=hamming"))
+    }
+  }
+
   test("RunPipelineStream drains dates files with AvailableNow, equal to batch") {
     val dir = Files.createTempDirectory("graft-stream-e2e").toString
     val mk = (gclid: String, ts: String, v: Double, d: String) =>

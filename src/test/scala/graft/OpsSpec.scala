@@ -541,6 +541,46 @@ class OpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding stream: AvailableNow drain + checkpoint restart equals batch") {
+    // the gap q43's batch twin and the append-mode test left open: state
+    // that STRADDLES a stop/restart (windows half-filled in run 1, finished
+    // in run 2) must survive the checkpoint — a broken resume double-counts
+    // or drops exactly those windows.
+    val base = java.nio.file.Files.createTempDirectory("graft-slide-restart")
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    val rows = Cohorts.events(spark, "/root/testdata/sf0.001")
+      .select($"ts", $"event_type", $"value")
+      .as[(java.sql.Timestamp, String, Double)].collect().toSeq.sortBy(_._1.getTime)
+    val (h1, h2) = rows.splitAt(rows.size / 2)
+    // a far-future sentinel pushes the watermark past every real window so
+    // append mode finalizes them all by the end of run 2
+    val sentinel = (new java.sql.Timestamp(
+      rows.map(_._1.getTime).max + 10L * 3600 * 1000), "sentinel", 0.0)
+    val schema = h1.toDF("ts", "event_type", "value").schema
+    def drain(): Unit = {
+      val sdf = spark.readStream.schema(schema).parquet(inDir)
+      val q = EventOps.slidingAggStream(sdf).writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try assert(q.awaitTermination(180000)) finally q.stop()
+    }
+    h1.toDF("ts", "event_type", "value").write.mode("append").parquet(inDir)
+    drain()
+    (h2 :+ sentinel).toDF("ts", "event_type", "value")
+      .write.mode("append").parquet(inDir)
+    drain()
+    val streamed = spark.read.parquet(outDir)
+      .filter($"event_type" =!= "sentinel")
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    val batch = EventOps.slidingAgg(rows.toDF("ts", "event_type", "value"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("clustersLsh equals pair-enumeration clusters on clone-style corpora") {
     // clone clusters around an original (the hub-verifiable shape this
     // operator targets): 3 originals × 4 mutated clones + 2 singletons

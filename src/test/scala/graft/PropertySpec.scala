@@ -100,7 +100,8 @@ class PropertySpec extends SparkSpec {
     // Chebyshev rides the banded path (bound max(D,1)); Cosine rides its
     // OWN pruned path (the quadratic x-interval impl) through the same API.
     samples(5).foreach { case (c, nc) =>
-      for (m <- Seq(Manhattan, Euclidean, Chebyshev, Cosine); k <- Seq(1, 3)) {
+      for (m <- Seq(Manhattan, Euclidean, Chebyshev, Cosine, Minkowski(3.0));
+           k <- Seq(1, 3)) {
         val sp = spec.copy(metric = m)
         val dense = NeighborJoin.topK(NeighborJoin.pairs(encode(c), encode(nc), sp), sp, k.toDouble)
           .select("nc_idx", "c_idx", "rank", "dist").collect().map(_.toSeq).toSet
