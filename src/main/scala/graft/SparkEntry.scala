@@ -1068,6 +1068,47 @@ object SparkEntry {
               |    ON b.lang = r.lang AND b.shard = r.shard AND b.rn = r.rn + 1)
               |SELECT doc_id, lang, shard, tokens, pack_id FROM rec""".stripMargin)),
 
+    // PII scrubbing: emails/IPv4s masked + per-doc match counts. The gate
+    // INJECTS deterministic PII (both engines build the same string from
+    // doc_id) so masking and counting are pinned on text that actually
+    // contains matches, not just on all-zero lorem.
+    ("q64_text_scrub_pii",
+      (s: SparkSession, dir: String) => {
+        val d = Cohorts.documents(s, dir).select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com from 10.0.0."), pmod(col("doc_id"), lit(256)))
+            .as("text"))
+        TextAnalysis.scrubPii(d)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+             |         || '@example.com from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS text
+             |  FROM documents)
+             |SELECT doc_id,
+             |  regexp_replace(regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS scrubbed,
+             |  CAST(len(regexp_extract_all(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             |  CAST(len(regexp_extract_all(text,
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips
+             |FROM t""".stripMargin)),
+
+    // Per-label centroids of L2-normalized embeddings (class prototypes /
+    // mean pooling): one partial-agg shuffle on (label, pos).
+    ("q65_embed_centroids",
+      (s: SparkSession, dir: String) =>
+        Similarity.labelCentroids(Cohorts.embeddings(s, dir)),
+      Some("""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |n AS (SELECT label, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+             |u AS (SELECT label,
+             |             unnest(list_transform(v, y -> CASE WHEN nrm = 0 THEN 0.0 ELSE y / nrm END)) AS x,
+             |             unnest(range(1, len(v) + 1)) AS pos
+             |      FROM n)
+             |SELECT label, CAST(pos AS BIGINT) AS pos,
+             |       ROUND(1e-9 + avg(x), 6) AS centroid
+             |FROM u GROUP BY label, pos""".stripMargin)),
+
     // Intra-document repetition (Gopher-style quality signal): most
     // frequent bigram's share of all bigram occurrences.
     ("q53_text_repetition",

@@ -249,6 +249,27 @@ object Similarity {
     ranked(joined, k)
   }
 
+  /** Per-label centroids of L2-NORMALIZED embeddings — mean pooling over a
+    * class/cluster column, the building block for class prototypes,
+    * nearest-centroid classification, and diversity-aware sampling.
+    * Normalizing BEFORE averaging makes the centroid direction independent
+    * of per-vector magnitude (the standard prototype construction for
+    * cosine spaces); zero-norm vectors contribute zero. Plan shape:
+    * posexplode to (label, pos, component) then ONE partial-aggregated
+    * shuffle on (label, pos) — dims × labels output rows, scan-bound at
+    * corpus scale. */
+  def labelCentroids(corpus: DataFrame, labelCol: String = "label"): DataFrame = {
+    corpus.select(col(labelCol).as("label"), col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("__n", sqrt(dotD(col("emb"), col("emb"))))
+      .select(col("label"),
+        posexplode(transform(col("emb"),
+          x => when(col("__n") === 0.0, lit(0.0)).otherwise(x / col("__n")))))
+      .groupBy(col("label"), (col("pos") + 1).as("pos"))
+      .agg(graft.Num.rnd(avg(col("col")), 6).as("centroid"))
+      .select(col("label"), col("pos").cast("long").as("pos"), col("centroid"))
+  }
+
   /** IVF-style top-k restricted to the query's coarse cell (cellCol). */
   def partitionedTopK(corpus: DataFrame, queries: DataFrame, cellCol: String,
                       k: Int): DataFrame = {

@@ -157,6 +157,27 @@ object TextAnalysis {
       .select(col("doc_id"), col("token"), col("tf"),
         col("doc_freq"), graft.Num.rnd(col("tf_idf"), 6).as("tf_idf"), col("rank"))
   }
+
+  /** PII patterns shared with the DuckDB oracle: both Java's regex and
+    * DuckDB's RE2 read these identically (character classes, {m,}
+    * repetition, ASCII \b word boundary — no lookaround, no engine-specific
+    * syntax). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrubbing — the mask-before-training pass every LLM data pipeline
+    * runs: emails → `<EMAIL>`, IPv4s → `<IP>`, plus per-doc match counts
+    * (the evidence columns a filter/audit step keys on). Pure codegen'd
+    * string kernels (regexp_replace / regexp_count) — narrow, no shuffle,
+    * scales with the scan. Patterns are deliberately conservative,
+    * RE2-compatible literals; swap in house patterns via the arguments. */
+  def scrubPii(docs: org.apache.spark.sql.DataFrame, textCol: String = "text",
+               emailRe: String = EmailRe, ipRe: String = Ipv4Re): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      regexp_replace(regexp_replace(col(textCol), lit(emailRe), lit("<EMAIL>")),
+        lit(ipRe), lit("<IP>")).as("scrubbed"),
+      regexp_count(col(textCol), lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(ipRe)).cast("long").as("n_ips"))
 }
 
 /** DuckDB SQL twins of [[TextAnalysis]] — fragment builders interpolated

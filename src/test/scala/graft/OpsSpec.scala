@@ -319,6 +319,27 @@ class OpsSpec extends SparkSpec {
     assert(key(Similarity.ivfTopK(e, q, 10, nProbe = 16, fitSampleCap = 64)) == exact)
   }
 
+  test("PII scrub masks emails and IPv4s and counts matches") {
+    val d = Seq((1L, "mail a@b.co and c.d+x@e-f.org at 10.0.0.7 or 256ish 1.2.3.4."),
+        (2L, "no pii here")).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubPii(d).orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out(0) == ((1L,
+      "mail <EMAIL> and <EMAIL> at <IP> or 256ish <IP>.", 2L, 2L)))
+    assert(out(1) == ((2L, "no pii here", 0L, 0L)))
+  }
+
+  test("label centroids average L2-normalized embeddings per label") {
+    val e = Seq(
+      (1L, "a", Array(3.0f, 4.0f)),   // normalizes to (0.6, 0.8)
+      (2L, "a", Array(0.0f, 2.0f)),   // normalizes to (0.0, 1.0)
+      (3L, "b", Array(0.0f, 0.0f)))   // zero norm -> contributes zeros
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.labelCentroids(e).orderBy("label", "pos")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(("a", 1L, 0.3), ("a", 2L, 0.9), ("b", 1L, 0.0), ("b", 2L, 0.0)))
+  }
+
   test("language id picks the marker-richest language, tie-break alphabetical") {
     val d = Seq((1L, "der hund und die katze"), (2L, "zzz qqq www"))
       .toDF("doc_id", "text")
