@@ -249,6 +249,12 @@ class PropertySpec extends SparkSpec {
     // operator exists to avoid would surface as a cartesian/BNL stage
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
     assert(!plan.contains("BroadcastNestedLoop"), plan.take(2000))
+    // same pin for the cosine variant (its own pruned impl)
+    val cosPlan = NeighborJoin
+      .topKBanded(withG(c), withG(nc), sp.copy(metric = Cosine), 3)
+      .queryExecution.executedPlan.toString
+    assert(!cosPlan.contains("CartesianProduct"), cosPlan.take(2000))
+    assert(!cosPlan.contains("BroadcastNestedLoop"), cosPlan.take(2000))
   }
 
   test("property: packing invariants hold for arbitrary corpora") {
