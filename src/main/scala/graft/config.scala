@@ -166,12 +166,13 @@ case object Chebyshev extends DistanceMetric {
   * the reference builds (cocoa/nearest_consented_customers.py:58-66).
   * A zero-norm row (no tokens, all-zero numerics) is defined as distance 1
   * to everything. Cosine is SCALE-INVARIANT in the numeric features, so no
-  * |Δx| inequality exists and every bound hook below reports no-bound —
-  * the RADIUS joins run the dense pairs relation by defined fallback. The
-  * fixed-k top-k does NOT go dense: [[graft.NeighborJoin.topKBanded]]
-  * routes cosine through its own pruned path (a per-probe admissible
-  * x-interval from the quadratic cosine bound — see
-  * `topKCosineBandedImpl`), exact by superset + rank. */
+  * |Δx| inequality exists and every bound hook below reports no-bound.
+  * That does NOT mean cosine runs dense: [[graft.NeighborJoin.topKBanded]]
+  * (fixed AND proportional k) and [[graft.NeighborJoin
+  * .withinRadiusBucketed]] (r < 1) route cosine through its own pruned
+  * path — a per-probe admissible x-interval from the quadratic cosine
+  * bound (see `cosineBandCandidates`), exact by superset + refinement.
+  * Only the LSH token prune and the r ≥ 1 radius join fall back dense. */
 case object Cosine extends DistanceMetric {
   val name = "cosine"
   def dist(a: Column, b: Column, num: Seq[(Column, Column)]): Column = {

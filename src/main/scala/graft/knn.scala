@@ -153,6 +153,21 @@ object NeighborJoin {
   def withinRadiusBucketed(consent: DataFrame, noconsent: DataFrame,
                            spec: CohortSpec, radius: Double): DataFrame = {
     require(radius > 0, s"radius must be > 0, got $radius")
+    // cosine: no |Δx| bound exists, but for r < 1 (sim threshold s = 1 − r
+    // > 0) the quadratic cosine bound yields a per-probe admissible
+    // x-interval — the same machinery as the cosine top-k, with the
+    // constant radius as the threshold. r ≥ 1 admits sim ≤ 0 pairs, which
+    // the bound cannot prune — dense fallback.
+    if (spec.numCols.size == 1 && spec.metric == Cosine && radius < 1.0) {
+      val prep = bandPrep(consent, noconsent, spec)
+      val probes = (if (spec.cohortCols.nonEmpty)
+          prep.nc0.join(broadcast(prep.cStats), spec.cohortCols)
+        else prep.nc0.crossJoin(broadcast(prep.cStats)))
+        .withColumn("__dk", lit(radius))
+      return cosineBandCandidates(probes, prep.c0, spec)
+        .select(spec.cohortCols.map(col(_)) ++ Seq(col("nc_idx"),
+          col("nc_value"), col("c_idx"), col("c_value"), col("dist")): _*)
+    }
     if (spec.numCols.isEmpty || !spec.metric.boundsNumericGap)
       return withinRadius(pairs(consent, noconsent, spec), radius)
     val c0 = prefixed(consent, spec, "c_")
@@ -366,6 +381,11 @@ object NeighborJoin {
                              spec: CohortSpec, frac: Double,
                              broadcastConsent: Boolean = false): DataFrame = {
     require(frac > 0 && frac < 1, s"proportional k must be in (0,1), got $frac")
+    if (spec.numCols.size == 1 && spec.metric == Cosine) {
+      val perCohort = resolveK(consent, spec, frac)
+        .getOrElse(throw new IllegalStateException("unreachable: frac < 1"))
+      return topKCosineBandedImpl(consent, noconsent, spec, Right(perCohort))
+    }
     if (spec.numCols.size != 1 || spec.metric.bandBound.isEmpty)
       return topK(pairs(consent, noconsent, spec, broadcastConsent), spec, frac,
         Some(consent))
@@ -440,7 +460,7 @@ object NeighborJoin {
                  broadcastConsent: Boolean = false): DataFrame = {
     require(k >= 1, s"topKBanded needs a fixed k >= 1, got $k")
     if (spec.numCols.size == 1 && spec.metric == Cosine)
-      return topKCosineBandedImpl(consent, noconsent, spec, k)
+      return topKCosineBandedImpl(consent, noconsent, spec, Left(k))
     if (spec.numCols.size != 1 || spec.metric.bandBound.isEmpty)
       return topK(pairs(consent, noconsent, spec, broadcastConsent), spec, k.toDouble)
     topKBandedImpl(consent, noconsent, spec, Left(k))
@@ -681,7 +701,8 @@ object NeighborJoin {
     * buckets. Everything shuffles O(k·|NC| + (|C|+|NC|)·buckets) — nothing
     * materializes |NC|×|C|. */
   private def topKCosineBandedImpl(consent: DataFrame, noconsent: DataFrame,
-                                   spec: CohortSpec, k: Int): DataFrame = {
+                                   spec: CohortSpec,
+                                   kSpec: Either[Int, DataFrame]): DataFrame = {
     val coh = spec.cohortCols
     val x = spec.numCols.head
     val prep = bandPrep(consent, noconsent, spec)
@@ -692,16 +713,26 @@ object NeighborJoin {
     def joinCoh(df: DataFrame, small: DataFrame): DataFrame =
       if (coh.nonEmpty) df.join(broadcast(small), coh)
       else df.crossJoin(broadcast(small))
+    // per-probe k as a column — constant (folded literal) or per-cohort
+    // broadcast frame, exactly as in topKBandedImpl; k = 0 cohorts
+    // (proportional on a tiny cohort) emit nothing like dense's rank <= 0.
+    def withK(df: DataFrame): DataFrame = kSpec match {
+      case Left(k) => df.withColumn("__kk", lit(k.toLong))
+      case Right(perCohort) =>
+        joinCoh(df, perCohort.select(
+          coh.map(col(_)) :+ col("__k").cast("long").as("__kk"): _*))
+    }
     val joinKeys = coh :+ "nc_idx"
     val numPairs = Seq((col(s"nc_$x"), col(s"c_$x")))
 
     // phase 1: the ±k rank window per probe, scored EXACTLY (unlike the
     // metric-bound impl, the token part matters here, so the window cannot
     // be reduced to its endpoints). ≤ 2k rows per probe.
-    val probes = joinCoh(nc0.join(pos, joinKeys), cStats)
+    val probes = withK(joinCoh(nc0.join(pos, joinKeys), cStats))
+      .filter(col("__kk") >= 1)
     val cand1 = probes
-      .withColumn("__lo", greatest(col("__pos") - lit(k - 1L), lit(1L)))
-      .withColumn("__hi", least(col("__pos") + lit(k.toLong), col("__cnt")))
+      .withColumn("__lo", greatest(col("__pos") - (col("__kk") - lit(1L)), lit(1L)))
+      .withColumn("__hi", least(col("__pos") + col("__kk"), col("__cnt")))
       .filter(col("__hi") >= col("__lo"))
       .withColumn("__rn", explode(sequence(col("__lo"), col("__hi"))))
       .join(cRanked.select(coh.map(col(_)) ++ Seq(
@@ -714,11 +745,45 @@ object NeighborJoin {
     // than k candidates → wildcard). ≤ 2k values per probe: collect+sort is
     // a bounded per-group buffer, not a data-sized one.
     val dk = cand1.groupBy(joinKeys.map(col(_)): _*)
-      .agg(sort_array(collect_list(col("__pd"))).as("__pds"))
+      .agg(sort_array(collect_list(col("__pd"))).as("__pds"),
+        first(col("__kk")).as("__k1"))
       .select(joinKeys.map(col(_)) :+
-        when(size(col("__pds")) >= k, element_at(col("__pds"), k)).as("__dk"): _*)
+        when(size(col("__pds")) >= col("__k1"),
+          element_at(col("__pds"), col("__k1").cast("int"))).as("__dk"): _*)
 
-    // phase 2: per-probe admissible x_b interval from the quadratic bound.
+    // phase 2: the shared cosine band join. The d_k cut inside it is rank-
+    // safe: every true top-k row has dist ≤ d_k and ≥ k candidate rows
+    // survive it, so removing dist > d_k rows changes neither the top-k
+    // rows nor their rank numbers.
+    val cand = cosineBandCandidates(probes.join(dk, joinKeys),
+      cRanked.drop("__rn"), spec)
+    val w = Window
+      .partitionBy(joinKeys.map(col(_)): _*)
+      .orderBy(col("dist").asc, col("c_idx").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= col("__kk"))
+      .select(coh.map(col(_)) ++ Seq(col("nc_idx"), col("nc_value"),
+        col("c_idx"), col("c_value"), col("dist"), col("rank")): _*)
+  }
+
+  /** Shared phase-2 of the cosine prunes ([[topKCosineBandedImpl]] and the
+    * cosine branch of [[withinRadiusBucketed]]): probe rows arrive carrying
+    * the nc_* projection, `__cmintok` (cohort min consent token size) and
+    * `__dk` — the per-probe distance threshold (the phase-1 k-th best for
+    * top-k, the constant radius for the radius join; null = no bound).
+    * Attaches the admissible x-interval from the quadratic cosine bound
+    * (ε-padded: padding only widens the superset), runs the conditional
+    * two-tier wildcard band join against `cSide` (a c0-shaped relation),
+    * and returns candidates with the exact `dist` column, filtered to the
+    * interval and to dist ≤ __dk (when non-null). */
+  private def cosineBandCandidates(probesD0: DataFrame, cSide: DataFrame,
+                                   spec: CohortSpec): DataFrame = {
+    val coh = spec.cohortCols
+    val x = spec.numCols.head
+    def joinCoh(df: DataFrame, small: DataFrame): DataFrame =
+      if (coh.nonEmpty) df.join(broadcast(small), coh)
+      else df.crossJoin(broadcast(small))
+    val numPairs = Seq((col(s"nc_$x"), col(s"c_$x")))
     val A = size(col("nc_features")).cast("double")
     val xa = col(s"nc_$x")
     val s = lit(1.0) - col("__dk") - lit(1e-9) // ε-loosened: superset-safe
@@ -726,7 +791,7 @@ object NeighborJoin {
     val a2 = xa * xa - c2
     val m = col("__cmintok").cast("double")
     val disc = c2 * (A * A + m * a2)
-    val probesD = probes.join(dk, joinKeys)
+    val probesD = probesD0
       .withColumn("__wild",
         col("__dk").isNull || s <= 0 || a2 >= 0 || disc < 0)
       .withColumn("__r1", when(!col("__wild"), (-(A * xa) + sqrt(disc)) / a2))
@@ -759,7 +824,7 @@ object NeighborJoin {
       .withColumn("__tier", col("__tb.tier"))
       .withColumn("__bucket", col("__tb.bucket"))
       .drop("__tb", "__rmax", "__anywild")
-    val cB = joinCoh(cRanked.drop("__rn"), widths)
+    val cB = joinCoh(cSide, widths)
       .withColumn("__tb", explode(
         when(col("__anywild") === 1 || col("__rmax") > col("__w"),
           array(tb(0, floor(col(s"c_$x") / col("__w")).cast("long")),
@@ -769,22 +834,11 @@ object NeighborJoin {
       .withColumn("__bucket", col("__tb.bucket"))
       .drop("__tb", "__w", "__rmax", "__anywild")
 
-    // candidates: interval refinement, exact distance, and the d_k cut —
-    // every true top-k row has dist ≤ d_k and ≥ k candidate rows survive
-    // it, so removing dist > d_k rows changes neither the top-k rows nor
-    // their rank numbers.
-    val cand = ncB.join(cB, coh ++ Seq("__tier", "__bucket"))
+    ncB.join(cB, coh ++ Seq("__tier", "__bucket"))
       .filter(col("__wild") ||
         (col(s"c_$x") >= col("__ilo") && col(s"c_$x") <= col("__ihi")))
       .withColumn("dist", spec.metric.dist(col("nc_features"), col("c_features"), numPairs))
       .filter(col("__dk").isNull || col("dist") <= col("__dk"))
-    val w = Window
-      .partitionBy(joinKeys.map(col(_)): _*)
-      .orderBy(col("dist").asc, col("c_idx").asc)
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(coh.map(col(_)) ++ Seq(col("nc_idx"), col("nc_value"),
-        col("c_idx"), col("c_value"), col("dist"), col("rank")): _*)
   }
 
 }

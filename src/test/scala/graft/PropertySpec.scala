@@ -215,15 +215,16 @@ class PropertySpec extends SparkSpec {
           .otherwise("g1"))
       val cDf = withG(c, false)
       val ncDf = withG(nc, false)
-      for (frac <- Seq(0.3, 0.7)) {
+      for (frac <- Seq(0.3, 0.7); m <- Seq(Manhattan, Cosine)) {
+        val spm = sp.copy(metric = m)
         val dense = NeighborJoin.topK(
-            NeighborJoin.pairs(cDf, ncDf, sp), sp, frac, Some(cDf))
+            NeighborJoin.pairs(cDf, ncDf, spm), spm, frac, Some(cDf))
           .select("g", "nc_idx", "c_idx", "rank", "dist")
           .collect().map(_.toSeq).toSet
-        val banded = NeighborJoin.topKBandedProportional(cDf, ncDf, sp, frac)
+        val banded = NeighborJoin.topKBandedProportional(cDf, ncDf, spm, frac)
           .select("g", "nc_idx", "c_idx", "rank", "dist")
           .collect().map(_.toSeq).toSet
-        assert(banded == dense, s"frac=$frac c=$c nc=$nc")
+        assert(banded == dense, s"metric=$m frac=$frac c=$c nc=$nc")
       }
     }
   }
