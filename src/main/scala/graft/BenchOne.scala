@@ -103,6 +103,37 @@ object BenchOne {
         require(a == b, s"cosine banded != dense: only-banded=${(a -- b).take(5)} only-dense=${(b -- a).take(5)}")
         s.range(1).toDF()
       }),
+      // cosine radius join: interval-pruned vs dense (radius from
+      // SPARK_GRAFT_COSR; selectivity decides which plan wins — see
+      // DESIGN §10)
+      "x_cosradius_banded" -> ((s, dir) => {
+        val r = sys.env.getOrElse("SPARK_GRAFT_COSR", "0.05").toDouble
+        val (c, nc) = Cohorts.cohorts(s, dir)
+        NeighborJoin.withinRadiusBucketed(c, nc,
+          Cohorts.spec.copy(metric = Cosine), r)
+      }),
+      "x_cosradius_dense" -> ((s, dir) => {
+        val r = sys.env.getOrElse("SPARK_GRAFT_COSR", "0.05").toDouble
+        val (c, nc) = Cohorts.cohorts(s, dir)
+        val sp = Cohorts.spec.copy(metric = Cosine)
+        NeighborJoin.withinRadius(NeighborJoin.pairs(c, nc, sp), r)
+      }),
+      "x_cosradius_eq" -> ((s, dir) => {
+        val (c, nc) = Cohorts.cohorts(s, dir)
+        val sp = Cohorts.spec.copy(metric = Cosine)
+        // result sets are output-sized (millions of rows at 10×) — compare
+        // distributed, never collect
+        val key = (df: org.apache.spark.sql.DataFrame) =>
+          df.select("month", "nc_idx", "c_idx")
+        val r = sys.env.getOrElse("SPARK_GRAFT_COSR", "0.05").toDouble
+        val a = key(NeighborJoin.withinRadiusBucketed(c, nc, sp, r))
+        val b = key(NeighborJoin.withinRadius(NeighborJoin.pairs(c, nc, sp), r))
+        val onlyA = a.exceptAll(b).count(); val onlyB = b.exceptAll(a).count()
+        require(onlyA == 0 && onlyB == 0,
+          s"cosine radius banded != dense: only-banded=$onlyA only-dense=$onlyB")
+        println(s"x_cosradius_eq: equal (${a.count()} rows)")
+        s.range(1).toDF()
+      }),
       "x_topk_agg" -> ((s, dir) => {
         val (c, nc) = Cohorts.cohorts(s, dir)
         TopKAgg.topK(

@@ -1109,6 +1109,19 @@ object SparkEntry {
              |       ROUND(1e-9 + avg(x), 6) AS centroid
              |FROM u GROUP BY label, pos""".stripMargin)),
 
+    // Per-language token-count stats (packing / token-budget planning):
+    // exact interpolated percentiles, one partial-agg shuffle on lang.
+    ("q66_token_stats",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.tokenStats(Cohorts.documents(s, dir)),
+      Some(s"""WITH ${TextSql.toksCte},
+              |n AS (SELECT lang, CAST(len(t) AS BIGINT) AS n FROM toks)
+              |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              |       CAST(sum(n) AS BIGINT) AS total_tokens,
+              |       ROUND(1e-9 + quantile_cont(n, 0.5), 4) AS median_tokens,
+              |       ROUND(1e-9 + quantile_cont(n, 0.9), 4) AS p90_tokens
+              |FROM n GROUP BY lang""".stripMargin)),
+
     // Intra-document repetition (Gopher-style quality signal): most
     // frequent bigram's share of all bigram occurrences.
     ("q53_text_repetition",

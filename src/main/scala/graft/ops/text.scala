@@ -158,6 +158,20 @@ object TextAnalysis {
         col("doc_freq"), graft.Num.rnd(col("tf_idf"), 6).as("tf_idf"), col("rank"))
   }
 
+  /** Per-language token-count statistics — the planning input a packing /
+    * token-budget step keys on (corpus composition, typical document
+    * length, tail length). Exact interpolated percentiles via the
+    * sort-based `percentile` aggregate (same interpolation as DuckDB's
+    * quantile_cont, the q16-proven pairing); one partial-aggregated
+    * shuffle on lang. */
+  def tokenStats(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("lang"), size(tokens(col("text"))).cast("long").as("n"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        graft.Num.rnd(percentile(col("n"), lit(0.5)), 4).as("median_tokens"),
+        graft.Num.rnd(percentile(col("n"), lit(0.9)), 4).as("p90_tokens"))
+
   /** PII patterns shared with the DuckDB oracle: both Java's regex and
     * DuckDB's RE2 read these identically (character classes, {m,}
     * repetition, ASCII \b word boundary — no lookaround, no engine-specific
