@@ -306,6 +306,22 @@ object NeighborJoin {
   def withinRadiusBucketedPerCohort(consent: DataFrame, noconsent: DataFrame,
                                     radii: DataFrame, spec: CohortSpec,
                                     broadcastConsent: Boolean = false): DataFrame = {
+    // cosine: per-cohort radii ride the shared interval prune — the radius
+    // is just a per-row distance threshold (__dk). Cohorts whose radius
+    // admits sim ≤ 0 (r ≥ 1) make their probes wild and take the wildcard
+    // (dense per-cohort) tier automatically — no special-casing.
+    if (spec.numCols.size == 1 && spec.metric == Cosine) {
+      val coh = spec.cohortCols
+      val prep = bandPrep(consent, noconsent, spec)
+      def joinCoh(df: DataFrame, small: DataFrame): DataFrame =
+        if (coh.nonEmpty) df.join(broadcast(small), coh)
+        else df.crossJoin(broadcast(small))
+      val probes = joinCoh(joinCoh(prep.nc0, prep.cStats),
+        radii.select(coh.map(col(_)) :+ col("__radius").as("__dk"): _*))
+      return cosineBandCandidates(probes, prep.c0, spec)
+        .select(coh.map(col(_)) ++ Seq(col("nc_idx"), col("nc_value"),
+          col("c_idx"), col("c_value"), col("dist")): _*)
+    }
     if (spec.numCols.isEmpty || !spec.metric.boundsNumericGap)
       return withinRadiusPerCohort(
         pairs(consent, noconsent, spec, broadcastConsent), radii, spec.cohortCols)

@@ -155,17 +155,20 @@ class PropertySpec extends SparkSpec {
   }
 
   test("property: per-cohort bucketed radius join equals dense per-cohort filter") {
-    // radii spanning zero (exact-dup distances), sub-token and wide regimes
+    // radii spanning zero (exact-dup distances), sub-token and wide
+    // regimes; cosine exercises the interval prune (r=0: s≈1 prunable;
+    // r≥1: every probe wild → dense tier)
     samples(5).foreach { case (c, nc) =>
-      for (r <- Seq(0.0, 1.5, 4.0)) {
+      for (r <- Seq(0.0, 1.5, 4.0); m <- Seq(Manhattan, Cosine)) {
+        val sp = spec.copy(metric = m)
         val radii = spark.range(1).select(lit(r).as("__radius"))
         val dense = NeighborJoin.withinRadiusPerCohort(
-            NeighborJoin.pairs(encode(c), encode(nc), spec), radii, Nil)
+            NeighborJoin.pairs(encode(c), encode(nc), sp), radii, Nil)
           .select("nc_idx", "c_idx", "dist").collect().map(_.toSeq).toSet
         val banded = NeighborJoin.withinRadiusBucketedPerCohort(
-            encode(c), encode(nc), radii, spec)
+            encode(c), encode(nc), radii, sp)
           .select("nc_idx", "c_idx", "dist").collect().map(_.toSeq).toSet
-        assert(banded == dense, s"radius=$r c=$c nc=$nc")
+        assert(banded == dense, s"metric=$m radius=$r c=$c nc=$nc")
       }
     }
   }
