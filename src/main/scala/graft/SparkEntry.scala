@@ -968,6 +968,42 @@ object SparkEntry {
               |WHERE doc_id NOT IN
               |      (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)""".stripMargin)),
 
+    // END-TO-END CURATION — the composition a real training-data pipeline
+    // runs as one job: near-dup removal (canonical member per MinHash
+    // cluster) ∩ benchmark decontamination (8-gram overlap vs src0) ∩
+    // quality floor, benchmark source itself excluded. One declarative
+    // plan: Catalyst fuses the quality filter into the scan and runs the
+    // two anti-join prunes off the shared shingle lineage.
+    ("q67_curate_corpus",
+      (s: SparkSession, dir: String) => {
+        val docs = Cohorts.documents(s, dir)
+        val deduped = Dedup.deduplicated(docs, Dedup.minHashPairs(docs, 0.5))
+        val contaminatedIds = Dedup.contaminated(
+            docs.filter(col("source") =!= "src0"),
+            docs.filter(col("source") === "src0"), 8)
+          .select("doc_id")
+        deduped
+          .filter(col("source") =!= "src0")
+          .join(contaminatedIds, Seq("doc_id"), "left_anti")
+          .filter(TextAnalysis.qualityScore(col("text")) >= 0.4)
+          .select(col("doc_id"), col("lang"),
+            rnd(TextAnalysis.qualityScore(col("text")), 4).as("quality_score"))
+      },
+      Some(s"""$dedupClustersCtes,
+              |${TextSql.qualitySignalsCte()},
+              |sh8 AS (SELECT doc_id, source, ${TextSql.shingleHashes("t", 8)} AS s8
+              |        FROM toks),
+              |bm AS (SELECT DISTINCT unnest(s8) AS h FROM sh8 WHERE source = 'src0'),
+              |contam AS (SELECT DISTINCT doc_id FROM
+              |             (SELECT doc_id, unnest(s8) AS h FROM sh8 WHERE source <> 'src0')
+              |           JOIN bm USING (h))
+              |SELECT d.doc_id, d.lang, ${TextSql.qualityScoreFromM} AS quality_score
+              |FROM documents d JOIN m USING (doc_id)
+              |WHERE d.source <> 'src0'
+              |  AND d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+              |  AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+              |  AND least(1.0, n / 100) * 0.4 + (stop / n) * 0.3 + ttr * 0.3 >= 0.4""".stripMargin)),
+
     // Deterministic content-addressed stratified sampling (per-language
     // rates; membership = polynomial hash of the doc id, so the sample is
     // stable across runs, engines and repartitioning).
