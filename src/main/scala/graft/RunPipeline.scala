@@ -43,6 +43,24 @@ object RunPipeline {
   private def isStrategy(s: String): Boolean =
     s.startsWith("k=") || s.startsWith("radius=") || s.startsWith("percentile=")
 
+  /** Guard shared with [[RunPipelineStream]]: a trailing arg that LOOKS like
+    * a key=value flag but matches no known key (a typo like `metrc=cosine`
+    * or `Metric=l2`) would otherwise be silently taken as the positional
+    * dates-file / checkpoint path — fail fast with a usage message instead. */
+  private[graft] def rejectUnknownKeyArgs(trailing: Seq[String]): Unit = {
+    val known = Set("k", "radius", "percentile", "metric")
+    trailing.foreach { a =>
+      val eq = a.indexOf('=')
+      if (eq > 0) {
+        val key = a.substring(0, eq)
+        require(known.contains(key),
+          s"unrecognized option '$a' — supported keys: " +
+            "k=|radius=|percentile=|metric= (keys are lowercase); " +
+            "a bare trailing arg is the dates-file / checkpoint path")
+      }
+    }
+  }
+
   /** The CLI's fixed column roles — ONE definition shared by the date-scope
     * computation and the adjustment job. */
   private val cliConfig = JobConfig(
@@ -59,6 +77,7 @@ object RunPipeline {
   def run(spark: SparkSession, args: Array[String]): Unit = {
     val Array(consentPath, noconsentPath, outDir) = args.take(3)
     val trailing = args.drop(3)
+    rejectUnknownKeyArgs(trailing.toSeq)
     val strategy = parseStrategy(trailing.find(isStrategy).getOrElse("k=3"))
     val metric = trailing.find(_.startsWith("metric="))
       .map(s => DistanceMetric.parse(s.stripPrefix("metric="))).getOrElse(Manhattan)

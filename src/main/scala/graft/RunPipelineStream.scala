@@ -42,6 +42,7 @@ object RunPipelineStream {
   def run(spark: SparkSession, args: Array[String]): Unit = {
     val Array(consentPath, noconsentPath, outDir, datesDir) = args.take(4)
     val trailing = args.drop(4)
+    RunPipeline.rejectUnknownKeyArgs(trailing.toSeq)
     def isStrategy(s: String) = s.startsWith("k=") ||
       s.startsWith("radius=") || s.startsWith("percentile=")
     val strategy = RunPipeline.parseStrategy(trailing.find(isStrategy).getOrElse("k=3"))

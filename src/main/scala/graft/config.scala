@@ -56,7 +56,14 @@ object DistanceMetric {
     case "cosine" => Cosine
     case "minkowski" => Minkowski(2.0)
     case m if m.startsWith("minkowski:") =>
-      Minkowski(m.stripPrefix("minkowski:").toDouble)
+      val raw = m.stripPrefix("minkowski:")
+      val p = try raw.toDouble catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"minkowski p must be a finite number >= 1, got '$raw' — " +
+            "supported: manhattan|cityblock|l1, euclidean|l2, chebyshev, " +
+            "cosine, minkowski[:p]")
+      }
+      Minkowski(p)
     case other => throw new IllegalArgumentException(
       s"unknown metric '$other' — supported: manhattan|cityblock|l1, " +
         "euclidean|l2, chebyshev, cosine, minkowski[:p]")
@@ -125,7 +132,9 @@ case object Euclidean extends DistanceMetric {
   * euclidean's: dist ≥ |Δxᵢ| (each term nonnegative), banded radius
   * (Dᵖ + B)^(1/p), LSH token bound rᵖ. */
 final case class Minkowski(p: Double) extends DistanceMetric {
-  require(p >= 1, s"minkowski needs p >= 1, got $p")
+  // p = Infinity would pass p >= 1 but degenerate dist = pow(sum, 0) ≡ 1.0
+  // for every pair — reject it (the caller who wants p → ∞ wants Chebyshev)
+  require(p >= 1 && !p.isInfinite, s"minkowski needs finite p >= 1, got $p")
   val name = s"minkowski:$p"
   def dist(a: Column, b: Column, num: Seq[(Column, Column)]): Column = {
     val oneHot =

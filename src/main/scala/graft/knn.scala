@@ -739,7 +739,6 @@ object NeighborJoin {
           coh.map(col(_)) :+ col("__k").cast("long").as("__kk"): _*))
     }
     val joinKeys = coh :+ "nc_idx"
-    val numPairs = Seq((col(s"nc_$x"), col(s"c_$x")))
 
     // phase 1: the ±k rank window per probe, scored EXACTLY (unlike the
     // metric-bound impl, the token part matters here, so the window cannot

@@ -152,7 +152,26 @@ class MatcherSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       RunPipeline.run(spark, Array(s"$dir/consent", s"$dir/noconsent",
-        s"$dir/out-bad", "k=1", "metric=hamming"))
+        s"$dir/out-bad", "k=1", "metric=mahalanobis"))
+    }
+    // degenerate / malformed minkowski p values are curated errors, not a
+    // silent pow(sum, 0) == 1.0 metric or a raw NumberFormatException
+    intercept[IllegalArgumentException] {
+      DistanceMetric.parse("minkowski:Infinity")
+    }
+    intercept[IllegalArgumentException] {
+      DistanceMetric.parse("minkowski:abc")
+    }
+    intercept[IllegalArgumentException] { DistanceMetric.parse("minkowski:0.5") }
+    // a key=value typo in the trailing args is rejected, not silently taken
+    // as the dates-file path (batch) / checkpoint dir (stream)
+    intercept[IllegalArgumentException] {
+      RunPipeline.run(spark, Array(s"$dir/consent", s"$dir/noconsent",
+        s"$dir/out-typo", "k=1", "metrc=cosine"))
+    }
+    intercept[IllegalArgumentException] {
+      RunPipeline.run(spark, Array(s"$dir/consent", s"$dir/noconsent",
+        s"$dir/out-typo", "k=1", "Metric=l2"))
     }
   }
 
