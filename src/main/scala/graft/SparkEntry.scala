@@ -1004,6 +1004,30 @@ object SparkEntry {
               |  AND d.doc_id NOT IN (SELECT doc_id FROM contam)
               |  AND least(1.0, n / 100) * 0.4 + (stop / n) * 0.3 + ttr * 0.3 >= 0.4""".stripMargin)),
 
+    // Span-level exact dedup: fixed 10-token spans, first corpus-order
+    // occurrence kept, documents reassembled (the "remove duplicated
+    // substrings" curation pass at span granularity).
+    ("q68_dedup_spans",
+      (s: SparkSession, dir: String) =>
+        Dedup.spanDedup(Cohorts.documents(s, dir), 10),
+      Some(s"""WITH ${TextSql.toksCte},
+              |sp AS (
+              |  SELECT doc_id, i AS span_idx,
+              |         array_to_string(list_slice(t, i * 10 + 1, i * 10 + 10), ' ') AS span
+              |  FROM (SELECT doc_id, t, unnest(range((len(t) - 1) // 10 + 1)) AS i
+              |        FROM toks WHERE len(t) > 0)),
+              |rk AS (
+              |  SELECT doc_id, span_idx, span,
+              |         row_number() OVER (PARTITION BY md5(span)
+              |                            ORDER BY doc_id, span_idx) AS rn
+              |  FROM sp)
+              |SELECT doc_id,
+              |       COALESCE(string_agg(span, ' ' ORDER BY span_idx)
+              |                  FILTER (WHERE rn = 1), '') AS text,
+              |       CAST(count(*) AS BIGINT) AS n_spans,
+              |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+              |FROM rk GROUP BY doc_id""".stripMargin)),
+
     // Deterministic content-addressed stratified sampling (per-language
     // rates; membership = polynomial hash of the doc id, so the sample is
     // stable across runs, engines and repartitioning).

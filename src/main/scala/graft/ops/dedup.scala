@@ -439,6 +439,66 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Span-level exact dedup (the "remove duplicated substrings" pass of
+    * LLM corpus curation, approximated at fixed-span granularity): chunk
+    * each document into consecutive `spanTokens`-token spans, keep only the
+    * FIRST occurrence of each distinct span text in corpus order
+    * (doc_id, span_idx), and reassemble what survives per document.
+    * Boilerplate repeated across millions of pages (navigation chrome,
+    * license headers) is removed from every page but the first while the
+    * surrounding unique text is retained — document-level dedup
+    * ([[exact]]/[[minHashPairs]]) would keep or drop whole documents.
+    *
+    * Output: (doc_id, text, n_spans, n_kept) for every document with ≥ 1
+    * token; `text` is the kept spans joined by single spaces ("" when every
+    * span was seen earlier).
+    *
+    * Plan shape at scale — two shuffles, both skew-safe:
+    *  1. keeper per span: groupBy md5(span) → min (doc_id, span_idx).
+    *     Partial (map-side) aggregation collapses a mega-duplicated span
+    *     (the boilerplate hot key — exactly the span this operator exists
+    *     to remove) to one row per map task BEFORE the shuffle, where a
+    *     row_number window would sort the entire hot partition. The join
+    *     back is one row per distinct span on the build side; AQE's skew
+    *     join splits the probe side's hot hash.
+    *  2. reassembly: groupBy doc_id, spans sorted by span_idx inside the
+    *     aggregation buffer (array_sort on structs — per-doc-sized, no
+    *     window). md5 (128-bit), not the 30-bit polynomial hash: span
+    *     identity must not collide at corpus scale.
+    */
+  def spanDedup(docs: DataFrame, spanTokens: Int = 10): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    val w = spanTokens
+    val toks = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+    val spans = toks.select(col("doc_id"),
+        posexplode(transform(
+          // last span index = (n-1) / w (integer division); n >= 1 here
+          // (SQL `/` is double division — floor via the int cast)
+          sequence(lit(0), ((size(col("t")) - lit(1)) / lit(w)).cast("int")),
+          i => array_join(slice(col("t"), i * w + 1, lit(w)), " "))))
+      .withColumnRenamed("pos", "span_idx")
+      .withColumnRenamed("col", "span")
+      .withColumn("h", md5(col("span")))
+    val keepers = spans.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("span_idx"))).as("__first"))
+    spans.join(keepers, Seq("h"))
+      .withColumn("__keep",
+        col("__first.doc_id") === col("doc_id") &&
+          col("__first.span_idx") === col("span_idx"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__keep"), struct(col("span_idx"), col("span"))))),
+            s => s.getField("span")),
+          " ").as("text"),
+        count(lit(1)).as("n_spans"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
   /** Exact n-gram Jaccard pairs within a blocking column (e.g. lang):
     * per-block nested-loop — correct and cheap when blocks are bounded;
     * the unblocked scale path is [[minHashPairs]]. */

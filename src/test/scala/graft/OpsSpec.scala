@@ -602,6 +602,29 @@ class OpsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("spanDedup keeps first corpus-order span occurrence and reassembles") {
+    val d = docs(
+      (0L, "a b c d e f g h i j k l"),   // 4 clean spans at w=3
+      (1L, "a b c x y z"),               // span0 dups doc 0 → only "x y z" survives
+      (2L, "d e f d e f"),               // both spans dup doc 0 → empty text
+      (3L, "   "),                       // no tokens → absent from output
+      (4L, "p q r p q r s"))             // within-doc dup: first "p q r" kept
+    val out = Dedup.spanDedup(d, 3)
+      .select("doc_id", "text", "n_spans", "n_kept")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0L, "a b c d e f g h i j k l", 4L, 4L),
+      (1L, "x y z", 2L, 1L),
+      (2L, "", 2L, 0L),
+      (4L, "p q r s", 3L, 2L)))
+    // repartition invariance: corpus order is (doc_id, span_idx), not
+    // partition order
+    val shuffled = Dedup.spanDedup(d.repartition(7), 3)
+      .select("doc_id", "text", "n_spans", "n_kept")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(shuffled.toSeq == out.toSeq)
+  }
+
   test("clustersLsh equals pair-enumeration clusters on clone-style corpora") {
     // clone clusters around an original (the hub-verifiable shape this
     // operator targets): 3 originals × 4 mutated clones + 2 singletons
