@@ -358,6 +358,21 @@ object SparkEntry {
               |SELECT month, ROUND(1e-9 + quantile_cont(d, 0.9), 4) AS radius
               |FROM nearest GROUP BY month""".stripMargin)),
 
+    // A5 scale twin — the two-pass sketch-bracketed EXACT quantile
+    // (bounded memory per cohort; Spark's exact `percentile` buffers every
+    // distinct value). Shares q16's oracle: the answers are identical.
+    ("q69_quantile_twopass",
+      (s: SparkSession, dir: String) =>
+        Summary.minRadiusByPercentilePerCohortScalable(
+            Summary.nearestDistances(bandedTopK(s, dir, 1), Cohorts.spec),
+            0.9, Cohorts.spec)
+          .select(col("month"), rnd(col("__radius"), 4).as("radius")),
+      Some(s"""${OracleCtes.prefix},
+              |nearest AS (SELECT month, nc_idx, min(dist) AS d
+              |            FROM pairs GROUP BY month, nc_idx)
+              |SELECT month, ROUND(1e-9 + quantile_cont(d, 0.9), 4) AS radius
+              |FROM nearest GROUP BY month""".stripMargin)),
+
     // A6 — describe() over nearest distances.
     ("q17_distance_describe",
       (s: SparkSession, dir: String) => {

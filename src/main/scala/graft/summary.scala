@@ -71,6 +71,86 @@ object Summary {
       .groupBy(spec.cohortCols.map(col(_)): _*)
       .agg(expr(s"percentile(distance_to_nearest_neighbor, $p)").as("__radius"))
 
+  /** Scale path for [[minRadiusByPercentilePerCohort]]: the SAME exact
+    * linear-interpolation quantile, computed without the exact `percentile`
+    * aggregate. Spark's exact `percentile` buffers every distinct value per
+    * group (an OpenHashMap in the aggregation buffer) — at 100 TB the
+    * distances are near-all-distinct and that buffer IS the dataset, so the
+    * aggregate spills or dies. This twin stays exact with bounded memory:
+    *
+    *  1. Pass 1 (one shuffle, partial-agg): per cohort, `count` + an
+    *     `approx_percentile` sketch (rank error ≤ n/accuracy) bracketing
+    *     the two order statistics the interpolation needs — probe
+    *     percentiles p ± 3/accuracy, so the bracket's rank slack (≥ 2n/
+    *     accuracy) covers the sketch's error with 2× margin.
+    *  2. Pass 2 (one shuffle of the BRACKET only): count values strictly
+    *     below the bracket, rank the ≤ ~6n/accuracy bracket rows per cohort,
+    *     pick order statistics j = ⌊(n−1)p⌋ and j+1 by rank arithmetic, and
+    *     interpolate v_j + g·(v_{j+1} − v_j) — bit-identical to numpy /
+    *     Spark exact `percentile` (test-pinned, ties and tiny cohorts
+    *     included).
+    *
+    * The per-cohort window touches only bracket rows — memory is
+    * O(n/accuracy) per cohort by construction, tunable independently of
+    * data size. If a sketch ever violated its published bound the rank
+    * arithmetic would miss the bracket and the cohort's radius comes back
+    * NULL rather than wrong (callers treat null as "raise accuracy");
+    * with the 3× margin this is unreachable in any tested regime.
+    * Output: (cohort…, __radius) — drop-in for the exact twin. */
+  def minRadiusByPercentilePerCohortScalable(
+      matchedNc: DataFrame, p: Double, spec: CohortSpec,
+      accuracy: Int = 10000): DataFrame = {
+    require(p > 0 && p <= 1, s"percentile must be in (0, 1], got $p")
+    require(accuracy >= 100, s"accuracy must be >= 100, got $accuracy")
+    val d = col("distance_to_nearest_neighbor")
+    val coh = spec.cohortCols
+    val eps = 3.0 / accuracy
+    val qlo = math.max(0.0, p - eps)
+    val qhi = math.min(1.0, p + eps)
+    val brackets = matchedNc.groupBy(coh.map(col(_)): _*)
+      .agg(count(lit(1)).as("__n"),
+        expr(s"approx_percentile(distance_to_nearest_neighbor, " +
+          s"array($qlo, $qhi), $accuracy)").as("__b"))
+      .select(coh.map(col(_)) ++ Seq(col("__n"),
+        col("__b").getItem(0).as("__lo"), col("__b").getItem(1).as("__hi"),
+        floor((col("__n") - 1).cast("double") * lit(p)).cast("long").as("__j"),
+        ((col("__n") - 1).cast("double") * lit(p) -
+          floor((col("__n") - 1).cast("double") * lit(p))).as("__g")): _*)
+    // cohort-keyed scalars: dimension-sized by contract — broadcast both
+    // joins so the data side never reshuffles
+    def withMeta(df: DataFrame, meta: DataFrame, how: String = "inner") =
+      if (coh.nonEmpty) df.join(broadcast(meta), coh, how)
+      else df.crossJoin(broadcast(meta))
+    val joined = withMeta(matchedNc, brackets)
+    // Small-cohort guard: the interpolation index (n−1)p sits up to one
+    // full rank below the sketch's target p·n, and one rank is MORE than
+    // the 3/accuracy probe margin once n < accuracy·p/2 (n = 2, p = 0.95:
+    // the sketch correctly returns v₁ while the interpolation needs v₀).
+    // A cohort with n ≤ 4·accuracy is already bracket-sized, so it skips
+    // the bracket filter and ranks wholesale — same O(accuracy) window
+    // bound; for n > 4·accuracy the rank slack 2n/accuracy ≥ 8 covers the
+    // sketch error n/accuracy plus the ±1 index gap with 2× margin.
+    val small = col("__n") <= lit(4L * accuracy)
+    val below = joined.filter(!small && d < col("__lo"))
+      .groupBy(coh.map(col(_)): _*).agg(count(lit(1)).as("__below"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(coh.map(col(_)): _*).orderBy(d.asc)
+    val ranked = withMeta(
+      joined.filter(small || (d >= col("__lo") && d <= col("__hi")))
+        .withColumn("__rn", row_number().over(w)),
+      below, "left")
+      .withColumn("__r0", col("__j") + 1 - coalesce(col("__below"), lit(0L)))
+    ranked.groupBy(coh.map(col(_)): _*)
+      .agg(max(when(col("__rn") === col("__r0"), d)).as("__vj"),
+        max(when(col("__rn") === col("__r0") + 1, d)).as("__vj1"),
+        first(col("__j")).as("__j"), first(col("__g")).as("__g"),
+        first(col("__n")).as("__n"))
+      .select(coh.map(col(_)) :+
+        when(col("__j") === col("__n") - 1 || col("__g") === 0.0, col("__vj"))
+          .otherwise(col("__vj") + col("__g") * (col("__vj1") - col("__vj")))
+          .as("__radius"): _*)
+  }
+
   /** `.describe(percentiles=[.25,.5,.75,.9,.95,.99])`-shaped diagnostics
     * over nearest distances (reference :117-123), one row per cohort. */
   def nearestDistanceStats(matchedNc: DataFrame, spec: CohortSpec): DataFrame = {

@@ -154,6 +154,71 @@ class PropertySpec extends SparkSpec {
     assert(math.abs(row.getDouble(3) - expCos) < 1e-12)
   }
 
+  test("property: scalable two-pass quantile equals exact percentile") {
+    // arbitrary per-cohort distance samples: heavy ties (quantized values),
+    // singleton and two-row cohorts, and a large-ish cohort — across edge
+    // and interior percentiles
+    val distGen: Gen[List[(String, Double)]] = for {
+      nCoh <- Gen.choose(1, 4)
+      rows <- Gen.sequence[List[List[(String, Double)]], List[(String, Double)]](
+        (0 until nCoh).map { g =>
+          for {
+            n <- Gen.oneOf(1, 2, 3, 7, 40, 311)
+            vs <- Gen.listOfN(n, Gen.oneOf(
+              Gen.choose(0.0, 50.0),
+              Gen.choose(0, 9).map(_ * 0.5))) // quantized → ties
+          } yield vs.map(v => (s"g$g", v))
+        })
+    } yield rows.flatten
+    val qspec = CohortSpec(idCol = "id", valueCol = "v",
+      numCols = Nil, cohortCols = Seq("coh"), metric = Manhattan)
+    sampled(distGen, 6, 77L).foreach { rows =>
+      val df = rows.toDF("coh", "distance_to_nearest_neighbor")
+      for (p <- Seq(0.01, 0.5, 0.9, 0.95, 1.0)) {
+        val exact = Summary.minRadiusByPercentilePerCohort(df, p, qspec)
+          .as[(String, Double)].collect().toMap
+        // accuracy 100 on tiny data exercises the sketch-exact regime;
+        // 10000 the production default
+        for (acc <- Seq(100, 10000)) {
+          val scal = Summary
+            .minRadiusByPercentilePerCohortScalable(df, p, qspec, acc)
+            .as[(String, Double)].collect().toMap
+          assert(scal.keySet == exact.keySet, s"p=$p acc=$acc")
+          exact.foreach { case (k, v) =>
+            assert(math.abs(scal(k) - v) <= 1e-12 * math.max(1.0, math.abs(v)),
+              s"p=$p acc=$acc cohort=$k exact=$v scalable=${scal(k)}")
+          }
+        }
+      }
+    }
+    // n ≫ 4·accuracy at accuracy=100: the true bracket regime (below-count
+    // + bracket-only window), with ties; one near-all-distinct cohort too
+    val big = ((1 to 2500).map(i => ("t", (i % 41) * 0.75)) ++
+      (1 to 3000).map(i => ("u", i * 1.0 + 0.5 / i))).toDF(
+      "coh", "distance_to_nearest_neighbor")
+    for (p <- Seq(0.01, 0.5, 0.9, 0.95, 1.0)) {
+      val exact = Summary.minRadiusByPercentilePerCohort(big, p, qspec)
+        .as[(String, Double)].collect().toMap
+      val scal = Summary
+        .minRadiusByPercentilePerCohortScalable(big, p, qspec, 100)
+        .as[(String, Double)].collect().toMap
+      assert(scal.keySet == exact.keySet, s"big p=$p")
+      exact.foreach { case (k, v) =>
+        assert(math.abs(scal(k) - v) <= 1e-12 * math.max(1.0, math.abs(v)),
+          s"big p=$p cohort=$k exact=$v scalable=${scal(k)}")
+      }
+    }
+    // global scope (no cohort columns): drop-in for minRadiusByPercentile
+    val g = (1 to 500).map(i => ("all", (i % 37) * 1.25)).toDF(
+      "coh", "distance_to_nearest_neighbor")
+    val gspec = CohortSpec(idCol = "id", valueCol = "v",
+      numCols = Nil, cohortCols = Nil, metric = Manhattan)
+    val ex = Summary.minRadiusByPercentile(g, 0.9)
+    val sc = Summary.minRadiusByPercentilePerCohortScalable(g, 0.9, gspec)
+      .as[Double].head()
+    assert(math.abs(sc - ex) <= 1e-12)
+  }
+
   test("property: per-cohort bucketed radius join equals dense per-cohort filter") {
     // radii spanning zero (exact-dup distances), sub-token and wide
     // regimes; cosine exercises the interval prune (r=0: s≈1 prunable;
