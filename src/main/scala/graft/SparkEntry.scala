@@ -627,6 +627,36 @@ object SparkEntry {
               |SELECT month, nc_idx, c_idx, rank, ROUND(1e-9 + dist, 4) AS dist
               |FROM topk""".stripMargin)),
 
+    // Hamming over the dummy matrix: width = union vocabulary + numeric
+    // passthroughs (what [[NearestCustomerMatcher]] resolves for
+    // metric=hamming); coarse quantized distances make the deterministic
+    // (dist, c_idx) tie-break do the heavy lifting.
+    ("q70_knn_topk_hamming",
+      (s: SparkSession, dir: String) => {
+        val (c, nc) = cohortPair(s, dir)
+        val vocab = c.select(explode(col("features")).as("__t"))
+          .union(nc.select(explode(col("features")).as("__t")))
+          .distinct().count()
+        val spec = Cohorts.spec.copy(metric = Hamming(vocab + 1))
+        NeighborJoin.topKBanded(c, nc, spec, 3)
+          .select(col("month"), col("nc_idx"), col("c_idx"),
+            col("rank").cast("long").as("rank"), rnd(col("dist"), 4).as("dist"))
+      },
+      Some(s"""WITH ${OracleCtes.base},
+              |${OracleCtes.cohortSplit},
+              |w AS (SELECT CAST(count(DISTINCT t) + 1 AS DOUBLE) AS w
+              |      FROM (SELECT unnest(features) AS t FROM base)),
+              |pairs AS (
+              |  SELECT nc.month, nc.idx AS nc_idx, c.idx AS c_idx,
+              |         (CAST(len(nc.features) + len(c.features)
+              |              - 2 * len(list_intersect(nc.features, c.features)) AS DOUBLE)
+              |           + CASE WHEN nc.c_acctbal <> c.c_acctbal THEN 1.0 ELSE 0.0 END)
+              |           / (SELECT w FROM w) AS dist
+              |  FROM nc JOIN c ON nc.month = c.month),
+              |${OracleCtes.topk(3)}
+              |SELECT month, nc_idx, c_idx, rank, ROUND(1e-9 + dist, 4) AS dist
+              |FROM topk""".stripMargin)),
+
     // ====================== LLM-pipeline extension operators ==============
 
     // Exact dedup — hash-groupBy on text.

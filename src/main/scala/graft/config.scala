@@ -54,6 +54,11 @@ object DistanceMetric {
     case "euclidean" | "l2" => Euclidean
     case "chebyshev" => Chebyshev
     case "cosine" => Cosine
+    case "hamming" => HammingAuto
+    case "braycurtis" => BrayCurtis
+    case "canberra" => Canberra
+    case "sqeuclidean" => SqEuclidean
+    case "jaccard" => Jaccard
     case "minkowski" => Minkowski(2.0)
     case m if m.startsWith("minkowski:") =>
       val raw = m.stripPrefix("minkowski:")
@@ -66,7 +71,8 @@ object DistanceMetric {
       Minkowski(p)
     case other => throw new IllegalArgumentException(
       s"unknown metric '$other' — supported: manhattan|cityblock|l1, " +
-        "euclidean|l2, chebyshev, cosine, minkowski[:p]")
+        "euclidean|l2, chebyshev, cosine, hamming, braycurtis, canberra, " +
+        "sqeuclidean, jaccard, minkowski[:p]")
   }
 }
 
@@ -195,6 +201,133 @@ case object Cosine extends DistanceMetric {
       case (acc, (_, y)) => acc + y * y
     })
     when(na * nb === 0.0, lit(1.0)).otherwise(lit(1.0) - dot / (na * nb))
+  }
+  private[graft] val boundsNumericGap = false
+  private[graft] val bandBound: Option[(Column, Column) => Column] = None
+  private[graft] def tokenBound(radius: Double): Option[Double] = None
+}
+
+/** Hamming distance over the dummy vector: the fraction of the W =
+  * |vocab| + |numCols| encoded columns where the rows differ — sklearn's
+  * "hamming" over the get_dummies matrix (each differing dummy column and
+  * each exactly-unequal numeric counts 1). W is data-dependent (the union
+  * frame's dummy width), so the CLI/parse surface yields [[HammingAuto]]
+  * and [[NearestCustomerMatcher]] resolves the width from the union
+  * vocabulary — the engine encodes ONE shared feature space (see
+  * RunPipeline), so the width is global, not per-cohort. Library callers
+  * with a known width construct `Hamming(w)` directly.
+  *
+  * Scale paths: no |Δx| inequality exists (an unequal numeric contributes
+  * 1/W regardless of gap) — top-k falls back dense by contract; the LSH
+  * radius prune holds (dist ≤ r ⇒ tokenΔ ≤ r·W). */
+final case class Hamming(width: Long) extends DistanceMetric {
+  require(width >= 1, s"hamming width must be >= 1, got $width")
+  val name = s"hamming:$width"
+  def dist(a: Column, b: Column, num: Seq[(Column, Column)]): Column = {
+    val oneHot =
+      (size(a) + size(b) - lit(2) * TokenOps.intersectionSize(a, b)).cast("double")
+    num.foldLeft(oneHot) { case (acc, (x, y)) =>
+      acc + when(x =!= y, lit(1.0)).otherwise(lit(0.0))
+    } / lit(width.toDouble)
+  }
+  private[graft] val boundsNumericGap = false
+  private[graft] val bandBound: Option[(Column, Column) => Column] = None
+  private[graft] def tokenBound(radius: Double): Option[Double] =
+    Some(radius * width)
+}
+
+/** Placeholder for `metric=hamming` before the dummy width is known; any
+  * attempt to compute a distance with it is a usage error. The matcher
+  * substitutes [[Hamming]] with the resolved union-vocabulary width. */
+case object HammingAuto extends DistanceMetric {
+  val name = "hamming"
+  def dist(a: Column, b: Column, num: Seq[(Column, Column)]): Column =
+    throw new IllegalStateException(
+      "hamming width unresolved — run through NearestCustomerMatcher (which " +
+        "resolves the union dummy width) or construct Hamming(width) directly")
+  private[graft] val boundsNumericGap = false
+  private[graft] val bandBound: Option[(Column, Column) => Column] = None
+  private[graft] def tokenBound(radius: Double): Option[Double] = None
+}
+
+/** Bray–Curtis: Σ|uᵢ−vᵢ| / Σ|uᵢ+vᵢ|. Dummies contribute the symmetric
+  * difference to the numerator and size(a)+size(b) to the denominator;
+  * numerics |Δx| and |x+y| (abs matters — acctbal can be negative). Two
+  * all-zero rows are defined as distance 0 (scipy returns NaN; a NaN
+  * would sort over real neighbors — see checkFeatures). The denominator is
+  * pair-dependent, so no prune inequality exists — dense fallback. */
+case object BrayCurtis extends DistanceMetric {
+  val name = "braycurtis"
+  def dist(a: Column, b: Column, num: Seq[(Column, Column)]): Column = {
+    val symDiff =
+      (size(a) + size(b) - lit(2) * TokenOps.intersectionSize(a, b)).cast("double")
+    val numer = num.foldLeft(symDiff) { case (acc, (x, y)) => acc + abs(x - y) }
+    val denom = num.foldLeft((size(a) + size(b)).cast("double")) {
+      case (acc, (x, y)) => acc + abs(x + y)
+    }
+    when(denom === 0.0, lit(0.0)).otherwise(numer / denom)
+  }
+  private[graft] val boundsNumericGap = false
+  private[graft] val bandBound: Option[(Column, Column) => Column] = None
+  private[graft] def tokenBound(radius: Double): Option[Double] = None
+}
+
+/** Canberra: Σ |uᵢ−vᵢ|/(|uᵢ|+|vᵢ|), 0/0 ≡ 0. Each differing dummy
+  * contributes exactly 1 (1/(1+0)), so the token part IS the symmetric
+  * difference — dist ≤ r bounds tokenΔ ≤ r and the LSH radius prune
+  * applies. The numeric terms are gap-normalized (|Δx|/(|x|+|y|) bounds
+  * nothing about |Δx|), so the banded top-k falls back dense. */
+case object Canberra extends DistanceMetric {
+  val name = "canberra"
+  def dist(a: Column, b: Column, num: Seq[(Column, Column)]): Column = {
+    val symDiff =
+      (size(a) + size(b) - lit(2) * TokenOps.intersectionSize(a, b)).cast("double")
+    num.foldLeft(symDiff) { case (acc, (x, y)) =>
+      acc + when(abs(x) + abs(y) === 0.0, lit(0.0))
+        .otherwise(abs(x - y) / (abs(x) + abs(y)))
+    }
+  }
+  private[graft] val boundsNumericGap = false
+  private[graft] val bandBound: Option[(Column, Column) => Column] = None
+  private[graft] def tokenBound(radius: Double): Option[Double] = Some(radius)
+}
+
+/** Squared euclidean (sklearn "sqeuclidean"): euclidean² — same top-k
+  * ranking, different reported distances. |Δx| ≤ dist fails below 1, so
+  * the metric-gap hooks decline and the operators fall back dense rather
+  * than prune wrongly. */
+case object SqEuclidean extends DistanceMetric {
+  val name = "sqeuclidean"
+  def dist(a: Column, b: Column, num: Seq[(Column, Column)]): Column = {
+    val oneHot =
+      (size(a) + size(b) - lit(2) * TokenOps.intersectionSize(a, b)).cast("double")
+    num.foldLeft(oneHot) { case (acc, (x, y)) => acc + pow(x - y, lit(2)) }
+  }
+  private[graft] val boundsNumericGap = false
+  private[graft] val bandBound: Option[(Column, Column) => Column] = None
+  private[graft] def tokenBound(radius: Double): Option[Double] = None
+}
+
+/** Jaccard over the dummy vector with scipy's boolean reading (nonzero =
+  * true): disagreeing coordinates / coordinates supported by either row.
+  * Token part: symDiff / |a ∪ b|-ish, folded with the numeric columns
+  * (x ≠ y is a disagreement — two unequal nonzeros disagree; x = y = 0 is
+  * unsupported and counts nowhere). Two all-zero rows ≡ distance 0 (scipy
+  * NaN — same checkFeatures rationale as Bray–Curtis). Pair-dependent
+  * denominator → dense fallback everywhere. */
+case object Jaccard extends DistanceMetric {
+  val name = "jaccard"
+  def dist(a: Column, b: Column, num: Seq[(Column, Column)]): Column = {
+    val inter = TokenOps.intersectionSize(a, b).cast("double")
+    val symDiff = (size(a) + size(b)).cast("double") - lit(2) * inter
+    val numer = num.foldLeft(symDiff) { case (acc, (x, y)) =>
+      acc + when(x =!= y, lit(1.0)).otherwise(lit(0.0))
+    }
+    val denom = num.foldLeft((size(a) + size(b)).cast("double") - inter) {
+      case (acc, (x, y)) =>
+        acc + when(x =!= lit(0.0) || y =!= lit(0.0), lit(1.0)).otherwise(lit(0.0))
+    }
+    when(denom === 0.0, lit(0.0)).otherwise(numer / denom)
   }
   private[graft] val boundsNumericGap = false
   private[graft] val bandBound: Option[(Column, Column) => Column] = None

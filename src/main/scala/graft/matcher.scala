@@ -73,6 +73,21 @@ final class NearestCustomerMatcher(consent: DataFrame, spec: CohortSpec,
           s"cohort ($minCohort rows)")
   }
 
+  /** `metric=hamming` arrives width-unresolved ([[HammingAuto]]): sklearn's
+    * hamming divides by the dummy-matrix column count, which only exists
+    * once both cohorts are known. The engine encodes one shared feature
+    * space (RunPipeline builds catCols over the union), so the width is the
+    * UNION vocabulary + the numeric passthroughs — one distinct-count job,
+    * driver-sized by the same contract as the radius scalars. */
+  private def resolveSpec(noconsent: DataFrame): CohortSpec = spec.metric match {
+    case HammingAuto =>
+      val vocab = consent.select(explode(col(spec.tokenCol)).as("__t"))
+        .union(noconsent.select(explode(col(spec.tokenCol)).as("__t")))
+        .distinct().count()
+      spec.copy(metric = Hamming(vocab + spec.numCols.size))
+    case _ => spec
+  }
+
   /** Adjusted consent frame + summary under exactly one strategy — the
     * Spark twin of get_adjustments_and_summary_calculations. */
   def adjustmentsAndSummary(noconsent: DataFrame,
@@ -83,7 +98,8 @@ final class NearestCustomerMatcher(consent: DataFrame, spec: CohortSpec,
       case MatchStrategy.K(k) => validateK(k)
       case _                  => ()
     }
-    CocoaPipeline.run(consent, noconsent, spec, strategy, broadcastConsent)
+    CocoaPipeline.run(consent, noconsent, resolveSpec(noconsent), strategy,
+      broadcastConsent)
   }
 
   /** Adjusted consent frame only (calculate_adjusted_conversions). */
@@ -98,9 +114,10 @@ final class NearestCustomerMatcher(consent: DataFrame, spec: CohortSpec,
     // same hazard as adjustmentsAndSummary: a null/NaN feature makes the
     // k=1 distances null, which sort FIRST and silently corrupt the radius
     checkFeatures(noconsent, "noconsent")
-    val pairs = NeighborJoin.pairs(consent, noconsent, spec, broadcastConsent)
+    val rspec = resolveSpec(noconsent)
+    val pairs = NeighborJoin.pairs(consent, noconsent, rspec, broadcastConsent)
     Summary.minRadiusByPercentile(
-      Summary.nearestDistances(NeighborJoin.topK(pairs, spec, 1.0), spec),
+      Summary.nearestDistances(NeighborJoin.topK(pairs, rspec, 1.0), rspec),
       percentile)
   }
 }

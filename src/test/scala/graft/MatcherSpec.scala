@@ -137,7 +137,8 @@ class MatcherSpec extends SparkSpec {
     // pins is that each metric string parses, routes (banded, cosine-banded,
     // and dense-fallback paths all reachable from the CLI), and conserves.
     for (m <- Seq("manhattan", "cityblock", "l1", "euclidean", "l2",
-        "chebyshev", "cosine", "minkowski", "minkowski:3")) {
+        "chebyshev", "cosine", "minkowski", "minkowski:3",
+        "hamming", "braycurtis", "canberra", "sqeuclidean", "jaccard")) {
       val out = s"$dir/out-${m.replace(':', '_')}"
       RunPipeline.run(spark, Array(s"$dir/consent", s"$dir/noconsent", out,
         "k=1", s"metric=$m"))

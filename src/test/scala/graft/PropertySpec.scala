@@ -152,6 +152,29 @@ class PropertySpec extends SparkSpec {
     // cos: dot = 0 (disjoint tokens) + 21; norms √(1+9), √(1+49)
     val expCos = 1.0 - 21.0 / (math.sqrt(10.0) * math.sqrt(50.0))
     assert(math.abs(row.getDouble(3) - expCos) < 1e-12)
+
+    // the round-6 additions, against scipy-by-hand on the dense vector
+    // [dummy x, dummy y, num]: a = [1,0,3], b = [0,1,7]
+    val row2 = a.crossJoin(b).select(
+      Hamming(3).dist(col("features"), col("b_features"),
+        Seq((col("a"), col("b_a")))).as("ham"),
+      BrayCurtis.dist(col("features"), col("b_features"),
+        Seq((col("a"), col("b_a")))).as("bray"),
+      Canberra.dist(col("features"), col("b_features"),
+        Seq((col("a"), col("b_a")))).as("canb"),
+      SqEuclidean.dist(col("features"), col("b_features"),
+        Seq((col("a"), col("b_a")))).as("sqe"),
+      Jaccard.dist(col("features"), col("b_features"),
+        Seq((col("a"), col("b_a")))).as("jac")).head()
+    assert(math.abs(row2.getDouble(0) - 1.0) < 1e-12)   // 3 of 3 coords differ
+    assert(math.abs(row2.getDouble(1) - 0.5) < 1e-12)   // 6 / 12
+    assert(math.abs(row2.getDouble(2) - 2.4) < 1e-12)   // 1 + 1 + 4/10
+    assert(math.abs(row2.getDouble(3) - 18.0) < 1e-12)  // 2 + 16
+    assert(math.abs(row2.getDouble(4) - 1.0) < 1e-12)   // 3 disagreements / 3 support
+    // HammingAuto is a placeholder: computing with it is a usage error
+    intercept[IllegalStateException] {
+      HammingAuto.dist(col("features"), col("b_features"), Nil)
+    }
   }
 
   test("property: scalable two-pass quantile equals exact percentile") {
