@@ -402,6 +402,13 @@ object NeighborJoin {
         .getOrElse(throw new IllegalStateException("unreachable: frac < 1"))
       return topKCosineBandedImpl(consent, noconsent, spec, Right(perCohort))
     }
+    spec.metric match {
+      case Hamming(_) if spec.numCols.size <= 1 =>
+        val perCohort = resolveK(consent, spec, frac)
+          .getOrElse(throw new IllegalStateException("unreachable: frac < 1"))
+        return topKHammingImpl(consent, noconsent, spec, Right(perCohort))
+      case _ => ()
+    }
     if (spec.numCols.size != 1 || spec.metric.bandBound.isEmpty)
       return topK(pairs(consent, noconsent, spec, broadcastConsent), spec, frac,
         Some(consent))
@@ -477,6 +484,11 @@ object NeighborJoin {
     require(k >= 1, s"topKBanded needs a fixed k >= 1, got $k")
     if (spec.numCols.size == 1 && spec.metric == Cosine)
       return topKCosineBandedImpl(consent, noconsent, spec, Left(k))
+    spec.metric match {
+      case Hamming(_) if spec.numCols.size <= 1 =>
+        return topKHammingImpl(consent, noconsent, spec, Left(k))
+      case _ => ()
+    }
     if (spec.numCols.size != 1 || spec.metric.bandBound.isEmpty)
       return topK(pairs(consent, noconsent, spec, broadcastConsent), spec, k.toDouble)
     topKBandedImpl(consent, noconsent, spec, Left(k))
@@ -854,6 +866,124 @@ object NeighborJoin {
         (col(s"c_$x") >= col("__ilo") && col(s"c_$x") <= col("__ihi")))
       .withColumn("dist", spec.metric.dist(col("nc_features"), col("c_features"), numPairs))
       .filter(col("__dk").isNull || col("dist") <= col("__dk"))
+  }
+
+  /** Exact HAMMING top-k without the dense pairs relation. Hamming has no
+    * |Δx| inequality (an unequal numeric contributes 1/W whatever the gap),
+    * but the engine's token encoding has a structural prune: token sets
+    * carry EXACTLY one token per categorical column (fixed arity m,
+    * data-verified below), so distances are quantized — a pair sharing
+    * ≥ m−1 tokens has dist·W ≤ 2 + |numCols| ≤ 3, and a pair sharing
+    * ≤ m−2 has dist·W ≥ 4. Every subset-candidate therefore STRICTLY beats
+    * every non-candidate (no tie can straddle the boundary, which is also
+    * why |numCols| ≤ 1 is required — a second numeric closes the gap to a
+    * tie and the caller falls back dense).
+    *
+    * Plan: each side emits its m "drop-token-i" subset signatures
+    * (explode ×m); one equi-join on (cohort, i, hash(subset)) yields every
+    * pair with ≥ m−1 shared tokens (a pair sharing all m matches every
+    * subset key — deduped map-side by keeping its __i = 0 copy only).
+    * Probes with ≥ k candidates rank within their candidate set; the rest
+    * ride a per-cohort dense wildcard tier, so one
+    * sparse-signature probe never degrades its cohort. Shuffle
+    * O(m·(|C|+|NC|) + candidates), never |NC|×|C|; candidate volume is
+    * Σ_subsetKey |nc_key|·|c_key| — quadratically smaller as category
+    * cardinality grows.
+    *
+    * Equals [[topK]] on the dense relation (PropertySpec pins arbitrary +
+    * skewed cohorts; q70 keeps the dense-derived hash oracle). */
+  private def topKHammingImpl(consent: DataFrame, noconsent: DataFrame,
+                              spec: CohortSpec,
+                              kSpec: Either[Int, DataFrame]): DataFrame = {
+    val coh = spec.cohortCols
+    def dense(): DataFrame = kSpec match {
+      case Left(k) => topK(pairs(consent, noconsent, spec), spec, k.toDouble)
+      case Right(perCohort) =>
+        val ranked = topK(pairs(consent, noconsent, spec), spec, Double.MaxValue)
+        val withk =
+          if (coh.nonEmpty) ranked.join(broadcast(perCohort), coh)
+          else ranked.crossJoin(broadcast(perCohort))
+        withk.filter(col("rank") <= col("__k")).drop("__k")
+    }
+    val c0 = prefixed(consent, spec, "c_")
+    val nc0 = prefixed(noconsent, spec, "nc_")
+    // fixed token arity is the load-bearing fact — data-verify it (one tiny
+    // agg job); variable arity or m < 2 → the subset argument is vacuous
+    // → dense
+    val ar = c0.select(size(col("c_features")).as("__s"))
+      .union(nc0.select(size(col("nc_features")).as("__s")))
+      .agg(min(col("__s")), max(col("__s"))).head()
+    if (ar.isNullAt(0) || ar.getInt(0) != ar.getInt(1) || ar.getInt(0) < 2)
+      return dense()
+    val m = ar.getInt(0)
+    spec.metric match {
+      case Hamming(_) => ()
+      case other => throw new IllegalStateException(
+        s"topKHammingImpl dispatched for metric ${other.name}")
+    }
+    // subset signature i = the token array with position i removed, used
+    // DIRECTLY as the join key (array equality is exact — a hash key could
+    // collide and duplicate a true pair at a second index, corrupting
+    // ranks); __i in the key keeps subset positions from cross-matching
+    def withKeys(df: DataFrame, p: String): DataFrame =
+      df.withColumn("__i", explode(array((0 until m).map(lit(_)): _*)))
+        .withColumn("__key",
+          concat(slice(col(s"${p}features"), lit(1), col("__i")),
+            slice(col(s"${p}features"), col("__i") + 2, lit(m) - col("__i") - 1)))
+    val numPairs = spec.numCols.map(n => (col(s"nc_$n"), col(s"c_$n")))
+    val iSize = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.expr.TokenIntersectionSize(
+          org.apache.spark.sql.graftbridge.Bridge.expression(a),
+          org.apache.spark.sql.graftbridge.Bridge.expression(b)))
+    val cand = withKeys(nc0, "nc_").join(withKeys(c0, "c_"), coh ++ Seq("__i", "__key"))
+      // dedup map-side, no shuffle: the only multi-key matches are pairs
+      // sharing ALL m tokens (they match every subset key) — keep their
+      // __i = 0 copy only; a pair sharing exactly m−1 matches one key
+      .filter(col("__i") === 0 || iSize(col("nc_features"), col("c_features")) < m)
+      .select(coh.map(col(_)) ++ Seq(col("nc_idx"), col("nc_value"),
+        col("c_idx"), col("c_value"),
+        spec.metric.dist(col("nc_features"), col("c_features"), numPairs)
+          .as("dist")): _*)
+    // per-probe k: constant or per-cohort broadcast frame
+    def withK(df: DataFrame): DataFrame = kSpec match {
+      case Left(k) => df.withColumn("__kk", lit(k.toLong))
+      case Right(perCohort) =>
+        val pk = perCohort.select(
+          coh.map(col(_)) :+ col("__k").cast("long").as("__kk"): _*)
+        if (coh.nonEmpty) df.join(broadcast(pk), coh)
+        else df.crossJoin(broadcast(pk))
+    }
+    val joinKeys = coh :+ "nc_idx"
+    val cnt = cand.groupBy(joinKeys.map(col(_)): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val probes = withK(nc0.join(cnt, joinKeys, "left"))
+      .withColumn("__wild", coalesce(col("__cnt"), lit(0L)) < col("__kk"))
+    // wildcard tier: the (typically few) probes whose subset candidates
+    // cannot fill k take the per-cohort dense relation — probe-exclusive
+    // tiers, so each probe is ranked over exactly one sound superset
+    val wildNc = probes.filter(col("__wild"))
+      .select((coh :+ "nc_idx").map(col(_)) ++
+        Seq(col("nc_value"), col("nc_features"), col("__kk")) ++
+        spec.numCols.map(n => col(s"nc_$n")): _*)
+    val wildPairs =
+      (if (coh.nonEmpty) wildNc.join(c0, coh) else wildNc.crossJoin(c0))
+        .select(coh.map(col(_)) ++ Seq(col("nc_idx"), col("nc_value"),
+          col("c_idx"), col("c_value"),
+          spec.metric.dist(col("nc_features"), col("c_features"), numPairs)
+            .as("dist"), col("__kk")): _*)
+    val bulk = cand
+      .join(probes.filter(!col("__wild"))
+        .select((joinKeys :+ "__kk").map(col(_)): _*), joinKeys)
+    val w = Window
+      .partitionBy(joinKeys.map(col(_)): _*)
+      .orderBy(col("dist").asc, col("c_idx").asc)
+    bulk.unionByName(wildPairs)
+      .filter(col("__kk") >= 1)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= col("__kk"))
+      .select(coh.map(col(_)) ++ Seq(col("nc_idx"), col("nc_value"),
+        col("c_idx"), col("c_value"), col("dist"), col("rank")): _*)
   }
 
 }

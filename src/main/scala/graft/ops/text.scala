@@ -192,6 +192,35 @@ object TextAnalysis {
         lit(ipRe), lit("<IP>")).as("scrubbed"),
       regexp_count(col(textCol), lit(emailRe)).cast("long").as("n_emails"),
       regexp_count(col(textCol), lit(ipRe)).cast("long").as("n_ips"))
+
+  /** Corpus-trained unigram language-model score per document: the mean
+    * over a document's tokens of ln(count(token)/total_tokens) — the
+    * negated per-token cross-entropy under the corpus's own unigram
+    * distribution, the cheap fully-relational stand-in for the LM
+    * perplexity filter of CCNet-style curation (out-of-distribution
+    * documents score low; boilerplate scores high). Output:
+    * (doc_id, n_tokens, avg_logprob); token-less documents excluded.
+    *
+    * Plan shape at scale: one shuffle builds the frequency table
+    * (map-side-combining groupBy — hot stopword keys collapse per map
+    * task), the scalar total rides a broadcast cross join (no driver
+    * action), and one token→frequency equi-join scores documents. The
+    * frequency relation is vocabulary-sized — Zipf-bounded far below
+    * corpus size — so Catalyst auto-broadcasts it at small SFs, and when a
+    * 100 TB vocabulary outgrows the threshold the shuffle join stays
+    * balanced: the hot keys are exactly the high-frequency tokens, already
+    * collapsed to one build-side row each. */
+  def unigramLogProb(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val freq = toks.groupBy("t").agg(count(lit(1)).cast("double").as("__cnt"))
+    val total = freq.agg(sum("__cnt").as("__tot"))
+    toks.join(freq, "t")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log(col("__cnt") / col("__tot"))).as("avg_logprob"))
+  }
 }
 
 /** DuckDB SQL twins of [[TextAnalysis]] — fragment builders interpolated

@@ -177,6 +177,64 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: hamming subset top-k equals dense top-k (incl. wildcard tier)") {
+    // fixed arity 3 (one token per categorical column) — the structural
+    // fact the subset prune relies on
+    def enc(rows: Seq[(Long, Double, Double, String, String, String)]) =
+      rows.toDF("id", "conv", "a", "c1", "c2", "c3")
+        .withColumn("features", array(
+          concat(lit("c1="), col("c1")), concat(lit("c2="), col("c2")),
+          concat(lit("c3="), col("c3"))))
+    val rowGen = (offset: Int) => for {
+      a <- Gen.choose(0.0, 10.0)
+      v <- Gen.choose(0.1, 100.0)
+      c1 <- Gen.oneOf("p", "q", "r")
+      c2 <- Gen.oneOf("s", "t")
+      c3 <- Gen.oneOf("u", "v", "w")
+    } yield (a, v, c1, c2, c3)
+    val g = for {
+      nC <- Gen.choose(2, 10)
+      nNc <- Gen.choose(1, 6)
+      c <- Gen.sequence[List[(Double, Double, String, String, String)],
+        (Double, Double, String, String, String)]((0 until nC).map(_ => rowGen(0)))
+      nc <- Gen.sequence[List[(Double, Double, String, String, String)],
+        (Double, Double, String, String, String)]((0 until nNc).map(_ => rowGen(1)))
+    } yield (c, nc)
+    // width = full domain (3+2+3) + 1 numeric; any fixed constant works for
+    // the equivalence (ranking is width-invariant)
+    val hspec = CohortSpec(idCol = "id", valueCol = "conv",
+      numCols = Seq("a"), cohortCols = Nil, metric = Hamming(9))
+    sampled(g, 6, 31L).foreach { case (c0, nc0) =>
+      val c = enc(c0.zipWithIndex.map { case ((a, v, x, y, z), i) =>
+        (i.toLong, v, a, x, y, z) })
+      val nc = enc(nc0.zipWithIndex.map { case ((a, v, x, y, z), i) =>
+        ((1000 + i).toLong, v, a, x, y, z) })
+      val k = math.min(3, c0.size)
+      val dense = NeighborJoin.topK(NeighborJoin.pairs(c, nc, hspec), hspec, k.toDouble)
+        .select("nc_idx", "c_idx", "rank", "dist").collect().map(_.toSeq).toSet
+      val pruned = NeighborJoin.topKBanded(c, nc, hspec, k)
+        .select("nc_idx", "c_idx", "rank", "dist").collect().map(_.toSeq).toSet
+      assert(pruned == dense, s"c=$c0 nc=$nc0")
+      // proportional twin
+      val frac = 0.6
+      val dp = NeighborJoin.topK(NeighborJoin.pairs(c, nc, hspec), hspec, frac, Some(c))
+        .select("nc_idx", "c_idx", "rank", "dist").collect().map(_.toSeq).toSet
+      val pp = NeighborJoin.topKBandedProportional(c, nc, hspec, frac)
+        .select("nc_idx", "c_idx", "rank", "dist").collect().map(_.toSeq).toSet
+      assert(pp == dp, s"proportional c=$c0 nc=$nc0")
+    }
+    // wildcard tier: a probe sharing NO 2-token subset with any consent row
+    // must still get its exact k from the dense tier
+    val cW = enc(Seq((0L, 10.0, 1.0, "p", "s", "u"), (1L, 20.0, 2.0, "p", "s", "v"),
+      (2L, 30.0, 3.0, "q", "t", "w")))
+    val ncW = enc(Seq((1000L, 5.0, 1.5, "r", "t", "u"), (1001L, 5.0, 9.9, "p", "s", "u")))
+    val dW = NeighborJoin.topK(NeighborJoin.pairs(cW, ncW, hspec), hspec, 2.0)
+      .select("nc_idx", "c_idx", "rank", "dist").collect().map(_.toSeq).toSet
+    val pW = NeighborJoin.topKBanded(cW, ncW, hspec, 2)
+      .select("nc_idx", "c_idx", "rank", "dist").collect().map(_.toSeq).toSet
+    assert(pW == dW)
+  }
+
   test("property: scalable two-pass quantile equals exact percentile") {
     // arbitrary per-cohort distance samples: heavy ties (quantized values),
     // singleton and two-row cohorts, and a large-ish cohort — across edge
