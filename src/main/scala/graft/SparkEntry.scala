@@ -253,6 +253,37 @@ object SparkEntry {
               |SELECT month, nc_idx, CAST(count(*) AS BIGINT) AS n_neighbors
               |FROM pairs WHERE dist <= 2.5 GROUP BY month, nc_idx""".stripMargin)),
 
+    // Hamming radius join THROUGH the LSH token prune: dist ≤ r bounds the
+    // token symmetric difference by r·W, which at r = 0.16 (W ≈ 14 here)
+    // admits only pairs sharing ≥ 2 of the 3 category tokens — tight
+    // enough for a guaranteed-recall MinHash banding, so the prune is
+    // ACTIVE (not the dense fallback) while the oracle stays the dense
+    // all-pairs filter.
+    ("q72_radius_hamming_lsh",
+      (s: SparkSession, dir: String) => {
+        val (c, nc) = cohortPair(s, dir)
+        val vocab = c.select(explode(col("features")).as("__t"))
+          .union(nc.select(explode(col("features")).as("__t")))
+          .distinct().count()
+        val spec = Cohorts.spec.copy(metric = Hamming(vocab + 1))
+        NeighborJoin.withinRadiusLsh(c, nc, spec, 0.16)
+          .groupBy("month", "nc_idx")
+          .agg(count(lit(1)).as("n_neighbors"))
+      },
+      Some(s"""WITH ${OracleCtes.base},
+              |${OracleCtes.cohortSplit},
+              |w AS (SELECT CAST(count(DISTINCT t) + 1 AS DOUBLE) AS w
+              |      FROM (SELECT unnest(features) AS t FROM base)),
+              |pairs AS (
+              |  SELECT nc.month, nc.idx AS nc_idx,
+              |         (CAST(len(nc.features) + len(c.features)
+              |              - 2 * len(list_intersect(nc.features, c.features)) AS DOUBLE)
+              |           + CASE WHEN nc.c_acctbal <> c.c_acctbal THEN 1.0 ELSE 0.0 END)
+              |           / (SELECT w FROM w) AS dist
+              |  FROM nc JOIN c ON nc.month = c.month)
+              |SELECT month, nc_idx, CAST(count(*) AS BIGINT) AS n_neighbors
+              |FROM pairs WHERE dist <= 0.16 GROUP BY month, nc_idx""".stripMargin)),
+
     // W1 — numerically-stable softmax(−dist) shares per noconsent row.
     // Input = the banded exact top-k (≡ dense; q58/PropertySpec) so the
     // gate exercises the softmax operator, not the quadratic pairs kernel.
@@ -1226,6 +1257,23 @@ object SparkEntry {
               |       ROUND(1e-9 + quantile_cont(n, 0.5), 4) AS median_tokens,
               |       ROUND(1e-9 + quantile_cont(n, 0.9), 4) AS p90_tokens
               |FROM n GROUP BY lang""".stripMargin)),
+
+    // Corpus-trained unigram LM score (the relational stand-in for the
+    // CCNet perplexity filter): mean ln(count(token)/total) per document.
+    ("q71_unigram_logprob",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.unigramLogProb(Cohorts.documents(s, dir))
+          .select(col("doc_id"), col("n_tokens"),
+            rnd(col("avg_logprob"), 4).as("avg_logprob")),
+      Some(s"""WITH ${TextSql.toksCte},
+              |tok AS (SELECT doc_id, unnest(t) AS t FROM toks),
+              |freq AS (SELECT t, CAST(count(*) AS DOUBLE) AS cnt
+              |         FROM tok GROUP BY t),
+              |tot AS (SELECT sum(cnt) AS tot FROM freq)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              |       ROUND(1e-9 + avg(ln(cnt / (SELECT tot FROM tot))), 4)
+              |         AS avg_logprob
+              |FROM tok JOIN freq USING (t) GROUP BY doc_id""".stripMargin)),
 
     // Intra-document repetition (Gopher-style quality signal): most
     // frequent bigram's share of all bigram occurrences.

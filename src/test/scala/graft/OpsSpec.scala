@@ -602,6 +602,19 @@ class OpsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("unigramLogProb scores docs under the corpus's own unigram model") {
+    // freq: a=2, b=2, c=1; total 5
+    val d = docs((1L, "a a b"), (2L, "b c"), (3L, " "))
+    val out = TextAnalysis.unigramLogProb(d)
+      .select("doc_id", "n_tokens", "avg_logprob")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2)).toSeq == Seq((1L, 3L), (2L, 2L)))
+    val e1 = math.log(2.0 / 5.0) // all three tokens have p = 2/5
+    val e2 = (math.log(2.0 / 5.0) + math.log(1.0 / 5.0)) / 2.0
+    assert(math.abs(out(0)._3 - e1) < 1e-12)
+    assert(math.abs(out(1)._3 - e2) < 1e-12)
+  }
+
   test("spanDedup keeps first corpus-order span occurrence and reassembles") {
     val d = docs(
       (0L, "a b c d e f g h i j k l"),   // 4 clean spans at w=3
