@@ -946,6 +946,39 @@ object SparkEntry {
              |       ROUND(1e-9 + sum(value), 2) AS sum_value
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // As-of join: each purchase ⟵ the user's most recent view at-or-before
+    // it. The oracle is the O(|L|·|R|)-per-user inequality join + rank the
+    // engine's single-window plan exists to avoid.
+    ("q73_events_asof",
+      (s: SparkSession, dir: String) =>
+        EventOps.asofJoin(Cohorts.events(s, dir), "purchase", "view"),
+      Some("""WITH l AS (SELECT * FROM events WHERE event_type = 'purchase'),
+             |r AS (SELECT * FROM events WHERE event_type = 'view'),
+             |j AS (SELECT l.event_id, l.user_id,
+             |             r.event_id AS matched_id,
+             |             ROUND(1e-9 + r.value, 2) AS matched_value,
+             |             epoch_us(l.ts) - epoch_us(r.ts) AS lag_us,
+             |             row_number() OVER (PARTITION BY l.event_id
+             |               ORDER BY r.ts DESC, r.event_id DESC) AS rn
+             |      FROM l LEFT JOIN r
+             |        ON l.user_id = r.user_id AND r.ts <= l.ts)
+             |SELECT event_id, user_id, matched_id, matched_value, lag_us
+             |FROM j WHERE rn = 1""".stripMargin)),
+
+    // Time-band range join: clicks in the 5 minutes before each error —
+    // bucketed band equi-join (withinRadiusBucketed applied to time), the
+    // oracle is the naive inequality join.
+    ("q74_events_range_join",
+      (s: SparkSession, dir: String) =>
+        EventOps.rangeJoinCount(Cohorts.events(s, dir), "error", "click", 300),
+      Some("""WITH l AS (SELECT event_id, epoch_us(ts) AS lus FROM events
+             |           WHERE event_type = 'error'),
+             |r AS (SELECT epoch_us(ts) AS rus FROM events
+             |      WHERE event_type = 'click')
+             |SELECT l.event_id, CAST(count(*) AS BIGINT) AS n_prior
+             |FROM l JOIN r ON r.rus > l.lus - 300000000 AND r.rus <= l.lus
+             |GROUP BY l.event_id""".stripMargin)),
+
     // Sessionization (30-min gap) — batch twin of flatMapGroupsWithState.
     ("q36_events_sessionize",
       (s: SparkSession, dir: String) =>
@@ -1274,6 +1307,24 @@ object SparkEntry {
               |       ROUND(1e-9 + avg(ln(cnt / (SELECT tot FROM tot))), 4)
               |         AS avg_logprob
               |FROM tok JOIN freq USING (t) GROUP BY doc_id""".stripMargin)),
+
+    // Bigram-LM score: mean ln(c(w1 w2)/c(w1 ·)) per document — the
+    // first-order-context refinement of q71.
+    ("q75_bigram_logprob",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.bigramLogProb(Cohorts.documents(s, dir))
+          .select(col("doc_id"), col("n_bigrams"),
+            rnd(col("avg_logprob"), 4).as("avg_logprob")),
+      Some(s"""WITH ${TextSql.toksCte},
+              |bg AS (SELECT doc_id, unnest(${TextSql.shingleStrings("t", 2)}) AS g
+              |       FROM toks),
+              |b1 AS (SELECT doc_id, g, string_split(g, ' ')[1] AS w1 FROM bg),
+              |c2 AS (SELECT g, CAST(count(*) AS DOUBLE) AS c2 FROM b1 GROUP BY g),
+              |c1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM b1 GROUP BY w1)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              |       ROUND(1e-9 + avg(ln(c2 / c1)), 4) AS avg_logprob
+              |FROM b1 JOIN c2 USING (g) JOIN c1 USING (w1)
+              |GROUP BY doc_id""".stripMargin)),
 
     // Intra-document repetition (Gopher-style quality signal): most
     // frequent bigram's share of all bigram occurrences.

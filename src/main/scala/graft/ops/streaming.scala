@@ -43,6 +43,69 @@ object EventOps {
   def slidingAggStream(stream: DataFrame, watermark: String = "2 hours"): DataFrame =
     slidingAgg(stream.withWatermark("ts", watermark))
 
+  /** As-of join — the operator Spark lacks natively: for each `leftType`
+    * event, the MOST RECENT `rightType` event of the same user with
+    * right.ts ≤ left.ts (ties at equal ts allowed; among equal-ts right
+    * rows the largest event_id wins — fully deterministic). Output: one
+    * row per left event with (matched_id, matched_value, lag_us), nulls
+    * when no prior right event exists.
+    *
+    * Plan shape: NOT the inequality join (which expands O(|L|·|R|) per
+    * user before picking one row — exactly what the DuckDB oracle does and
+    * exactly what dies at scale). Both sides union into one relation
+    * tagged right-before-left at equal ts, ONE shuffle on user_id, and a
+    * running `last(_, ignoreNulls)` window carries the latest right-side
+    * attributes forward into each left row — O(|L|+|R|) rows, per-user
+    * sort bounded by that user's events, mergeable under AQE. */
+  def asofJoin(events: DataFrame, leftType: String, rightType: String): DataFrame = {
+    val slim = events.select(col("user_id"), col("ts"), col("event_id"),
+      col("value"), col("event_type"))
+    val r = slim.filter(col("event_type") === rightType).withColumn("__side", lit(0))
+    val l = slim.filter(col("event_type") === leftType).withColumn("__side", lit(1))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("__side").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rCol = (c: String) => when(col("__side") === 0, col(c))
+    r.unionByName(l)
+      .withColumn("__m_id", last(rCol("event_id"), ignoreNulls = true).over(w))
+      .withColumn("__m_ts", last(rCol("ts"), ignoreNulls = true).over(w))
+      .withColumn("__m_value", last(rCol("value"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("event_id"), col("user_id"),
+        col("__m_id").as("matched_id"),
+        graft.Num.rnd(col("__m_value"), 2).as("matched_value"),
+        (unix_micros(col("ts")) - unix_micros(col("__m_ts"))).as("lag_us"))
+  }
+
+  /** Time-band range join: for each `leftType` event, the number of
+    * `rightType` events in the half-open lookback window
+    * (left.ts − lookback, left.ts], corpus-wide. The classic range join
+    * that naively explodes O(|L|·|R|): here both sides bucket by
+    * ⌊ts/lookback⌋ — a right event can only serve lefts in its own or the
+    * next bucket, so it emits two bucket keys and ONE equi-join + exact
+    * filter covers the window ([[graft.NeighborJoin.withinRadiusBucketed]]
+    * applied to time). Shuffle O(|L| + 2|R| + candidates); candidates ≤
+    * rights within ±1 bucket of each left, near-linear when the lookback
+    * is small against the stream's span. Inner semantics: lefts with zero
+    * prior rights are absent. */
+  def rangeJoinCount(events: DataFrame, leftType: String, rightType: String,
+                     lookbackSeconds: Long = 300): DataFrame = {
+    require(lookbackSeconds > 0, s"lookback must be > 0, got $lookbackSeconds")
+    val band = lookbackSeconds * 1000000L
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("event_id"), unix_micros(col("ts")).as("__lus"))
+      .withColumn("__b", floor(col("__lus") / band).cast("long"))
+    val r = events.filter(col("event_type") === rightType)
+      .select(unix_micros(col("ts")).as("__rus"))
+      .withColumn("__b", explode(array(
+        floor(col("__rus") / band).cast("long"),
+        floor(col("__rus") / band).cast("long") + 1)))
+    l.join(r, "__b")
+      .filter(col("__rus") > col("__lus") - band && col("__rus") <= col("__lus"))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_prior"))
+  }
+
   /** Batch sessionization: 30-min-gap sessions per user over
     * second-truncated timestamps (ns/µs parquet precision differences
     * vanish at second grain — both engines see identical instants).

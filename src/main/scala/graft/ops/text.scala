@@ -221,6 +221,29 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         avg(log(col("__cnt") / col("__tot"))).as("avg_logprob"))
   }
+
+  /** Bigram-LM document score — [[unigramLogProb]] with first-order
+    * context: the mean over a document's bigrams of
+    * ln(count(w₁w₂)/count(w₁·)), where count(w₁·) is w₁'s occurrences as
+    * a bigram prefix, so p(·|w₁) is a proper MLE conditional (sums to 1
+    * per context). A higher-fidelity perplexity stand-in than the unigram
+    * — templated text scores near 0, token-salad scores low. Output:
+    * (doc_id, n_bigrams, avg_logprob); docs shorter than 2 tokens
+    * excluded. Same plan shape as the unigram: two map-side-combining
+    * count shuffles (bigram table, prefix table) + equi-joins against
+    * Zipf-bounded relations. */
+  def bigramLogProb(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bg = docs
+      .select(col("doc_id"),
+        explode(shingles(tokens(col("text")), 2)).as("g"))
+      .withColumn("__w1", element_at(split(col("g"), " "), 1))
+    val cnt2 = bg.groupBy("g").agg(count(lit(1)).cast("double").as("__c2"))
+    val cnt1 = bg.groupBy("__w1").agg(count(lit(1)).cast("double").as("__c1"))
+    bg.join(cnt2, "g").join(cnt1, "__w1")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(log(col("__c2") / col("__c1"))).as("avg_logprob"))
+  }
 }
 
 /** DuckDB SQL twins of [[TextAnalysis]] — fragment builders interpolated

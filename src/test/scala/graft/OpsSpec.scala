@@ -615,6 +615,55 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(out(1)._3 - e2) < 1e-12)
   }
 
+  test("bigramLogProb scores with proper MLE conditionals c(w1w2)/c(w1.)") {
+    // corpus bigrams: "a b"×2, "b a"×1, "b c"×1; prefixes a.=2, b.=2
+    val d = docs((1L, "a b a b c"), (2L, "x"))
+    val out = TextAnalysis.bigramLogProb(d)
+      .select("doc_id", "n_bigrams", "avg_logprob")
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(r => (r._1, r._2)).toSeq == Seq((1L, 4L))) // doc 2: < 2 tokens
+    // (ln(2/2) + ln(1/2) + ln(2/2) + ln(1/2)) / 4
+    assert(math.abs(out(0)._3 - math.log(0.5) / 2.0) < 1e-12)
+  }
+
+  test("asofJoin picks the latest right row at-or-before, max-id on ties") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "view", 2.0),
+      (10L, ts("2024-01-01 10:05:00"), 1L, "purchase", 9.0), // tie with view 2 → matched
+      (11L, ts("2024-01-01 10:01:00"), 1L, "purchase", 9.0), // between views → view 1
+      (12L, ts("2024-01-01 09:00:00"), 2L, "purchase", 9.0), // no prior view → nulls
+      (3L, ts("2024-01-01 10:00:00"), 3L, "view", 3.0),
+      (4L, ts("2024-01-01 10:00:00"), 3L, "view", 4.0),      // equal-ts views:
+      (13L, ts("2024-01-01 10:00:00"), 3L, "purchase", 9.0)) // max id 4 wins
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.asofJoin(e, "purchase", "view")
+      .select("event_id", "matched_id", "lag_us")
+      .as[(Long, Option[Long], Option[Long])].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (10L, Some(2L), Some(0L)),
+      (11L, Some(1L), Some(60000000L)),
+      (12L, None, None),
+      (13L, Some(4L), Some(0L))))
+  }
+
+  test("rangeJoinCount: half-open (t-300s, t] window across bucket edges") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val e = Seq(
+      (20L, ts("2024-01-01 10:10:00"), 1L, "error", 0.0),
+      (30L, ts("2024-01-01 10:05:00"), 2L, "click", 0.0), // exactly -300 s: OUT
+      (31L, ts("2024-01-01 10:06:00"), 3L, "click", 0.0), // prior bucket: IN
+      (32L, ts("2024-01-01 10:10:00"), 4L, "click", 0.0), // same instant: IN
+      (33L, ts("2024-01-01 10:04:59"), 5L, "click", 0.0), // too old: OUT
+      (34L, ts("2024-01-01 10:10:01"), 6L, "click", 0.0), // after: OUT
+      (21L, ts("2024-01-01 00:00:00"), 7L, "error", 0.0)) // zero matches: absent
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.rangeJoinCount(e, "error", "click", 300)
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((20L, 2L)))
+  }
+
   test("spanDedup keeps first corpus-order span occurrence and reassembles") {
     val d = docs(
       (0L, "a b c d e f g h i j k l"),   // 4 clean spans at w=3
