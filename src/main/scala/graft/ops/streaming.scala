@@ -137,6 +137,81 @@ object EventOps {
   def hourlyAggStream(stream: DataFrame, watermark: String = "2 hours"): DataFrame =
     hourlyAgg(stream.withWatermark("ts", watermark))
 
+  /** As-of stream state per user: unmatched-yet lefts and the rights that
+    * could still serve one. Bounded: rights older than the watermark
+    * collapse to the single latest (the only one any future left can
+    * match), lefts emit as soon as the watermark passes their event time. */
+  final case class AsofBuf(rights: Seq[(Long, Long, Double)],
+                           lefts: Seq[(Long, Long)])
+  final case class AsofOut(event_id: Long, user_id: Long,
+                           matched_id: Option[Long],
+                           matched_value: Option[Double],
+                           lag_us: Option[Long])
+
+  /** Streaming twin of [[asofJoin]] — event-time correct under
+    * out-of-order arrival: a left event is FINALIZED only once the
+    * watermark passes its event time, because until then an admissible
+    * late right with an earlier-but-closer timestamp could still arrive
+    * and change the match (the MemoryStream test delivers exactly that).
+    *
+    * Input: (user_id, ts, event_id, value, isRight). Per user the state
+    * holds pending lefts (ts ≤ watermark ⇒ emit) and candidate rights;
+    * rights at-or-before the watermark collapse to the single latest by
+    * (ts, event_id) — no future left can prefer an older one — so state is
+    * O(events within the watermark horizon + 1) per user, not history.
+    * Pending lefts arm an event-time timeout just past the earliest one,
+    * so no-data micro-batches flush them as the watermark advances.
+    * Deterministic ties mirror the batch twin: equal-ts match allowed,
+    * max event_id among equal-ts rights. */
+  def asofJoinStream(
+      events: Dataset[(Long, java.sql.Timestamp, Long, Double, Boolean)],
+      watermark: String = "2 hours"): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    val tsUs = (t: java.sql.Timestamp) =>
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    events
+      .withWatermark("_2", watermark)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AsofBuf, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[AsofBuf]) =>
+          val prev = state.getOption.getOrElse(AsofBuf(Nil, Nil))
+          val batch = rows.toSeq
+          val rights = prev.rights ++
+            batch.filter(_._5).map(r => (tsUs(r._2), r._3, r._4))
+          val lefts = prev.lefts ++
+            batch.filterNot(_._5).map(l => (tsUs(l._2), l._3))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, pending) = lefts.partition(_._1 <= wmUs)
+          val out = ready.sortBy(l => (l._1, l._2)).map { case (lus, lid) =>
+            val m = rights.filter(_._1 <= lus)
+            if (m.isEmpty) AsofOut(lid, user, None, None, None)
+            else {
+              val best = m.maxBy(r => (r._1, r._2))
+              // same 2-decimal +1e-9 rounding as the batch twin's Num.rnd,
+              // so stream and batch rows are byte-identical
+              val v = BigDecimal(best._3 + 1e-9)
+                .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+              AsofOut(lid, user, Some(best._2), Some(v), Some(lus - best._1))
+            }
+          }
+          // collapse watermark-sealed rights to the single latest; keep
+          // all unsealed
+          val (closed, live) = rights.partition(_._1 <= wmUs)
+          val kept = (if (closed.isEmpty) Nil
+                      else Seq(closed.maxBy(r => (r._1, r._2)))) ++ live
+          if (kept.isEmpty && pending.isEmpty) state.remove()
+          else {
+            state.update(AsofBuf(kept, pending))
+            // flush pending lefts as soon as the watermark passes them;
+            // strictly above the current watermark by construction
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(pending.map(_._1).min / 1000L + 1000L)
+          }
+          out.iterator
+      }
+  }
+
   /** Open-session buffer: (epoch-second, value) events not yet emitted —
     * only sessions the watermark has not closed, so state size is bounded
     * by the watermark horizon's events per user, not history. */

@@ -664,6 +664,45 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq((20L, 2L)))
   }
 
+  test("streaming as-of join: late rights within the watermark fix the match") {
+    implicit val sq = spark.sqlContext
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // (user_id, ts, event_id, value, isRight)
+    val b1 = Seq((1L, ts("2024-05-01 10:00:00"), 1L, 1.0, true),
+                 (1L, ts("2024-05-01 10:10:00"), 10L, 9.0, false))
+    // the left at 10:10 is still pending (wm < 10:10), so the LATE right at
+    // 10:05 — earlier than the left but closer than the 10:00 one — must
+    // win; an equal-ts right pair (ids 1, 3 at 10:00) pins the max-id tie
+    val b2 = Seq((1L, ts("2024-05-01 10:05:00"), 2L, 2.0, true),
+                 (1L, ts("2024-05-01 10:00:00"), 3L, 3.0, true),
+                 (1L, ts("2024-05-01 10:00:00"), 11L, 8.0, false),
+                 (2L, ts("2024-05-01 10:00:00"), 12L, 7.0, false))
+    val b3 = Seq((99L, ts("2030-01-01 00:00:00"), 0L, 0.0, true)) // wm push
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, Double, Boolean)]
+    val q = EventOps.asofJoinStream(stream.toDS().map(identity), "1 hour")
+      .writeStream.format("memory").queryName("asof_ooo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(b1, b2, b3).foreach { b => stream.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("asof_ooo")
+        .as[(Long, Long, Option[Long], Option[Double], Option[Long])]
+        .collect().toSet
+      val batch = EventOps.asofJoin(
+          (b1 ++ b2 ++ b3).map { case (u, t, id, v, r) =>
+            (id, t, u, if (r) "view" else "purchase", v) }
+            .toDF("event_id", "ts", "user_id", "event_type", "value"),
+          "purchase", "view")
+        .as[(Long, Long, Option[Long], Option[Double], Option[Long])]
+        .collect().toSet
+      assert(streamed == batch)
+      // the late 10:05 right is the match for the 10:10 left
+      assert(streamed.contains((10L, 1L, Some(2L), Some(2.0), Some(300000000L))))
+      // equal-ts tie → max event_id; and the no-right left emits nulls
+      assert(streamed.contains((11L, 1L, Some(3L), Some(3.0), Some(0L))))
+      assert(streamed.contains((12L, 2L, None, None, None)))
+    } finally q.stop()
+  }
+
   test("spanDedup keeps first corpus-order span occurrence and reassembles") {
     val d = docs(
       (0L, "a b c d e f g h i j k l"),   // 4 clean spans at w=3
