@@ -1450,7 +1450,148 @@ object SparkEntry {
              |  UNION
              |  SELECT e2.u, reach.r FROM edges e2 JOIN reach ON e2.v = reach.u)
              |SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
-             |FROM reach GROUP BY u""".stripMargin))
+             |FROM reach GROUP BY u""".stripMargin)),
+
+    // Ordered conversion funnel view → click → purchase: one shuffle +
+    // per-row array arithmetic; the oracle is the k−1 chained agg+join
+    // rounds the single-collect plan avoids.
+    ("q76_events_funnel",
+      (s: SparkSession, dir: String) =>
+        EventOps.funnel(Cohorts.events(s, dir), Seq("view", "click", "purchase")),
+      Some("""WITH e AS (SELECT user_id, date_trunc('second', ts) AS tsec,
+             |                  event_type FROM events),
+             |u AS (SELECT DISTINCT user_id FROM e),
+             |s1 AS (SELECT user_id, min(tsec) AS t1 FROM e
+             |       WHERE event_type = 'view' GROUP BY user_id),
+             |s2 AS (SELECT e.user_id, min(tsec) AS t2 FROM e JOIN s1 USING (user_id)
+             |       WHERE event_type = 'click' AND tsec > t1 GROUP BY e.user_id),
+             |s3 AS (SELECT e.user_id, min(tsec) AS t3 FROM e JOIN s2 USING (user_id)
+             |       WHERE event_type = 'purchase' AND tsec > t2 GROUP BY e.user_id)
+             |SELECT u.user_id,
+             |       strftime(t1, '%Y-%m-%d %H:%M:%S') AS step1_ts,
+             |       strftime(t2, '%Y-%m-%d %H:%M:%S') AS step2_ts,
+             |       strftime(t3, '%Y-%m-%d %H:%M:%S') AS step3_ts,
+             |       CAST((CASE WHEN t1 IS NULL THEN 0 ELSE 1 END) +
+             |            (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END) +
+             |            (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS stage
+             |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+             |       LEFT JOIN s3 USING (user_id)""".stripMargin)),
+
+    // Multi-level ROLLUP revenue (nation × order-year + subtotals + grand
+    // total in ONE partial-aggregated pass — Spark expands grouping sets
+    // map-side, so the shuffle carries pre-combined rows per set).
+    ("q77_revenue_rollup",
+      (s: SparkSession, dir: String) =>
+        Cohorts.table(s, dir, "orders")
+          .join(broadcast(Cohorts.table(s, dir, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Cohorts.table(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"),
+            col("o_totalprice"))
+          // Column-arg rollup: the String overload resolves through the
+          // by-name path that trips Spark 4's self-join ambiguity check
+          // after a join chain (observed on 4.1.2); Column args bind the
+          // grouping keys directly and dodge it.
+          .rollup(col("n_name"), col("o_year"))
+          .agg(rnd(sum("o_totalprice"), 2).as("revenue"),
+               count(lit(1)).as("n_orders"),
+               grouping_id().cast("long").as("lvl")),
+      Some("""WITH j AS (SELECT n_name,
+             |                  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |                  o_totalprice
+             |           FROM orders
+             |           JOIN customer ON o_custkey = c_custkey
+             |           JOIN nation ON c_nationkey = n_nationkey)
+             |SELECT n_name, o_year,
+             |       ROUND(1e-9 + sum(o_totalprice), 2) AS revenue,
+             |       CAST(count(*) AS BIGINT) AS n_orders,
+             |       CAST(GROUPING(n_name) * 2 + GROUPING(o_year) AS BIGINT) AS lvl
+             |FROM j GROUP BY ROLLUP (n_name, o_year)""".stripMargin)),
+
+    // Per-vector int8 quantization audit: scale, quantized sum/min/max,
+    // reconstruction MSE — pure narrow projection, no shuffle.
+    ("q78_embed_quantize",
+      (s: SparkSession, dir: String) =>
+        Similarity.quantizeInt8(Cohorts.embeddings(s, dir)),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |s AS (SELECT vec_id, v,
+             |             list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+             |      FROM e),
+             |q AS (SELECT vec_id, v, scale,
+             |             CASE WHEN scale > 0
+             |                  THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+             |                  ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv
+             |      FROM s)
+             |SELECT vec_id, ROUND(1e-9 + scale, 9) AS scale,
+             |       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+             |       CAST(list_aggregate(qv, 'min') AS BIGINT) AS q_min,
+             |       CAST(list_aggregate(qv, 'max') AS BIGINT) AS q_max,
+             |       ROUND(1e-9 + (list_aggregate(list_transform(v, x -> x * x), 'sum')
+             |         - 2 * scale * list_inner_product(v, list_transform(qv, x -> CAST(x AS DOUBLE)))
+             |         + scale * scale * list_aggregate(
+             |             list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+             |         / len(v), 9) AS mse
+             |FROM q""".stripMargin)),
+
+    // Quality-weighted deterministic sampling: keep-probability = the q30
+    // quality score (clamped), membership content-addressed — narrow
+    // filter, no shuffle, reproducible and weight-monotone.
+    ("q79_sample_weighted",
+      (s: SparkSession, dir: String) => {
+        val d = Cohorts.documents(s, dir)
+        val keep = rnd(TextAnalysis.qualityScore(col("text")), 4)
+        Sampling.weightedBernoulli(d, "doc_id", keep, "w42")
+          .select(col("doc_id"), col("lang"), keep.as("keep_p"))
+      },
+      Some(s"""WITH ${TextSql.toksCte},
+              |${TextSql.qualitySignalsCte(" lang,")}
+              |SELECT doc_id, lang, ${TextSql.qualityScoreFromM} AS keep_p
+              |FROM m
+              |WHERE ${Sampling.hashUnitSql("doc_id", "w42")} <
+              |      least(1.0, greatest(0.0, ${TextSql.qualityScoreFromM}))""".stripMargin)),
+
+    // Sparse TF-IDF cosine pairs through the inverted-index join: pairs
+    // generated per shared token under a df-cut vocabulary — the shuffle
+    // is keyed by token, never the all-pairs cross join.
+    ("q81_sparse_cosine",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.sparseCosinePairs(Cohorts.documents(s, dir), 0.3, 50),
+      Some(s"""WITH ${TextSql.toksCte},
+              |tk AS (SELECT doc_id, unnest(t) AS token FROM toks),
+              |tfc AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+              |        FROM tk GROUP BY doc_id, token),
+              |dfc AS (SELECT token, count(*) AS doc_freq FROM tfc
+              |        GROUP BY token HAVING count(*) <= 50),
+              |w AS (SELECT doc_id, token,
+              |             tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+              |                     / doc_freq) AS w
+              |      FROM tfc JOIN dfc USING (token)),
+              |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY doc_id),
+              |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |                sum(a.w * b.w) AS dot
+              |         FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+              |         GROUP BY a.doc_id, b.doc_id),
+              |sm AS (SELECT doc_a, doc_b, dot / (na.norm * nb.norm) AS sim
+              |       FROM dots JOIN nrm na ON doc_a = na.doc_id
+              |                 JOIN nrm nb ON doc_b = nb.doc_id)
+              |SELECT doc_a, doc_b, ROUND(1e-9 + sim, 6) AS sim
+              |FROM sm WHERE ROUND(1e-9 + sim, 9) >= 0.3""".stripMargin)),
+
+    // Per-user rolling last-5-events window stats (feature engineering):
+    // one shuffle on user_id, O(n) frame state.
+    ("q80_events_rolling",
+      (s: SparkSession, dir: String) =>
+        EventOps.rollingStats(Cohorts.events(s, dir), 5),
+      Some("""WITH e AS (SELECT user_id, event_id, value,
+             |                  date_trunc('second', ts) AS tsec FROM events)
+             |SELECT user_id, event_id,
+             |       ROUND(1e-9 + sum(value) OVER w, 2) AS roll_sum,
+             |       ROUND(1e-9 + avg(value) OVER w, 4) AS roll_avg,
+             |       CAST(count(*) OVER w AS BIGINT) AS n_window
+             |FROM e
+             |WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id
+             |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -81,6 +81,20 @@ object Sampling {
       .select(df.columns.map(col): _*) // drop __rate, restore column order
   }
 
+  /** Per-row weighted Bernoulli sampling: each row keeps with ITS OWN
+    * probability `weight` (any Column expression, clamped to [0,1]) — the
+    * curriculum/quality-weighted selection step of corpus curation, where
+    * keep-probability follows a per-document score instead of a stratum
+    * constant. Same content-addressed hash as [[bernoulli]], so membership
+    * is reproducible across runs/engines/retries and monotone in the
+    * weight: raising a row's weight can only ever ADD it to the sample
+    * (its hash draw is fixed), which makes curriculum sweeps nested — a
+    * property RNG sampling cannot give. Pure narrow filter, no shuffle. */
+  def weightedBernoulli(df: DataFrame, keyCol: String, weight: Column,
+                        seed: String): DataFrame =
+    df.filter(checkedUnit(col(keyCol), seed) <
+      least(lit(1.0), greatest(lit(0.0), weight)))
+
   /** Deterministic train/valid/test assignment: the key hash lands in one
     * of the cumulative-weight buckets. Cumulative bounds are rounded to
     * 12 dp so the thresholds are the exact decimal literals a SQL twin

@@ -270,6 +270,42 @@ object Similarity {
       .select(col("label"), col("pos").cast("long").as("pos"), col("centroid"))
   }
 
+  /** Per-vector symmetric int8 quantization — the storage/serving
+    * compression step of an embedding pipeline (4× over float32, 8× over
+    * float64). scale = max|v|/127; qᵢ = ⌊vᵢ/scale + 0.5⌋ (explicit
+    * floor(+0.5) so the rounding rule is engine-independent — SQL `round`
+    * half-away vs Java HALF_UP disagree on negative halves). Zero vectors
+    * quantize to all-zeros with scale 0.
+    *
+    * Output is the quantization AUDIT row per vector: scale, the quantized
+    * array's sum/min/max, and the reconstruction MSE via the algebraic
+    * expansion Σ(vᵢ−s·qᵢ)²/n = (Σv² − 2s·⟨v,q⟩ + s²Σq²)/n — three
+    * sequential folds, no intermediate array materialization. Pure narrow
+    * projection: no shuffle, scan-bound, codegen'd higher-order fns. */
+  def quantizeInt8(corpus: DataFrame): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val d = corpus.select(col("vec_id"), v.as("v"))
+      .withColumn("scale", array_max(transform(col("v"), abs(_))) / 127.0)
+      .withColumn("q", transform(col("v"), x =>
+        when(col("scale") > 0, floor(x / col("scale") + 0.5).cast("long"))
+          .otherwise(0L)))
+    val fold = (c: Column) => aggregate(c, lit(0.0), (acc, x) => acc + x)
+    val sumSqV = fold(transform(col("v"), x => x * x))
+    val dotVQ = fold(zip_with(col("v"), col("q"), (a, b) => a * b.cast("double")))
+    val sumSqQ = fold(transform(col("q"), x =>
+      x.cast("double") * x.cast("double")))
+    d.select(
+      col("vec_id"),
+      graft.Num.rnd(col("scale"), 9).as("scale"),
+      aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+      array_min(col("q")).as("q_min"),
+      array_max(col("q")).as("q_max"),
+      graft.Num.rnd(
+        (sumSqV - lit(2.0) * col("scale") * dotVQ
+          + col("scale") * col("scale") * sumSqQ) / size(col("v")), 9)
+        .as("mse"))
+  }
+
   /** IVF-style top-k restricted to the query's coarse cell (cellCol). */
   def partitionedTopK(corpus: DataFrame, queries: DataFrame, cellCol: String,
                       k: Int): DataFrame = {

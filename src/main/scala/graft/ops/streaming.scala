@@ -212,6 +212,58 @@ object EventOps {
       }
   }
 
+  /** Ordered funnel: per user, the first completion time of each step in
+    * `steps`, where step i+1 must happen STRICTLY AFTER the user's step-i
+    * completion (second grain, like [[sessionize]]). `stage` = number of
+    * steps completed. The training-data flavor of conversion analysis —
+    * e.g. view → click → purchase.
+    *
+    * Plan shape: ONE shuffle. A single groupBy(user) collects each step's
+    * event times into per-step arrays (partial-aggregated map-side), then
+    * the greedy chain t₁ = min(l₁), tᵢ = min{t ∈ lᵢ : t > tᵢ₋₁} is pure
+    * per-row array arithmetic (codegen'd higher-order functions) — no
+    * self-joins, no window. The relational alternative is k−1 chained
+    * aggregate+join rounds on user_id (exactly what the DuckDB oracle
+    * does); one collect beats k shuffles and its state is each user's OWN
+    * events per step, the same bound sessionization already carries. */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      s"steps must be non-empty and distinct, got $steps")
+    val lists = steps.zipWithIndex.map { case (s, i) =>
+      collect_list(when(col("event_type") === s,
+        date_trunc("second", col("ts")))).as(s"__l$i")
+    }
+    val grouped = events.groupBy(col("user_id")).agg(lists.head, lists.tail: _*)
+    val withTs = steps.indices.foldLeft(grouped) { case (df, i) =>
+      val t = if (i == 0) array_min(col("__l0"))
+              else array_min(filter(col(s"__l$i"), x => x > col(s"__t${i - 1}")))
+      df.withColumn(s"__t$i", t)
+    }
+    val stepCols = steps.indices.map(i =>
+      date_format(col(s"__t$i"), "yyyy-MM-dd HH:mm:ss").as(s"step${i + 1}_ts"))
+    val stage = steps.indices.map(i =>
+      when(col(s"__t$i").isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+    withTs.select(col("user_id") +: stepCols :+ stage.as("stage"): _*)
+  }
+
+  /** Per-user rolling last-`n`-events statistics, ordered by (second-
+    * truncated ts, event_id): running sum/avg over a bounded row frame plus
+    * the frame's actual width (< n during warm-up). ONE shuffle on user_id;
+    * the frame is O(n) executor state per open window — the standard
+    * feature-engineering shape ("user's average spend over their last 5
+    * events") that a 100 TB pipeline computes per key, never per scan. */
+  def rollingStats(events: DataFrame, n: Int = 5): DataFrame = {
+    require(n >= 1, s"window size must be >= 1, got $n")
+    val w = Window.partitionBy("user_id")
+      .orderBy(date_trunc("second", col("ts")), col("event_id"))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    events.select(
+      col("user_id"), col("event_id"),
+      graft.Num.rnd(sum("value").over(w), 2).as("roll_sum"),
+      graft.Num.rnd(avg("value").over(w), 4).as("roll_avg"),
+      count(lit(1)).over(w).as("n_window"))
+  }
+
   /** Open-session buffer: (epoch-second, value) events not yet emitted —
     * only sessions the watermark has not closed, so state size is bounded
     * by the watermark horizon's events per user, not history. */

@@ -158,6 +158,52 @@ object TextAnalysis {
         col("doc_freq"), graft.Num.rnd(col("tf_idf"), 6).as("tf_idf"), col("rank"))
   }
 
+  /** All-pairs TF-IDF cosine similarity ≥ `minSim` via an INVERTED-INDEX
+    * join — the sparse-vector sibling of the embedding near-dup pass
+    * ([[graft.ops.Similarity.nearDupPairs]]), and the classic corpus-scale
+    * construction: pairs are generated per shared TOKEN (self-join of the
+    * posting list on the term), so the shuffle is keyed by token and two
+    * documents meet IFF they share vocabulary — never the all-pairs cross
+    * join.
+    *
+    * `maxDocFreq` df-cuts the vocabulary first (posting lists longer than
+    * this are dropped): each surviving token contributes ≤ df² candidate
+    * pairs, bounding the join quadratically in the CUT, not the corpus —
+    * the standard stop-word economics (a token in half the corpus costs
+    * O(N²/4) pairs and carries ~zero idf weight). The df-cut is part of the
+    * operator's SEMANTICS (weights, norms and sims are all over the pruned
+    * vocabulary), so results stay exact vs the oracle, which prunes
+    * identically. Similarity is cosine over tf·ln(N/df) weights. */
+  def sparseCosinePairs(docs: org.apache.spark.sql.DataFrame, minSim: Double,
+                        maxDocFreq: Long = 1000): org.apache.spark.sql.DataFrame = {
+    val n = docs.count()
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") <= maxDocFreq)
+    // Three consumers (norms + both join sides) would each re-tokenize the
+    // corpus — pin the weighted postings once (the q69 precedent; at
+    // warehouse scale this is the materialize-the-index step).
+    val w = tf.join(df, "token")
+      .select(col("doc_id"), col("token"),
+        (col("tf") * log(lit(n.toDouble) / col("doc_freq"))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = w.groupBy("doc_id")
+      .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+    val contrib = w.select(col("token"), col("doc_id").as("doc_a"), col("w").as("wa"))
+      .join(w.select(col("token"), col("doc_id").as("doc_b"), col("w").as("wb")),
+        "token")
+      .filter(col("doc_a") < col("doc_b"))
+    contrib.groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(norms.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("norm", "norm_a"), "doc_a")
+      .join(norms.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("norm", "norm_b"), "doc_b")
+      .withColumn("sim", col("dot") / (col("norm_a") * col("norm_b")))
+      .filter(graft.Num.rnd(col("sim"), 9) >= minSim)
+      .select(col("doc_a"), col("doc_b"), graft.Num.rnd(col("sim"), 6).as("sim"))
+  }
+
   /** Per-language token-count statistics — the planning input a packing /
     * token-budget step keys on (corpus composition, typical document
     * length, tail length). Exact interpolated percentiles via the

@@ -664,6 +664,110 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq((20L, 2L)))
   }
 
+  test("funnel chains strictly-after step completions per user") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val e = Seq(
+      // user 1: full funnel in order
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "click", 0.0),
+      (3L, ts("2024-01-01 10:10:00"), 1L, "purchase", 0.0),
+      // user 2: clicks only before/at the first view — strictly-after fails,
+      // so the later purchase cannot advance the funnel either
+      (4L, ts("2024-01-01 09:00:00"), 2L, "click", 0.0),
+      (5L, ts("2024-01-01 10:00:00"), 2L, "view", 0.0),
+      (6L, ts("2024-01-01 10:00:00"), 2L, "click", 0.0),
+      (7L, ts("2024-01-01 10:30:00"), 2L, "purchase", 0.0),
+      // user 3: never starts
+      (8L, ts("2024-01-01 10:00:00"), 3L, "purchase", 0.0),
+      // user 4: stops after step 2
+      (9L, ts("2024-01-01 10:00:00"), 4L, "view", 0.0),
+      (10L, ts("2024-01-01 10:01:00"), 4L, "click", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.funnel(e, Seq("view", "click", "purchase"))
+      .as[(Long, Option[String], Option[String], Option[String], Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, Some("2024-01-01 10:00:00"), Some("2024-01-01 10:05:00"),
+        Some("2024-01-01 10:10:00"), 3L),
+      (2L, Some("2024-01-01 10:00:00"), None, None, 1L),
+      (3L, None, None, None, 0L),
+      (4L, Some("2024-01-01 10:00:00"), Some("2024-01-01 10:01:00"), None, 2L)))
+  }
+
+  test("rollingStats bounds the frame at n rows with warm-up widths") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "view", 2.0),
+      (3L, ts("2024-01-01 10:02:00"), 1L, "view", 3.0),
+      (4L, ts("2024-01-01 10:03:00"), 1L, "view", 4.0),
+      (5L, ts("2024-01-01 10:00:00"), 2L, "view", 7.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.rollingStats(e, 3)
+      .as[(Long, Long, Double, Double, Long)].collect().sortBy(_._2).toSeq
+    assert(out == Seq(
+      (1L, 1L, 1.0, 1.0, 1L),
+      (1L, 2L, 3.0, 1.5, 2L),
+      (1L, 3L, 6.0, 2.0, 3L),
+      (1L, 4L, 9.0, 3.0, 3L),    // frame slid: 2+3+4
+      (2L, 5L, 7.0, 7.0, 1L)))
+  }
+
+  test("quantizeInt8 audit row: scale, bounds, and reconstruction error") {
+    val d = Seq(
+      (1L, Array(1.0f, -2.0f, 0.5f)),
+      (2L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(d)
+      .as[(Long, Double, Long, Long, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    val s = 2.0 / 127
+    val mse = (Seq(1.0, -2.0, 0.5) zip Seq(64L, -127L, 32L))
+      .map { case (v, q) => math.pow(v - s * q, 2) }.sum / 3
+    assert(out(0)._1 == 1L)
+    assert(math.abs(out(0)._2 - s) < 1e-9)
+    assert((out(0)._3, out(0)._4, out(0)._5) == ((-31L, -127L, 64L)))
+    assert(math.abs(out(0)._6 - mse) < 1e-8)
+    // zero vector: all-zero codes; scale/mse sit at the shared +1e-9
+    // rounding bias (the oracle's ROUND(1e-9 + x, 9) produces the same)
+    assert(out(1) == ((2L, 1.0e-9, 0L, 0L, 0L, 1.0e-9)))
+  }
+
+  test("sparseCosinePairs: token-join cosine with df-cut vocabulary") {
+    val d = docs((1L, "a b"), (2L, "a c"), (3L, "x y"))
+    val out = TextAnalysis.sparseCosinePairs(d, 0.0, 1000)
+      .as[(Long, Long, Double)].collect().toSeq
+    // only (1,2) share vocabulary; w(a) = ln(3/2), w(b) = w(c) = ln 3
+    val ia = math.log(1.5); val ib = math.log(3.0)
+    val expect = ia * ia / (ia * ia + ib * ib)
+    assert(out.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(math.abs(out.head._3 - expect) < 1e-6)
+    // df-cut at 1 removes the shared token entirely → no pairs at all
+    assert(TextAnalysis.sparseCosinePairs(d, 0.0, 1).count() == 0)
+    // threshold above the pair's sim filters it
+    assert(TextAnalysis.sparseCosinePairs(d, expect + 0.01, 1000).count() == 0)
+  }
+
+  test("weightedBernoulli is weight-monotone and content-addressed") {
+    val d = (1L to 500L).toDF("doc_id")
+      .withColumn("w", (col("doc_id") % 10) / 10.0)
+    val lo = Sampling.weightedBernoulli(d, "doc_id", col("w"), "s")
+      .select("doc_id").as[Long].collect().toSet
+    val hi = Sampling.weightedBernoulli(d, "doc_id", col("w") + 0.2, "s")
+      .select("doc_id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi)) // raising weights only ever ADDS rows
+    assert(lo.nonEmpty && hi.size > lo.size)
+    // weight 0 keeps nothing even with clamping pressure below it
+    assert(Sampling.weightedBernoulli(d, "doc_id", lit(-1.0), "s").count() == 0)
+    // weight ≥ 1 keeps everything (clamped)
+    assert(Sampling.weightedBernoulli(d, "doc_id", lit(2.0), "s").count() == 500)
+    // a constant weight reduces to plain bernoulli at that rate
+    val b = Sampling.bernoulli(d.drop("w"), "doc_id", 0.4, "s")
+      .as[Long].collect().toSet
+    val wb = Sampling.weightedBernoulli(d, "doc_id", lit(0.4), "s")
+      .select("doc_id").as[Long].collect().toSet
+    assert(b == wb)
+  }
+
   test("streaming as-of join: late rights within the watermark fix the match") {
     implicit val sq = spark.sqlContext
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
