@@ -1551,6 +1551,67 @@ object SparkEntry {
               |WHERE ${Sampling.hashUnitSql("doc_id", "w42")} <
               |      least(1.0, greatest(0.0, ${TextSql.qualityScoreFromM}))""".stripMargin)),
 
+    // Deterministic fixed-size per-stratum sample: exactly min(k, |lang|)
+    // docs per language by smallest key hash — WindowGroupLimit prunes
+    // map-side, shuffle carries O(k·strata·maps).
+    ("q82_sample_fixed_k",
+      (s: SparkSession, dir: String) =>
+        Sampling.stratifiedFixedK(Cohorts.documents(s, dir),
+            "lang", "doc_id", 20, "fk42")
+          .select("doc_id", "lang", "source"),
+      Some(s"""SELECT doc_id, lang, source FROM (
+              |  SELECT doc_id, lang, source, row_number() OVER (
+              |    PARTITION BY lang
+              |    ORDER BY ${Sampling.hashUnitSql("doc_id", "fk42")} ASC, doc_id ASC) AS rn
+              |  FROM documents) WHERE rn <= 20""".stripMargin)),
+
+    // Per-type winsorization of event values at [p05, p95]: one percentile
+    // pass → broadcast bounds → narrow clip projection.
+    ("q83_events_winsorize",
+      (s: SparkSession, dir: String) =>
+        Summary.winsorize(Cohorts.events(s, dir), "value",
+            Seq("event_type"), 0.05, 0.95)
+          .select(col("event_id"), col("event_type"), col("value"),
+            col("lo"), col("hi"), col("v_clip"),
+            col("clipped").cast("long").as("clipped")),
+      Some("""WITH b AS (SELECT event_type,
+             |                  ROUND(1e-9 + quantile_cont(value, 0.05), 4) AS lo,
+             |                  ROUND(1e-9 + quantile_cont(value, 0.95), 4) AS hi
+             |           FROM events GROUP BY event_type)
+             |SELECT event_id, e.event_type, value, lo, hi,
+             |       least(greatest(value, lo), hi) AS v_clip,
+             |       CAST(CASE WHEN value < lo OR value > hi
+             |                 THEN 1 ELSE 0 END AS BIGINT) AS clipped
+             |FROM events e JOIN b USING (event_type)""".stripMargin)),
+
+    // BM25 postings: top-10 docs per vocabulary term (df ≥ 5) — the
+    // lexical-retrieval index of a RAG pipeline, Lucene-flavor idf.
+    ("q84_bm25_postings",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.bm25TopDocs(Cohorts.documents(s, dir), 5, 10),
+      Some(s"""WITH ${TextSql.toksCte},
+              |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+              |stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+              |                 CAST(count(*) AS DOUBLE) AS n FROM lens),
+              |tk AS (SELECT doc_id, unnest(t) AS token FROM toks),
+              |tfc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+              |        FROM tk GROUP BY doc_id, token),
+              |dfc AS (SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
+              |        FROM tfc GROUP BY token HAVING count(*) >= 5),
+              |sc AS (SELECT token, tfc.doc_id, tf, doc_freq,
+              |              ln(1.0 + (n - doc_freq + 0.5) / (doc_freq + 0.5))
+              |                * (tf * 2.2)
+              |                / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS score
+              |       FROM tfc JOIN dfc USING (token) JOIN lens USING (doc_id)
+              |            CROSS JOIN stats),
+              |r AS (SELECT *, CAST(row_number() OVER (
+              |        PARTITION BY token
+              |        ORDER BY round(1e-9 + score, 9) DESC, doc_id) AS BIGINT) AS rank
+              |      FROM sc)
+              |SELECT token, doc_id, tf, doc_freq,
+              |       ROUND(1e-9 + score, 6) AS score, rank
+              |FROM r WHERE rank <= 10""".stripMargin)),
+
     // Sparse TF-IDF cosine pairs through the inverted-index join: pairs
     // generated per shared token under a df-cut vocabulary — the shuffle
     // is keyed by token, never the all-pairs cross join.

@@ -95,6 +95,26 @@ object Sampling {
     df.filter(checkedUnit(col(keyCol), seed) <
       least(lit(1.0), greatest(lit(0.0), weight)))
 
+  /** Deterministic fixed-size per-stratum sample: EXACTLY min(k, |stratum|)
+    * rows per stratum, chosen as the k smallest key hashes — the
+    * "give me 10k docs per language" rebalancing step when a rate
+    * ([[stratifiedBernoulli]]) can't guarantee the count. Content-addressed
+    * like every sampler here, with the same nesting property along k:
+    * growing k only ADDS rows (hash order is fixed per stratum), so
+    * budget sweeps are nested samples. One shuffle on the stratum key;
+    * `WindowGroupLimit` prunes each map partition to k rows before the
+    * exchange, so the shuffle carries O(k·|strata|·|maps|), not the corpus. */
+  def stratifiedFixedK(df: DataFrame, strataCol: String, keyCol: String,
+                       k: Int, seed: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(col("__u").asc, col(keyCol).asc)
+    df.withColumn("__u", checkedUnit(col(keyCol), seed))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(df.columns.map(col): _*)
+  }
+
   /** Deterministic train/valid/test assignment: the key hash lands in one
     * of the cumulative-weight buckets. Cumulative bounds are rounded to
     * 12 dp so the thresholds are the exact decimal literals a SQL twin

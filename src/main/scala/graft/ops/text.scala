@@ -204,6 +204,42 @@ object TextAnalysis {
       .select(col("doc_a"), col("doc_b"), graft.Num.rnd(col("sim"), 6).as("sim"))
   }
 
+  /** BM25 postings: for every vocabulary term with doc_freq ≥ `minDf`, the
+    * `topK` highest-BM25 documents (Lucene-flavor idf, k1 = 1.2, b = 0.75) —
+    * the precomputed-postings shape of a corpus search index, and the
+    * lexical-retrieval scorer of a RAG data pipeline. avgdl is computed
+    * from EXACT integer token counts (sum of longs ÷ count), so the
+    * normalization constant is engine-identical. Plan: tf hash-agg →
+    * df-filtered vocabulary join → per-term `WindowGroupLimit` top-k, all
+    * shuffles keyed by (doc, token) or token, partial-aggregated. */
+  def bm25TopDocs(docs: org.apache.spark.sql.DataFrame, minDf: Long = 5,
+                  topK: Int = 10): org.apache.spark.sql.DataFrame = {
+    val lens = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+    val Seq(sumDl, nDocs) = lens.agg(sum("dl"), count(lit(1)))
+      .head().toSeq.map(_.asInstanceOf[Long])
+    val avgdl = sumDl.toDouble / nDocs
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy("token").agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDf)
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("doc_freq") + 0.5) / (col("doc_freq") + 0.5))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("token")
+      .orderBy(graft.Num.rnd(col("score"), 9).desc, col("doc_id").asc)
+    // k1 = 1.2, b = 0.75: every inexact constant appears as the SAME
+    // decimal literal the oracle SQL uses (2.2 = k1+1 precomputed, 0.25 =
+    // 1−b) — a k1+1 evaluated in Scala could round to a different double
+    // than the SQL parser's 2.2.
+    tf.join(dfr, "token").join(lens, "doc_id")
+      .withColumn("score", idf * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("token"), col("doc_id"), col("tf"), col("doc_freq"),
+        graft.Num.rnd(col("score"), 6).as("score"), col("rank"))
+  }
+
   /** Per-language token-count statistics — the planning input a packing /
     * token-budget step keys on (corpus composition, typical document
     * length, tail length). Exact interpolated percentiles via the

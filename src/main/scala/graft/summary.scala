@@ -175,4 +175,25 @@ object Summary {
       expr("percentile(distance_to_nearest_neighbor, 0.99)").as("p99"),
       max(d).as("max"))
   }
+
+  /** Per-group winsorization: clip `valueCol` to its group's
+    * [pLo, pHi] exact interpolated percentiles — the outlier-capping
+    * pass feature pipelines run before normalization (heavy-tailed spend /
+    * length columns). Plan: ONE partial-aggregated percentile pass over
+    * the groups (the bounds relation is |groups| rows), broadcast back,
+    * clip as a narrow projection. The bounds stay attached to each row so
+    * downstream audits see WHAT was clipped, and `clipped` flags it. */
+  def winsorize(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"need 0 <= pLo < pHi <= 1, got [$pLo, $pHi]")
+    // Bounds are ROUNDED (4 dp, the shared +1e-9 convention) before any
+    // comparison: an interpolated percentile is a float whose last ulp can
+    // differ across engines, and a clip threshold must not.
+    val bounds = df.groupBy(groupCols.map(col(_)): _*)
+      .agg(Num.rnd(expr(s"percentile($valueCol, $pLo)"), 4).as("lo"),
+           Num.rnd(expr(s"percentile($valueCol, $pHi)"), 4).as("hi"))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn("v_clip", least(greatest(col(valueCol), col("lo")), col("hi")))
+      .withColumn("clipped", (col(valueCol) < col("lo") || col(valueCol) > col("hi")))
+  }
 }

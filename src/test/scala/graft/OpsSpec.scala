@@ -732,6 +732,61 @@ class OpsSpec extends SparkSpec {
     assert(out(1) == ((2L, 1.0e-9, 0L, 0L, 0L, 1.0e-9)))
   }
 
+  test("stratifiedFixedK takes exactly k per stratum, nested along k") {
+    val d = (1L to 300L).map(i => (i, if (i % 3 == 0) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val s5 = Sampling.stratifiedFixedK(d, "lang", "doc_id", 5, "s")
+    assert(s5.groupBy("lang").count().as[(String, Long)].collect().toMap
+      == Map("en" -> 5L, "fr" -> 5L))
+    assert(s5.columns.toSeq == d.columns.toSeq) // helper columns dropped
+    // nesting: the k=3 sample is a strict subset of the k=5 sample
+    val s3 = Sampling.stratifiedFixedK(d, "lang", "doc_id", 3, "s")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s3.subsetOf(
+      s5.select("doc_id").as[Long].collect().toSet) && s3.size == 6)
+    // k beyond the stratum size returns the whole stratum, no padding
+    val tiny = Seq((1L, "en"), (2L, "en")).toDF("doc_id", "lang")
+    assert(Sampling.stratifiedFixedK(tiny, "lang", "doc_id", 99, "s").count() == 2)
+    // null keys are rejected, not silently dropped
+    intercept[Exception] {
+      Sampling.stratifiedFixedK(Seq((Some(1L), "en"), (None, "en"))
+        .toDF("doc_id", "lang"), "lang", "doc_id", 1, "s").collect()
+    }
+  }
+
+  test("winsorize clips at rounded per-group interpolated percentiles") {
+    val d = (1 to 20).map(i => ("a", i.toDouble)) :+ (("b", 100.0))
+    val out = Summary.winsorize(d.toDF("g", "v"), "v", Seq("g"), 0.05, 0.95)
+      .select("g", "v", "lo", "hi", "v_clip", "clipped")
+      .as[(String, Double, Double, Double, Double, Boolean)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    // group a, n=20: lo = 1 + 0.95·1 = 1.95, hi = 19 + 0.05·1 = 19.05
+    val a = out.filter(_._1 == "a")
+    assert(a.head == (("a", 1.0, 1.95, 19.05, 1.95, true)))
+    assert(a.last == (("a", 20.0, 1.95, 19.05, 19.05, true)))
+    assert(a(9) == (("a", 10.0, 1.95, 19.05, 10.0, false)))
+    assert(a.count(_._6) == 2) // only the two extremes clip
+    // singleton group: both bounds equal the value, nothing clips
+    assert(out.filter(_._1 == "b") == Seq(("b", 100.0, 100.0, 100.0, 100.0, false)))
+    assertThrows[IllegalArgumentException](
+      Summary.winsorize(d.toDF("g", "v"), "v", Seq("g"), 0.9, 0.1))
+  }
+
+  test("bm25TopDocs scores and ranks postings for df-filtered terms") {
+    val d = docs((1L, "a a b"), (2L, "a c"), (3L, "x y z"))
+    val out = TextAnalysis.bm25TopDocs(d, minDf = 2, topK = 10)
+      .as[(String, Long, Long, Long, Double, Long)].collect().sortBy(_._6).toSeq
+    // only "a" has df >= 2; N=3, avgdl=8/3
+    val avgdl = 8.0 / 3
+    val idf = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    def score(tf: Long, dl: Long) =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert(out.map(r => (r._1, r._2, r._3, r._4, r._6)) == Seq(
+      ("a", 1L, 2L, 2L, 1L), ("a", 2L, 1L, 2L, 2L)))
+    assert(math.abs(out(0)._5 - score(2, 3)) < 1e-6)
+    assert(math.abs(out(1)._5 - score(1, 2)) < 1e-6)
+  }
+
   test("sparseCosinePairs: token-join cosine with df-cut vocabulary") {
     val d = docs((1L, "a b"), (2L, "a c"), (3L, "x y"))
     val out = TextAnalysis.sparseCosinePairs(d, 0.0, 1000)
