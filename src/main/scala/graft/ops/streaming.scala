@@ -264,6 +264,72 @@ object EventOps {
       count(lit(1)).over(w).as("n_window"))
   }
 
+  /** Funnel stream state per user: committed step-completion epoch-seconds
+    * (a prefix of the step chain, each ≤ the watermark when committed) and
+    * the not-yet-sealed events. */
+  final case class FunnelBuf(chain: Seq[Long], buf: Seq[(Long, Int)])
+  final case class FunnelOut(user_id: Long, step: Int, step_ts: Long)
+
+  /** Streaming twin of [[funnel]] — emits (user, step, completion second)
+    * exactly when a step commitment becomes WATERMARK-FINAL. Step i's
+    * completion tᵢ = min{ts of step-i events > tᵢ₋₁} is committed only
+    * once the watermark passes tᵢ: any later-arriving event has ts > wm ≥
+    * tᵢ, so it can neither improve the min NOR disturb the committed
+    * prefix — the same finalize-under-the-watermark argument as
+    * [[asofJoinStream]], applied to a chain. State per user is the
+    * committed chain (≤ |steps| longs) plus only the events still above
+    * the watermark: O(horizon), not history. An event-time timeout at the
+    * earliest unsealed event flushes commitments through no-data batches.
+    *
+    * Input: (user_id, event-time ts, step index 0..k−1). Output rows union
+    * to exactly the non-null step columns of batch [[funnel]] once the
+    * watermark passes the last event (OpsSpec pins this equivalence with
+    * out-of-order and late-but-admissible deliveries). */
+  def funnelStream(events: Dataset[(Long, java.sql.Timestamp, Int)],
+                   nSteps: Int,
+                   watermark: String = "2 hours"): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    require(nSteps >= 1, s"nSteps must be >= 1, got $nSteps")
+    events
+      .withWatermark("_2", watermark)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelBuf, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[FunnelBuf]) =>
+          val prev = state.getOption.getOrElse(FunnelBuf(Nil, Nil))
+          val buf = prev.buf ++ rows.map(r => (r._2.getTime / 1000, r._3))
+          val wmSec = state.getCurrentWatermarkMs() / 1000
+          val (finalized, open) = buf.partition(_._1 <= wmSec)
+          // extend the committed chain greedily over the sealed events;
+          // each newly committed step must itself be watermark-final
+          var chain = prev.chain
+          val out = scala.collection.mutable.ListBuffer.empty[FunnelOut]
+          var advanced = true
+          while (advanced && chain.size < nSteps) {
+            val need = chain.size // next step index
+            val after = chain.lastOption.getOrElse(Long.MinValue)
+            val cand = finalized.collect {
+              case (ts, s) if s == need && ts > after => ts }
+            advanced = false
+            if (cand.nonEmpty && cand.min <= wmSec) {
+              chain = chain :+ cand.min
+              out += FunnelOut(user, need + 1, cand.min)
+              advanced = true
+            }
+          }
+          // sealed events can't contribute further: steps they could
+          // complete are committed or permanently blocked below the chain
+          if (chain.size == nSteps && open.isEmpty) {
+            state.remove()
+          } else {
+            state.update(FunnelBuf(chain, open))
+            if (open.nonEmpty)
+              state.setTimeoutTimestamp(open.map(_._1).min * 1000 + 1000)
+          }
+          out.iterator
+      }
+  }
+
   /** Open-session buffer: (epoch-second, value) events not yet emitted —
     * only sessions the watermark has not closed, so state size is bounded
     * by the watermark horizon's events per user, not history. */

@@ -862,6 +862,52 @@ class OpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: late earlier steps revise the chain before commit") {
+    implicit val sq = spark.sqlContext
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // (user_id, ts, step_idx). The step-3 completion at 10:20 arrives
+    // BEFORE the 10:10 step-2 event that ends up defining the chain: an
+    // eager (non-watermark) funnel would commit t2=10:30 and t3=10:40.
+    val b1 = Seq((1L, ts("2024-05-01 10:00:00"), 0),
+                 (1L, ts("2024-05-01 10:30:00"), 1),
+                 (1L, ts("2024-05-01 10:20:00"), 2),
+                 (1L, ts("2024-05-01 10:40:00"), 2),
+                 (2L, ts("2024-05-01 10:00:00"), 1)) // never does step 0
+    val b2 = Seq((1L, ts("2024-05-01 10:10:00"), 1)) // late but admissible
+    val b3 = Seq((99L, ts("2030-01-01 00:00:00"), 0)) // watermark push
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Int)]
+    val q = EventOps.funnelStream(stream.toDS().map(identity), 3, "1 hour")
+      .writeStream.format("memory").queryName("funnel_ooo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(b1, b2, b3).foreach { b => stream.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("funnel_ooo")
+        .as[(Long, Int, Long)].collect().toSet
+      val t = (s: String) => ts(s).getTime / 1000
+      assert(streamed == Set(
+        (1L, 1, t("2024-05-01 10:00:00")),
+        (1L, 2, t("2024-05-01 10:10:00")),
+        (1L, 3, t("2024-05-01 10:20:00"))))
+      // batch equivalence: the emitted steps are exactly the non-null
+      // step columns of the batch funnel over the same events
+      val names = Map(0 -> "view", 1 -> "click", 2 -> "purchase")
+      val batch = EventOps.funnel(
+          (b1 ++ b2 ++ b3).zipWithIndex.map { case ((u, t0, s), i) =>
+            (i.toLong, t0, u, names(s), 0.0) }
+            .toDF("event_id", "ts", "user_id", "event_type", "value"),
+          Seq("view", "click", "purchase"))
+        .as[(Long, Option[String], Option[String], Option[String], Long)]
+        .collect()
+        .flatMap { case (u, t1, t2, t3, _) =>
+          Seq(t1, t2, t3).zipWithIndex.collect {
+            case (Some(x), i) => (u, i + 1, java.sql.Timestamp.valueOf(x).getTime / 1000) } }
+        .toSet
+      // user 99's sentinel is above the final watermark — uncommitted in
+      // the stream by design, so it drops from the comparison
+      assert(streamed == batch.filterNot(_._1 == 99L))
+    } finally q.stop()
+  }
+
   test("spanDedup keeps first corpus-order span occurrence and reassembles") {
     val d = docs(
       (0L, "a b c d e f g h i j k l"),   // 4 clean spans at w=3
