@@ -1551,6 +1551,59 @@ object SparkEntry {
               |WHERE ${Sampling.hashUnitSql("doc_id", "w42")} <
               |      least(1.0, greatest(0.0, ${TextSql.qualityScoreFromM}))""".stripMargin)),
 
+    // Hard-negative mining: top-10 corpus vectors per query INSIDE the
+    // similarity band [0.1, 0.5) — below the positive ceiling, above the
+    // uninformative floor (contrastive-training pair construction).
+    ("q85_hard_negatives",
+      (s: SparkSession, dir: String) => {
+        val e = Cohorts.embeddings(s, dir)
+        Similarity.hardNegatives(e, e.filter(col("vec_id") % 50 === 0),
+          10, 0.1, 0.5)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+             |p AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             |             list_cosine_similarity(q.v, c.v) AS sim
+             |      FROM q JOIN e c ON q.vec_id <> c.vec_id),
+             |b AS (SELECT * FROM p WHERE round(1e-9 + sim, 9) >= 0.1
+             |                       AND round(1e-9 + sim, 9) < 0.5),
+             |r AS (SELECT *, CAST(row_number() OVER (
+             |        PARTITION BY q_id ORDER BY round(1e-9 + sim, 9) DESC, c_id) AS BIGINT) AS rank
+             |      FROM b)
+             |SELECT q_id, c_id, rank, ROUND(1e-9 + sim, 6) AS sim
+             |FROM r WHERE rank <= 10""".stripMargin)),
+
+    // Per-source corpus composition report: one partial-aggregated pass.
+    ("q86_corpus_report",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.corpusReport(Cohorts.documents(s, dir)),
+      Some(s"""WITH ${TextSql.toksCte},
+              |${TextSql.qualitySignalsCte(" source, lang,")}
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |       CAST(sum(n) AS BIGINT) AS total_tokens,
+              |       ROUND(1e-9 + avg(least(1.0, n / 100) * 0.4
+              |         + (stop / n) * 0.3 + ttr * 0.3), 4) AS mean_quality,
+              |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+              |       ROUND(1e-9 + CAST(sum(CASE WHEN n < 20 THEN 1 ELSE 0 END)
+              |         AS DOUBLE) / count(*), 4) AS short_doc_frac
+              |FROM m GROUP BY source""".stripMargin)),
+
+    // DAU + 7-day rolling distinct actives: rolling COUNT DISTINCT as
+    // coverage-explode + hash agg (no window-distinct in either engine).
+    ("q87_rolling_dau",
+      (s: SparkSession, dir: String) =>
+        EventOps.rollingActiveUsers(Cohorts.events(s, dir)),
+      Some("""WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+             |           FROM events),
+             |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+             |        FROM p GROUP BY day),
+             |cov AS (SELECT user_id, day + CAST(o AS INTEGER) AS day
+             |        FROM p, unnest(generate_series(0, 6)) AS t(o)),
+             |d7 AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau7d
+             |       FROM cov GROUP BY day)
+             |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau, dau7d
+             |FROM dau JOIN d7 USING (day)""".stripMargin)),
+
     // Deterministic fixed-size per-stratum sample: exactly min(k, |lang|)
     // docs per language by smallest key hash — WindowGroupLimit prunes
     // map-side, shuffle carries O(k·strata·maps).

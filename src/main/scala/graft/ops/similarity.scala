@@ -63,6 +63,27 @@ object Similarity {
     ranked(joined, k)
   }
 
+  /** Hard-negative mining: for each query, the `k` MOST similar corpus
+    * vectors whose similarity sits in [simLo, simHi) — just below the
+    * positive/near-dup ceiling. The pair-construction step of contrastive
+    * embedding training: negatives too similar are false negatives
+    * (they're positives), too dissimilar are uninformative; the band keeps
+    * the gradient-bearing middle. Band membership is decided on the
+    * 9 dp-rounded similarity (engine-stable, same convention as ranking).
+    * Brute-force exact like [[cosineTopK]]; at corpus scale the candidate
+    * generation drops to the same cell-pruned/LSH candidate joins, with the
+    * band filter applied after exact verification. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    simLo: Double, simHi: Double): DataFrame = {
+    require(simLo < simHi, s"need simLo < simHi, got [$simLo, $simHi)")
+    val joined = prep(corpus, "c_").crossJoin(broadcast(prep(queries, "q_")))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("sim", dotD(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .filter(graft.Num.rnd(col("sim"), 9) >= simLo &&
+        graft.Num.rnd(col("sim"), 9) < simHi)
+    ranked(joined, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: exact all-pairs self-join with
     * the dot-product kernel, `a < b` dedupe, cosine ≥ threshold. The
     * brute-force baseline — at corpus scale the candidate set shrinks via

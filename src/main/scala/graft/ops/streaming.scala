@@ -264,6 +264,26 @@ object EventOps {
       count(lit(1)).over(w).as("n_window"))
   }
 
+  /** Daily active users + 7-day rolling distinct actives per day. A
+    * rolling COUNT DISTINCT has no window form in either engine; the
+    * scalable construction turns it into plain aggregation: dedupe to
+    * (user, day) pairs, then each pair COVERS days d..d+6, so exploding the
+    * 7-day coverage and counting distinct users per covered day IS the
+    * trailing-window distinct — two hash aggs + one 7× projection, no
+    * per-day rescans. Output: one row per day WITH events (day, dau,
+    * dau7d); the trailing window is [day−6, day]. */
+  def rollingActiveUsers(events: DataFrame): DataFrame = {
+    val pairs = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = pairs.groupBy("day").agg(count(lit(1)).as("dau"))
+    val dau7 = pairs
+      .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("o"), col("day"))
+      .select(col("user_id"), date_add(col("day"), col("o")).as("day"))
+      .groupBy("day").agg(countDistinct("user_id").as("dau7d"))
+    dau.join(dau7, "day")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("dau7d"))
+  }
+
   /** Funnel stream state per user: committed step-completion epoch-seconds
     * (a prefix of the step chain, each ≤ the watermark when committed) and
     * the not-yet-sealed events. */

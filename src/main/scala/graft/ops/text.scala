@@ -204,6 +204,26 @@ object TextAnalysis {
       .select(col("doc_a"), col("doc_b"), graft.Num.rnd(col("sim"), 6).as("sim"))
   }
 
+  /** Per-source corpus composition report — the curation dashboard row a
+    * data team reads before deciding rates/budgets per source: document and
+    * token volume, mean quality, language spread, short-doc share. ONE
+    * partial-aggregated shuffle on source; every signal is a scan-local
+    * expression, so the whole report is one pass over the corpus. */
+  def corpusReport(docs: org.apache.spark.sql.DataFrame,
+                   shortDocTokens: Int = 20): org.apache.spark.sql.DataFrame = {
+    val n = size(tokens(col("text"))).cast("long")
+    docs.select(col("source"), col("lang"), n.as("n"),
+        qualityScore(col("text")).as("q"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n").as("total_tokens"),
+        graft.Num.rnd(avg("q"), 4).as("mean_quality"),
+        countDistinct("lang").as("n_langs"),
+        graft.Num.rnd(
+          sum(when(col("n") < shortDocTokens, 1L).otherwise(0L)).cast("double")
+            / count(lit(1)), 4).as("short_doc_frac"))
+  }
+
   /** BM25 postings: for every vocabulary term with doc_freq ≥ `minDf`, the
     * `topK` highest-BM25 documents (Lucene-flavor idf, k1 = 1.2, b = 0.75) —
     * the precomputed-postings shape of a corpus search index, and the

@@ -732,6 +732,56 @@ class OpsSpec extends SparkSpec {
     assert(out(1) == ((2L, 1.0e-9, 0L, 0L, 0L, 1.0e-9)))
   }
 
+  test("hardNegatives keeps only the similarity band, ranked desc") {
+    val d = Seq(
+      (1L, Array(1.0f, 0.0f)),       // query
+      (2L, Array(1.0f, 0.0f)),       // sim 1.0 — above ceiling, excluded
+      (3L, Array(0.0f, 1.0f)),       // sim 0.0 — below floor, excluded
+      (4L, Array(1.0f, 2.0f)),       // sim ≈ 0.447 — in band
+      (5L, Array(1.0f, 3.0f)))       // sim ≈ 0.316 — in band, ranked 2nd
+      .toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(d, d.filter(col("vec_id") === 1), 10, 0.1, 0.5)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._3).toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) == Seq((1L, 4L, 1L), (1L, 5L, 2L)))
+    assert(math.abs(out(0)._4 - 1 / math.sqrt(5)) < 1e-6)
+    // ceiling is exclusive: a band ending at 1.0 still drops the exact dup
+    assert(Similarity.hardNegatives(d, d.filter(col("vec_id") === 1), 10, 0.9, 1.0)
+      .count() == 0)
+  }
+
+  test("corpusReport aggregates per-source composition in one pass") {
+    val d = Seq(
+      (1L, "web", "en", "a b c"),
+      (2L, "web", "de", (1 to 30).map("w" + _).mkString(" ")),
+      (3L, "books", "en", "x y"))
+      .toDF("doc_id", "source", "lang", "text")
+    val out = TextAnalysis.corpusReport(d, shortDocTokens = 20)
+      .as[(String, Long, Long, Double, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(out.map(r => (r._1, r._2, r._3, r._5)) ==
+      Seq(("books", 1L, 2L, 1L), ("web", 2L, 33L, 2L)))
+    assert(out(1)._6 == 0.5) // the 3-token web doc is short, the 30-token isn't
+    assert(out(0)._6 == 1.0)
+  }
+
+  test("rollingActiveUsers: 7-day trailing distinct via coverage explode") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L), // u1 day 1
+      (2L, ts("2024-01-01 11:00:00"), 1L), // same user+day → one pair
+      (3L, ts("2024-01-01 12:00:00"), 2L), // u2 day 1
+      (4L, ts("2024-01-05 10:00:00"), 2L), // u2 day 5
+      (5L, ts("2024-01-09 10:00:00"), 3L)) // u3 day 9: u2@d5 in window, u1/u2@d1 not
+      .map { case (id, t, u) => (id, t, u, "view", 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.rollingActiveUsers(e)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      ("2024-01-01", 2L, 2L),
+      ("2024-01-05", 1L, 2L),   // u2 ∪ {u1,u2 from day 1} = {1,2}
+      ("2024-01-09", 1L, 2L))) // u3 ∪ {u2 from day 5}; day-1 pairs aged out
+  }
+
   test("stratifiedFixedK takes exactly k per stratum, nested along k") {
     val d = (1L to 300L).map(i => (i, if (i % 3 == 0) "en" else "fr"))
       .toDF("doc_id", "lang")
