@@ -472,6 +472,74 @@ class PropertySpec extends SparkSpec {
     assert(base == run(docs.orderBy(col("text"))))
   }
 
+  test("property: funnel equals a reference fold on arbitrary event logs") {
+    val names = Vector("view", "click", "purchase")
+    val evGen: Gen[List[(Long, Long, Int)]] = Gen.listOfN(60, for {
+      u <- Gen.choose(1L, 5L)
+      sec <- Gen.choose(0L, 86400L * 5)
+      step <- Gen.choose(0, 2)
+    } yield (u, sec, step))
+    for (events <- sampled(evGen, 8, 77L)) {
+      val base = 1700000000L // whole seconds → second-grain truncation is a no-op
+      val df = events.zipWithIndex.map { case ((u, sec, st), i) =>
+        (i.toLong, new java.sql.Timestamp((base + sec) * 1000), u, names(st), 0.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val got = graft.ops.EventOps.funnel(df, names)
+        .as[(Long, Option[String], Option[String], Option[String], Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      val want = events.groupBy(_._1).map { case (u, es) =>
+        val byStep = (0 to 2).map(s => es.filter(_._3 == s).map(_._2 + base))
+        var prev = Long.MinValue
+        val ts = (0 to 2).map { s =>
+          val c = if (prev == Long.MaxValue) Nil else byStep(s).filter(_ > prev)
+          if (c.nonEmpty) { prev = c.min; Some(c.min) }
+          else { prev = Long.MaxValue; None }
+        }
+        val fmt = (o: Option[Long]) => o.map(t =>
+          java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+            .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.ofEpochSecond(t)))
+        u -> ((fmt(ts(0)), fmt(ts(1)), fmt(ts(2)), ts.count(_.isDefined).toLong))
+      }
+      assert(got == want, s"events=${events.take(10)}…")
+    }
+  }
+
+  test("property: rollingActiveUsers equals the brute trailing-window scan") {
+    val evGen: Gen[List[(Long, Int)]] = Gen.listOfN(50, for {
+      u <- Gen.choose(1L, 6L)
+      day <- Gen.choose(0, 20)
+    } yield (u, day))
+    for (events <- sampled(evGen, 8, 99L)) {
+      val base = java.time.LocalDate.of(2024, 3, 1)
+      val df = events.zipWithIndex.map { case ((u, d), i) =>
+        (i.toLong, java.sql.Timestamp.valueOf(base.plusDays(d).atTime(12, 0)),
+          u, "view", 0.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val got = graft.ops.EventOps.rollingActiveUsers(df)
+        .as[(String, Long, Long)].collect().toSet
+      val pairs = events.distinct
+      val want = pairs.map(_._2).distinct.map { d =>
+        (base.plusDays(d).toString,
+          pairs.filter(_._2 == d).map(_._1).distinct.size.toLong,
+          pairs.filter(p => p._2 <= d && p._2 >= d - 6).map(_._1).distinct.size.toLong)
+      }.toSet
+      assert(got == want)
+    }
+  }
+
+  test("inverted-index text ops never plan a cartesian stage") {
+    val docs = (0L until 40L).map(i =>
+      (i, "src", "en", (1 to (i % 9 + 2).toInt).map("w" + _).mkString(" ")))
+      .toDF("doc_id", "source", "lang", "text")
+    for (df <- Seq(
+        graft.ops.TextAnalysis.sparseCosinePairs(docs, 0.1, 30),
+        graft.ops.TextAnalysis.bm25TopDocs(docs, 2, 5))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan.take(2000))
+      assert(!plan.contains("BroadcastNestedLoop"), plan.take(2000))
+    }
+  }
+
   test("salted pairs relation equals the plain equi-join pairs relation") {
     val c = encode(List(CRow(1, 1.0, 5.0, "x"), CRow(2, 2.0, 6.0, "y"),
       CRow(3, 3.0, 7.0, "x"), CRow(4, 4.0, 8.0, "z")))
