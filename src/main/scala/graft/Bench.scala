@@ -113,11 +113,17 @@ object Bench {
     val results = queries.map { case (name, _) =>
       name -> runs.getOrElse(name, Nil).minOption.getOrElse(9999.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The harness keeps only the last 2000 chars of stdout and parses the
+    // JSON line out of that tail; with ~90 queries at full double precision
+    // the line is >4000 chars and the parse silently fails. Keep the line
+    // compact: qNN short keys + 3-decimal seconds (full names go to stderr).
+    def r3(v: Double): String = f"$v%.3f"
+    results.foreach { case (k, v) => System.err.println(f"[bench] final $k%-28s ${r3(v)}%8s s") }
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
