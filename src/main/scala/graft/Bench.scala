@@ -113,17 +113,26 @@ object Bench {
     val results = queries.map { case (name, _) =>
       name -> runs.getOrElse(name, Nil).minOption.getOrElse(9999.0)
     }
-    // The harness keeps only the last 2000 chars of stdout and parses the
-    // JSON line out of that tail; with ~90 queries at full double precision
-    // the line is >4000 chars and the parse silently fails. Keep the line
-    // compact: qNN short keys + 3-decimal seconds (full names go to stderr).
-    def r3(v: Double): String = f"$v%.3f"
-    results.foreach { case (k, v) => System.err.println(f"[bench] final $k%-28s ${r3(v)}%8s s") }
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+    // The harness keeps only the last 2000 chars of the captured stream and
+    // parses the JSON line out of that tail. Two hard requirements follow:
+    // the line must be < ~1500 chars (qNN short keys + 3-decimal seconds;
+    // full names already went to stderr during the passes), and it must be
+    // the ABSOLUTE LAST output — r6 lost the whole report because a final
+    // stderr dump interleaved after the println and pushed its head out of
+    // the tail. So: stop Spark (its shutdown chatter goes to stderr/log4j
+    // but do it first anyway), then print exactly one line and flush.
+    // Locale.ROOT keeps the decimal separator a dot under any JVM locale.
+    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
+    require(shortKeys.distinct.size == shortKeys.size,
+      s"duplicate short query keys would corrupt the JSON report: ${shortKeys.diff(shortKeys.distinct)}")
+    val qs = shortKeys.zip(results.map(_._2))
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

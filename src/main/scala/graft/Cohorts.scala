@@ -34,14 +34,26 @@ object Cohorts {
     table(spark, dir, "embeddings").repartition(n)
   }
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default; read nanos as long and convert to a microsecond timestamp
-    * (sub-second analytics here are at second grain or coarser, so the
-    * truncation is observation-free). */
+  /** events loader, tolerant of the physical `ts` encoding — the driver's
+    * generator has shipped TIMESTAMP(NANOS) (readable only as BIGINT),
+    * plain BIGINT nanos (StressGen output), and TIMESTAMP(MICROS)
+    * isAdjustedToUTC=false (⇒ TIMESTAMP_NTZ in Spark 4). All are
+    * normalized to session-zone TIMESTAMP at microsecond grain: downstream
+    * ops use `unix_micros`/`window()`, which require TimestampType, and
+    * every entrypoint pins the session to UTC so the NTZ→LTZ cast is a
+    * relabeling, not a shift. Branching on the *read* schema (instead of
+    * assuming one encoding) makes a testdata regeneration a no-op here
+    * rather than an analysis error in nine queries. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long: integer-divide to micros
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Base cohort frame: month, idx, value, features, c_acctbal, consent. */

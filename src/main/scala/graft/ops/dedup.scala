@@ -235,7 +235,7 @@ object Dedup {
     val longIds = edges.schema.fields.forall(_.dataType ==
       org.apache.spark.sql.types.LongType)
     if (longIds && edges.count() <= driverThreshold)
-      return unionFindLocal(edges)
+      return unionFindLocal(edges, driverThreshold)
     // Each round is eagerly materialized into an RDD-backed copy
     // (Bridge.materialized): the flat LogicalRDD plan doesn't deepen by two
     // joins per iteration, and — unlike Dataset.localCheckpoint, whose
@@ -299,11 +299,17 @@ object Dedup {
     * Long] edge array dominates; Tuple2 is @specialized on Long). Path
     * compression + min-root union: the sorted remap makes the min INDEX
     * the min ID, so every root is its component's min id. */
-  private def unionFindLocal(edges: DataFrame): DataFrame = {
+  private def unionFindLocal(edges: DataFrame, bound: Long): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val arr = edges.select(col("u").cast("long"), col("v").cast("long"))
       .as[(Long, Long)].collect()
+    // The driver-memory guard, enforced (not just narrated in the dispatch
+    // comment): a future caller that skips the count-gated dispatch must
+    // not be able to collect an unbounded edge list onto the driver.
+    require(arr.length <= bound,
+      s"unionFindLocal collected ${arr.length} edges > driver bound $bound — " +
+        "route this graph through label propagation")
     edges.unpersist()
     // every vertex appears on the u side (edges carry both orientations)
     val ids = arr.map(_._1)

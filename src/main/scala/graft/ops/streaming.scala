@@ -264,6 +264,65 @@ object EventOps {
       count(lit(1)).over(w).as("n_window"))
   }
 
+  /** Rolling-stats stream state per user: the ≤ n−1 most recent SEALED
+    * (tsUs, event_id, value) rows — the frame prefix every future event
+    * needs — plus the not-yet-sealed arrivals. */
+  final case class RollBuf(tail: Seq[(Long, Long, Double)],
+                           buf: Seq[(Long, Long, Double)])
+  final case class RollOut(user_id: Long, event_id: Long,
+                           roll_sum: Double, roll_avg: Double, n_window: Long)
+
+  /** Streaming twin of [[rollingStats]] — emits each event's last-`n`
+    * rolling sum/avg exactly when the event becomes WATERMARK-FINAL.
+    * An event at (tsec, event_id) is sealed once the watermark passes
+    * tsec: any later arrival has ts > wm ≥ tsec, sorts strictly after it
+    * in the (tsec, event_id) frame order, and a backward-looking row frame
+    * can't be changed by rows that sort after — the same
+    * finalize-under-the-watermark argument as [[asofJoinStream]].
+    *
+    * Input: (user_id, ts, event_id, value), second-truncated upstream or
+    * not (truncation applied here). State per user is O(n): sealed rows
+    * collapse to the last n−1 (all any future frame can reach) plus the
+    * unsealed arrivals within the watermark horizon. A timeout just past
+    * the earliest unsealed event flushes it on no-data micro-batches. */
+  def rollingStatsStream(
+      events: Dataset[(Long, java.sql.Timestamp, Long, Double)],
+      n: Int = 5, watermark: String = "2 hours"): Dataset[RollOut] = {
+    require(n >= 1, s"window size must be >= 1, got $n")
+    import events.sparkSession.implicits._
+    val tsUs = (t: java.sql.Timestamp) =>
+      t.getTime / 1000 * 1000000L // second truncation, like the batch twin
+    def rnd(v: Double, s: Int): Double =
+      BigDecimal(v + 1e-9).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    events
+      .withWatermark("_2", watermark)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RollBuf, RollOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[RollBuf]) =>
+          val prev = state.getOption.getOrElse(RollBuf(Nil, Nil))
+          val buf = prev.buf ++ rows.map(r => (tsUs(r._2), r._3, r._4))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, pending) = buf.partition(_._1 <= wmUs)
+          val sealedOrder = ready.sortBy(r => (r._1, r._2))
+          // running frame: previous tail + sealed-so-far, windowed to n
+          var frame = prev.tail
+          val out = sealedOrder.map { case (_, eid, v) =>
+            frame = (frame :+ (0L, eid, v)).takeRight(n)
+            val vs = frame.map(_._3)
+            RollOut(user, eid, rnd(vs.sum, 2), rnd(vs.sum / vs.size, 4), vs.size.toLong)
+          }
+          val tail = (prev.tail ++ sealedOrder).takeRight(n - 1)
+          if (tail.isEmpty && pending.isEmpty) state.remove()
+          else {
+            state.update(RollBuf(tail, pending))
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(pending.map(_._1).min / 1000L + 1000L)
+          }
+          out.iterator
+      }
+  }
+
   /** Daily active users + 7-day rolling distinct actives per day. A
     * rolling COUNT DISTINCT has no window form in either engine; the
     * scalable construction turns it into plain aggregation: dedupe to

@@ -184,16 +184,31 @@ object Summary {
     * clip as a narrow projection. The bounds stay attached to each row so
     * downstream audits see WHAT was clipped, and `clipped` flags it. */
   def winsorize(df: DataFrame, valueCol: String, groupCols: Seq[String],
-                pLo: Double, pHi: Double): DataFrame = {
+                pLo: Double, pHi: Double): DataFrame =
+    winsorizeWithBounds(df, valueCol, groupCols,
+      winsorizeBounds(df, valueCol, groupCols, pLo, pHi))
+
+  /** The per-group clip bounds relation (|groups| rows). Bounds are
+    * ROUNDED (4 dp, the shared +1e-9 convention) before any comparison:
+    * an interpolated percentile is a float whose last ulp can differ
+    * across engines, and a clip threshold must not. */
+  def winsorizeBounds(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                      pLo: Double, pHi: Double): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"need 0 <= pLo < pHi <= 1, got [$pLo, $pHi]")
-    // Bounds are ROUNDED (4 dp, the shared +1e-9 convention) before any
-    // comparison: an interpolated percentile is a float whose last ulp can
-    // differ across engines, and a clip threshold must not.
-    val bounds = df.groupBy(groupCols.map(col(_)): _*)
+    df.groupBy(groupCols.map(col(_)): _*)
       .agg(Num.rnd(expr(s"percentile($valueCol, $pLo)"), 4).as("lo"),
            Num.rnd(expr(s"percentile($valueCol, $pHi)"), 4).as("hi"))
+  }
+
+  /** Clip against a precomputed bounds relation — a stateless broadcast
+    * join + projection, so it runs unchanged over a STREAM (stream-static
+    * join): compute [[winsorizeBounds]] over history in batch, apply to
+    * live events as they arrive. This split is exactly how a production
+    * pipeline streams a two-pass operator whose first pass (global
+    * percentiles) has no streaming form. */
+  def winsorizeWithBounds(df: DataFrame, valueCol: String,
+                          groupCols: Seq[String], bounds: DataFrame): DataFrame =
     df.join(broadcast(bounds), groupCols)
       .withColumn("v_clip", least(greatest(col(valueCol), col("lo")), col("hi")))
       .withColumn("clipped", (col(valueCol) < col("lo") || col(valueCol) > col("hi")))
-  }
 }

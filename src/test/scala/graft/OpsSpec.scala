@@ -350,6 +350,20 @@ class OpsSpec extends SparkSpec {
     assert(out(1) == ((2L, "de", 0))) // all-zero tie → alphabetical first
   }
 
+  test("events loader normalizes ts to TimestampType on the real testdata (all SFs)") {
+    // Guard against driver-side testdata regeneration changing the physical
+    // ts encoding under us (r6 lost nine queries to exactly that): whatever
+    // the parquet carries, the loader must hand downstream ops a
+    // session-zone TIMESTAMP that unix_micros accepts.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val e = Cohorts.events(spark, s"/root/testdata/$sf")
+      assert(e.schema("ts").dataType == org.apache.spark.sql.types.TimestampType,
+        s"$sf: ts is ${e.schema("ts").dataType}")
+      // unix_micros is what asofJoin/rangeJoinCount call — fail here, loudly
+      assert(e.select(unix_micros($"ts")).limit(1).count() == 1, s"$sf: empty events")
+    }
+  }
+
   test("streaming hourly aggregation matches the batch plan") {
     implicit val sq = spark.sqlContext
     val events = Cohorts.events(spark, "/root/testdata/sf0.001")
@@ -711,6 +725,87 @@ class OpsSpec extends SparkSpec {
       (1L, 3L, 6.0, 2.0, 3L),
       (1L, 4L, 9.0, 3.0, 3L),    // frame slid: 2+3+4
       (2L, 5L, 7.0, 7.0, 1L)))
+  }
+
+  test("rollingStatsStream matches batch rollingStats on shuffled real events") {
+    implicit val sq = spark.sqlContext
+    val raw = Cohorts.events(spark, "/root/testdata/sf0.001")
+      .filter($"user_id" < 20)
+    // SHUFFLED (seeded) — sealing order must come from the watermark +
+    // state sort, not arrival order
+    val rows = new scala.util.Random(11).shuffle(raw
+      .select($"user_id", $"ts", $"event_id", $"value")
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect().toSeq)
+    val flushTs = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+    val users = rows.map(_._1).distinct
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val q = EventOps.rollingStatsStream(stream.toDS().map(identity), 5)
+      .writeStream.format("memory").queryName("roll_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(rows)
+      // sentinel per user advances the watermark past every real event;
+      // sentinels themselves stay pending and never emit
+      stream.addData(users.map(u => (u, flushTs, -1L, 0.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("roll_out")
+        .select("user_id", "event_id", "roll_sum", "roll_avg", "n_window")
+        .collect().map(_.toSeq).toSet
+      val batch = EventOps.rollingStats(raw, 5)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("rollingStatsStream: late in-watermark arrival lands in the right frame") {
+    implicit val sq = spark.sqlContext
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // 10:00 and 10:10 arrive first; 10:05 arrives LATE in batch 2 but is
+    // admissible (watermark after batch 1 = 10:10 − 1 h). Frames must read
+    // (1), (1,3), (1,3,2) in event-time order — not arrival order.
+    val b1 = Seq((1L, ts("2024-05-01 10:00:00"), 1L, 1.0),
+                 (1L, ts("2024-05-01 10:10:00"), 2L, 2.0))
+    val b2 = Seq((1L, ts("2024-05-01 10:05:00"), 3L, 4.0))
+    val b3 = Seq((1L, ts("2030-01-01 00:00:00"), -1L, 0.0))
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val q = EventOps.rollingStatsStream(stream.toDS().map(identity),
+        n = 2, watermark = "1 hour")
+      .writeStream.format("memory").queryName("roll_ooo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(b1, b2, b3).foreach { b => stream.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("roll_ooo")
+        .select("event_id", "roll_sum", "roll_avg", "n_window")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == Set(
+        Seq(1L, 1.0, 1.0, 1L),
+        Seq(3L, 5.0, 2.5, 2L),   // frame (1.0, 4.0)
+        Seq(2L, 6.0, 3.0, 2L)))  // frame (4.0, 2.0) — late row included
+    } finally q.stop()
+  }
+
+  test("winsorizeWithBounds clips a stream against batch bounds like batch winsorize") {
+    implicit val sq = spark.sqlContext
+    val d = ((1 to 20).map(i => ("a", i.toDouble)) :+ (("b", 100.0))).toSeq
+    val batchDf = d.toDF("g", "v")
+    val bounds = Summary.winsorizeBounds(batchDf, "v", Seq("g"), 0.05, 0.95)
+    val stream = MemoryStream[(String, Double)]
+    val q = Summary.winsorizeWithBounds(
+        stream.toDF().toDF("g", "v"), "v", Seq("g"), bounds)
+      .writeStream.format("memory").queryName("wins_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(d)
+      q.processAllAvailable()
+      val streamed = spark.table("wins_out")
+        .select("g", "v", "lo", "hi", "v_clip", "clipped")
+        .collect().map(_.toSeq).toSet
+      val batch = Summary.winsorize(batchDf, "v", Seq("g"), 0.05, 0.95)
+        .select("g", "v", "lo", "hi", "v_clip", "clipped")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
   }
 
   test("quantizeInt8 audit row: scale, bounds, and reconstruction error") {
