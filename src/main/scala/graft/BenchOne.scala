@@ -134,6 +134,18 @@ object BenchOne {
         println(s"x_cosradius_eq: equal (${a.count()} rows)")
         s.range(1).toDF()
       }),
+      // the shared q13-q18 input: manhattan banded kNN at k=1, and its
+      // per-probe min-distance reduction — isolates how much of
+      // q16/q69 is input vs quantile machinery
+      "x_banded_k1" -> ((s, dir) => {
+        val (c, nc) = Cohorts.cohorts(s, dir)
+        NeighborJoin.topKBanded(c, nc, Cohorts.spec, 1)
+      }),
+      "x_nearest_k1" -> ((s, dir) => {
+        val (c, nc) = Cohorts.cohorts(s, dir)
+        Summary.nearestDistances(
+          NeighborJoin.topKBanded(c, nc, Cohorts.spec, 1), Cohorts.spec)
+      }),
       "x_topk_agg" -> ((s, dir) => {
         val (c, nc) = Cohorts.cohorts(s, dir)
         TopKAgg.topK(
@@ -146,11 +158,39 @@ object BenchOne {
           NeighborJoin.pairs(c, nc, Cohorts.spec, broadcastConsent = true),
           Cohorts.spec, 3.0)
       }))
-    for (name <- names; i <- 1 to 1) {
+    // SPARK_GRAFT_STAGES=1: print per-stage wall/task-time after each run,
+    // heaviest first — locates which phase of a multi-stage plan dominates.
+    val stageLog = sys.env.get("SPARK_GRAFT_STAGES").contains("1")
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Long)]()
+    if (stageLog) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val wall = (for {s <- i.submissionTime; c <- i.completionTime} yield c - s).getOrElse(0L)
+          val scopes = i.rddInfos.flatMap(_.scope).map(_.name)
+            .distinct.mkString(",")
+          val recs = i.taskMetrics.shuffleReadMetrics.recordsRead
+          stages.put(i.stageId,
+            (s"[$scopes] ${i.numTasks}t in=$recs".take(120), wall,
+             i.taskMetrics.executorRunTime))
+        }
+      })
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    for (name <- names; i <- 1 to reps) {
+      stages.clear()
       val t0 = System.nanoTime()
       probes.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      if (stageLog) {
+        import scala.jdk.CollectionConverters._
+        val rows = stages.asScala.toSeq.sortBy(-_._2._2)
+        println(f"  ${rows.size} stages, wall sum ${rows.map(_._2._2).sum / 1e3}%.2f s, task-time sum ${rows.map(_._2._3).sum / 1e3}%.2f s")
+        rows.take(12).foreach { case (id, (nm, wall, run)) =>
+          println(f"  stage $id%4d wall ${wall / 1e3}%6.2f s  tasks ${run / 1e3}%6.2f s  $nm")
+        }
+      }
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -501,11 +501,16 @@ object NeighborJoin {
     * probe's insertion position in the consent x-order.
     *
     * The prefixed projections feed 3-4 consumers (rank window, pos union,
-    * probe/candidate sides). They are intentionally NOT persisted:
-    * measured at both 1× and 10×, the columnar-cache build of the
-    * token-array column costs more than recomputing the (pushed-down,
-    * codegen'd) scan+join per consumer — the same trade recorded for the
-    * pairs relation in CocoaPipeline.
+    * probe/candidate sides) and ARE persisted (MEMORY_AND_DISK). Earlier
+    * rounds left them unpersisted (recompute-per-consumer measured cheaper
+    * for the PAIRS relation), but the banded prep re-ran the source
+    * scan+broadcast-join as 6 sequential single-task stages (~0.4 s each at
+    * sf0.1, the single-parquet-file partition) — re-measured r7: persisting
+    * cut q16 5.7 → 2.6 s and q58 3.8 → 2.8 s steady-state. The cached
+    * relation is the NARROW projection (id, value, features, x, cohort) —
+    * column-pruned well below the source table — and spills to disk at
+    * scale; callers free it via clearCache/ContextCleaner like every other
+    * internal persist in this engine.
     *
     * With NO cohort scope a bare window would funnel all rows through one
     * task, so the global forms switch to the range-partitioned zipWithIndex
@@ -528,7 +533,9 @@ object NeighborJoin {
           "clean the cohort or use the validated matcher route")))
         .otherwise(col(s"$p$x")))
     val c0 = guardX("c_", prefixed(consent, spec, "c_"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nc0 = guardX("nc_", prefixed(noconsent, spec, "nc_"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // consent rows ranked by x within each cohort (0-based zipWithIndex in
     // the global form, hence the +1)
@@ -752,14 +759,22 @@ object NeighborJoin {
     }
     val joinKeys = coh :+ "nc_idx"
 
-    // phase 1: the ±k rank window per probe, scored EXACTLY (unlike the
-    // metric-bound impl, the token part matters here, so the window cannot
-    // be reduced to its endpoints). ≤ 2k rows per probe.
+    // phase 1: a ±max(k, 16) rank window per probe, scored EXACTLY (unlike
+    // the metric-bound impl, the token part matters here, so the window
+    // cannot be reduced to its endpoints). Widening past ±k is pure
+    // threshold-tightening: d_k = k-th best of MORE exactly-scored
+    // candidates can only drop, and the phase-2 interval derived from it
+    // only narrows — the superset argument is unchanged. The floor of 16
+    // buys a much tighter s when x correlates weakly with the metric (the
+    // token part dominates cosine; the ±k x-neighbors alone often share no
+    // tokens, putting d_k near the metric's ceiling and degrading phase 2
+    // toward the dense candidate volume) at O(16·|NC|) extra phase-1 rows.
     val probes = withK(joinCoh(nc0.join(pos, joinKeys), cStats))
       .filter(col("__kk") >= 1)
     val cand1 = probes
-      .withColumn("__lo", greatest(col("__pos") - (col("__kk") - lit(1L)), lit(1L)))
-      .withColumn("__hi", least(col("__pos") + col("__kk"), col("__cnt")))
+      .withColumn("__kw", greatest(col("__kk"), lit(16L)))
+      .withColumn("__lo", greatest(col("__pos") - (col("__kw") - lit(1L)), lit(1L)))
+      .withColumn("__hi", least(col("__pos") + col("__kw"), col("__cnt")))
       .filter(col("__hi") >= col("__lo"))
       .withColumn("__rn", explode(sequence(col("__lo"), col("__hi"))))
       .join(cRanked.select(coh.map(col(_)) ++ Seq(
