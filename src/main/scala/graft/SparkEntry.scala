@@ -1604,6 +1604,26 @@ object SparkEntry {
              |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau, dau7d
              |FROM dau JOIN d7 USING (day)""".stripMargin)),
 
+    // Pre-training chunker: fixed-length token windows with stride
+    // (overlap keeps boundary spans). Pure map-stage 1→N explode — no
+    // shuffle; the oracle replays the start arithmetic with list_slice.
+    ("q88_chunk_documents",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.chunkDocuments(Cohorts.documents(s, dir), 64, 48),
+      Some("""WITH t AS (SELECT doc_id,
+             |                  list_filter(string_split_regex(text, '\s+'),
+             |                              x -> x <> '') AS toks
+             |           FROM documents),
+             |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+             |c AS (SELECT doc_id, toks,
+             |             unnest(generate_series(0,
+             |               CAST(ceil(greatest(n - 64, 0) / 48.0) AS BIGINT))) AS chunk_no
+             |      FROM n)
+             |SELECT doc_id, chunk_no,
+             |       CAST(len(list_slice(toks, chunk_no*48 + 1, chunk_no*48 + 64)) AS BIGINT) AS n_tokens,
+             |       array_to_string(list_slice(toks, chunk_no*48 + 1, chunk_no*48 + 64), ' ') AS chunk_text
+             |FROM c""".stripMargin)),
+
     // Deterministic fixed-size per-stratum sample: exactly min(k, |lang|)
     // docs per language by smallest key hash — WindowGroupLimit prunes
     // map-side, shuffle carries O(k·strata·maps).

@@ -642,9 +642,15 @@ object NeighborJoin {
     val bound = spec.metric.bandBound.getOrElse(
       throw new IllegalStateException(
         s"metric ${spec.metric.name} has no band bound — callers fall back dense"))
+    // PERSISTED for the same reason as the cosine probesD: ncD feeds the
+    // widths aggregate AND the banded probe side, and its lineage holds
+    // the dxK endpoint derivation (two joins against the rank relation).
+    // O(|NC|) narrow rows; an r5 note measured this pin as neutral at
+    // sf0.1 — at the 10× replica the duplicated subtree is no longer free.
     val ncD = joinCoh(nc0.join(dxK, joinKeys), cStats)
       .withColumn("__b0", size(col("nc_features")) + col("__cmaxtok"))
       .withColumn("__r", bound(col("__d"), col("__b0")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val widths = ncD.groupBy(coh.map(col(_)): _*)
       .agg(greatest(percentile_approx(col("__r"), lit(0.99), lit(1000)),
         lit(1e-6)).as("__w"),
@@ -833,6 +839,12 @@ object NeighborJoin {
     val a2 = xa * xa - c2
     val m = col("__cmintok").cast("double")
     val disc = c2 * (A * A + m * a2)
+    // PERSISTED: probesD feeds both the widths aggregate and the banded
+    // probe side, and its lineage carries the whole phase-1 d_k subtree
+    // (the ±max(k,16) explode + per-probe sort-agg). Without the pin each
+    // consumer re-evaluates that subtree — measured at the 10× replica as
+    // THREE ObjectHashAggregate passes over the 1.6M-row phase-1 relation
+    // (~140 s of task time) that this one narrow O(|NC|)-row cache removes.
     val probesD = probesD0
       .withColumn("__wild",
         col("__dk").isNull || s <= 0 || a2 >= 0 || disc < 0)
@@ -844,6 +856,7 @@ object NeighborJoin {
       .withColumn("__ihi", greatest(col("__r1"), col("__r2")) + col("__pad"))
       .withColumn("__r", (col("__ihi") - col("__ilo")) / lit(2.0))
       .drop("__r1", "__r2", "__pad", "__lo", "__hi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // the same conditional two-tier single equi-join as topKBandedImpl:
     // W = p99 of the non-wild interval half-widths; wild or wider-than-W

@@ -346,6 +346,37 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         avg(log(col("__c2") / col("__c1"))).as("avg_logprob"))
   }
+
+  /** Fixed-length token chunks with stride — the pre-training chunker
+    * (documents → max-`maxTokens` sequences, consecutive chunks
+    * overlapping by `maxTokens − stride` tokens so no span is lost at a
+    * boundary). Chunk starts are 0, stride, 2·stride, …; the count
+    * 1 + ⌈max(n − maxTokens, 0) / stride⌉ is exactly enough for the last
+    * chunk to cover the tail. Empty-token documents emit nothing.
+    *
+    * Plan shape: one narrow projection + partition-local explode — no
+    * shuffle, no state; the 1→N expansion is bounded by n/stride per doc.
+    * At 100 TB this is a pure map stage that scales with input splits. */
+  def chunkDocuments(docs: org.apache.spark.sql.DataFrame,
+                     maxTokens: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    require(stride >= 1 && stride <= maxTokens,
+      s"stride must be in [1, maxTokens], got $stride")
+    val nChunks = lit(1) + greatest(
+      ceil((col("__n") - lit(maxTokens)).cast("double") / lit(stride.toDouble)),
+      lit(0.0)).cast("long")
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .withColumn("chunk_no", explode(sequence(lit(0L), nChunks - lit(1L))))
+      .select(col("doc_id"), col("chunk_no"),
+        slice(col("__toks"), (col("chunk_no") * stride + 1).cast("int"),
+          lit(maxTokens)).as("__chunk"))
+      .select(col("doc_id"), col("chunk_no"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+  }
 }
 
 /** DuckDB SQL twins of [[TextAnalysis]] — fragment builders interpolated

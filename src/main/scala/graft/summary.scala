@@ -108,13 +108,14 @@ object Summary {
     // rank) and its lineage is typically an expensive kNN join — pin it
     // across the passes (same contract as minHashPairs' shingle cache: the
     // returned lazy frame holds it; callers' clearCache / ContextCleaner
-    // free it). Re-measured r7 (BenchOne n=6, sf0.1, 16 cores): q69
-    // steady-state ≈ 4.3 s vs q16's single-pass exact percentile 2.6 s —
-    // at bench SF the twin PAYS ~1.7 s of extra fixed stage overhead
+    // free it). Re-measured r7 after the banded-input pins (BenchOne n=3,
+    // sf0.1, 16 cores): q69 ≈ 2.5 s vs q16's single-pass exact percentile
+    // 1.75 s — the twin pays ~0.75 s of fixed multi-pass stage overhead
     // (cache build + two broadcast agg passes + bracket window); its value
     // is the bounded O(n/accuracy) per-cohort memory where the exact
-    // aggregate's all-distinct-values buffer dies. Without this persist the
-    // kNN input lineage would run two more times on top of that.
+    // aggregate's all-distinct-values buffer dies. At the 10× replica the
+    // twin runs ~7 s. Without this persist the kNN input lineage would run
+    // two more times on top of that.
     val matchedNc = matchedNc0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val eps = 3.0 / accuracy

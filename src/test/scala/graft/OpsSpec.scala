@@ -899,6 +899,30 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("chunkDocuments windows tokens with stride and covers the tail") {
+    val d = Seq(
+      (1L, (1 to 10).map("t" + _).mkString(" ")), // 10 tokens
+      (2L, "a b c"),                              // shorter than maxTokens
+      (3L, "   "))                                // no tokens → dropped
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(d, 4, 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // doc 1: starts 0,2,4,6 — 1 + ceil((10-4)/2) = 4 chunks, tail covered
+    assert(out.filter(_._1 == 1L) == Seq(
+      (1L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 4L, "t3 t4 t5 t6"),
+      (1L, 2L, 4L, "t5 t6 t7 t8"),
+      (1L, 3L, 4L, "t7 t8 t9 t10")))
+    assert(out.filter(_._1 == 2L) == Seq((2L, 0L, 3L, "a b c")))
+    assert(!out.exists(_._1 == 3L))
+    // no-overlap stride == maxTokens partitions exactly
+    val flat = TextAnalysis.chunkDocuments(d.filter($"doc_id" === 1), 5, 5)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._2).toSeq
+    assert(flat.map(_._4) == Seq("t1 t2 t3 t4 t5", "t6 t7 t8 t9 t10"))
+    assertThrows[IllegalArgumentException](TextAnalysis.chunkDocuments(d, 4, 5))
+    assertThrows[IllegalArgumentException](TextAnalysis.chunkDocuments(d, 0, 1))
+  }
+
   test("winsorize clips at rounded per-group interpolated percentiles") {
     val d = (1 to 20).map(i => ("a", i.toDouble)) :+ (("b", 100.0))
     val out = Summary.winsorize(d.toDF("g", "v"), "v", Seq("g"), 0.05, 0.95)
