@@ -343,6 +343,61 @@ object EventOps {
         col("dau"), col("dau7d"))
   }
 
+  /** Rolling-DAU stream state per covered day: the users seen ON the day
+    * (o = 0 contributions) and the users seen in its trailing 7-day
+    * window (any o). */
+  final case class DauBuf(own: Set[Long], win: Set[Long])
+  final case class DauOut(day: String, dau: Long, dau7d: Long)
+
+  /** Streaming twin of [[rollingActiveUsers]] — emits each event-day's
+    * (dau, dau7d) exactly when the day becomes WATERMARK-FINAL. The batch
+    * twin's coverage-explode IS the streaming decomposition: each (user,
+    * event) contributes to day d..d+6 BEFORE the watermark is declared, so
+    * the stateful op groups by COVERED DAY and day D's window [D−6, D]
+    * seals once the watermark passes D's end — every contributing event
+    * has ts ≤ end(D) < wm, and later arrivals are watermark-filtered.
+    *
+    * State per open day is the exact distinct-user sets (own + window) —
+    * O(DAU·7) across the watermark horizon, the price of hash-exact
+    * parity with the batch twin; at 100 TB swap the sets for HLL sketches
+    * (approx_count_distinct's backing structure) for O(kB)/day state with
+    * the usual error bound. Event-time timeouts flush sealed days on
+    * no-data micro-batches; days with no own-day events (pure trailing
+    * coverage) emit nothing, matching the batch inner join. */
+  def rollingActiveUsersStream(
+      events: Dataset[(Long, java.sql.Timestamp)],
+      watermark: String = "2 hours"): Dataset[DauOut] = {
+    import events.sparkSession.implicits._
+    val covered = events.flatMap { case (u, t) =>
+      val day = Math.floorDiv(t.getTime, 86400000L) // session is pinned UTC
+      (0 to 6).map(o => (day + o, u, o == 0, t))
+    }
+    covered
+      .withWatermark("_4", watermark)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DauBuf, DauOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (day, rows, state: GroupState[DauBuf]) =>
+          val prev = state.getOption.getOrElse(DauBuf(Set.empty, Set.empty))
+          var own = prev.own
+          var win = prev.win
+          rows.foreach { r => win += r._2; if (r._3) own += r._2 }
+          val sealMs = (day + 1) * 86400000L
+          if (state.getCurrentWatermarkMs() >= sealMs) {
+            state.remove()
+            if (own.nonEmpty)
+              Iterator.single(DauOut(
+                java.time.LocalDate.ofEpochDay(day).toString,
+                own.size.toLong, win.size.toLong))
+            else Iterator.empty
+          } else {
+            state.update(DauBuf(own, win))
+            state.setTimeoutTimestamp(sealMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Funnel stream state per user: committed step-completion epoch-seconds
     * (a prefix of the step chain, each ≤ the watermark when committed) and
     * the not-yet-sealed events. */

@@ -785,6 +785,31 @@ class OpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rollingActiveUsersStream matches batch rollingActiveUsers on shuffled events") {
+    implicit val sq = spark.sqlContext
+    val raw = Cohorts.events(spark, "/root/testdata/sf0.001")
+    val rows = new scala.util.Random(13).shuffle(raw
+      .select($"user_id", $"ts")
+      .as[(Long, java.sql.Timestamp)].collect().toSeq)
+    val flushTs = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = EventOps.rollingActiveUsersStream(stream.toDS().map(identity))
+      .writeStream.format("memory").queryName("dau_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(rows)
+      stream.addData(Seq((-1L, flushTs))) // advances the watermark; its own
+                                          // far-future day never seals
+      q.processAllAvailable()
+      val streamed = spark.table("dau_out")
+        .select("day", "dau", "dau7d").collect().map(_.toSeq).toSet
+      val batch = EventOps.rollingActiveUsers(raw)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("winsorizeWithBounds clips a stream against batch bounds like batch winsorize") {
     implicit val sq = spark.sqlContext
     val d = ((1 to 20).map(i => ("a", i.toDouble)) :+ (("b", 100.0))).toSeq
