@@ -27,8 +27,10 @@ object StressGen {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is TIMESTAMP(NANOS): read as long (written back as plain
-      // BIGINT, which Cohorts.events converts the same way)
+      // Historical testdata shipped events.ts as TIMESTAMP(NANOS); this
+      // conf lets that read as BIGINT (a no-op on the current
+      // TIMESTAMP_NTZ micros encoding). Cohorts.events branches on the
+      // actual read schema either way.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
