@@ -1604,6 +1604,24 @@ object SparkEntry {
              |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau, dau7d
              |FROM dau JOIN d7 USING (day)""".stripMargin)),
 
+    // Per-type z-score of event values: one stats pass -> broadcast ->
+    // narrow scaled projection (the winsorize shape, for scaling).
+    ("q89_events_zscore",
+      (s: SparkSession, dir: String) =>
+        Summary.zscore(Cohorts.events(s, dir), "value", Seq("event_type"))
+          .select(col("event_id"), col("event_type"),
+            rnd(col("mu"), 4).as("mu"), rnd(col("sigma"), 4).as("sigma"),
+            rnd(col("z"), 4).as("z")),
+      Some("""WITH st AS (SELECT event_type, avg(value) AS mu,
+             |                   stddev_samp(value) AS sigma
+             |            FROM events GROUP BY event_type)
+             |SELECT event_id, event_type,
+             |       ROUND(1e-9 + mu, 4) AS mu,
+             |       ROUND(1e-9 + sigma, 4) AS sigma,
+             |       ROUND(1e-9 + CASE WHEN sigma IS NULL OR sigma = 0 THEN 0.0
+             |                         ELSE (value - mu) / sigma END, 4) AS z
+             |FROM events JOIN st USING (event_type)""".stripMargin)),
+
     // Pre-training chunker: fixed-length token windows with stride
     // (overlap keeps boundary spans). Pure map-stage 1→N explode — no
     // shuffle; the oracle replays the start arithmetic with list_slice.

@@ -207,6 +207,23 @@ object Summary {
            Num.rnd(expr(s"percentile($valueCol, $pHi)"), 4).as("hi"))
   }
 
+  /** Per-group z-score normalization — the feature-scaling pass every
+    * training pipeline runs before numeric features meet a model. ONE
+    * partial-aggregated pass computes each group's (mean, stddev) — a
+    * |groups|-row relation — broadcast back, then the scaled value is a
+    * narrow projection. Groups with zero variance (or a single row, where
+    * sample stddev is null) emit z = 0 rather than NaN/null — the
+    * convention that keeps constant features harmless downstream. Stats
+    * stay attached for audit, like [[winsorize]]'s bounds. */
+  def zscore(df: DataFrame, valueCol: String, groupCols: Seq[String]): DataFrame = {
+    val stats = df.groupBy(groupCols.map(col(_)): _*)
+      .agg(avg(valueCol).as("mu"), stddev_samp(col(valueCol)).as("sigma"))
+    df.join(broadcast(stats), groupCols)
+      .withColumn("z",
+        when(col("sigma").isNull || col("sigma") === 0.0, lit(0.0))
+          .otherwise((col(valueCol) - col("mu")) / col("sigma")))
+  }
+
   /** Clip against a precomputed bounds relation — a stateless broadcast
     * join + projection, so it runs unchanged over a STREAM (stream-static
     * join): compute [[winsorizeBounds]] over history in batch, apply to

@@ -948,6 +948,67 @@ class OpsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](TextAnalysis.chunkDocuments(d, 0, 1))
   }
 
+  test("zscore scales per group and zeroes degenerate groups") {
+    val d = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+                ("b", 5.0),             // singleton: sample stddev null
+                ("c", 7.0), ("c", 7.0)) // zero variance
+      .toDF("g", "v")
+    val out = Summary.zscore(d, "v", Seq("g"))
+      .select("g", "v", "z").as[(String, Double, Double)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out.filter(_._1 == "a").map(_._3) == Seq(-1.0, 0.0, 1.0))
+    assert(out.filter(_._1 == "b").map(_._3) == Seq(0.0))
+    assert(out.filter(_._1 == "c").map(_._3) == Seq(0.0, 0.0))
+  }
+
+  test("rollingActiveUsersStream: cross-batch late arrival lands in sealed windows") {
+    implicit val sq = spark.sqlContext
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // u2's day-1 event arrives out-of-order in batch 2 but ADMISSIBLE
+    // (watermark after batch 1 = 11:00 − 2 h = 09:00 < 09:30); batch 3
+    // advances the watermark past day 1's end and seals it with BOTH
+    // users. Day 3's trailing window picks both day-1 users up.
+    val b1 = Seq((1L, ts("2024-05-01 10:00:00")),
+                 (1L, ts("2024-05-01 11:00:00")))
+    val b2 = Seq((2L, ts("2024-05-01 09:30:00"))) // late, in-watermark
+    val b3 = Seq((1L, ts("2024-05-03 12:00:00"))) // seals day 1
+    val b4 = Seq((-1L, ts("2030-01-01 00:00:00")))
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = EventOps.rollingActiveUsersStream(stream.toDS().map(identity))
+      .writeStream.format("memory").queryName("dau_ooo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(b1, b2, b3, b4).foreach { b => stream.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("dau_ooo")
+        .select("day", "dau", "dau7d").collect().map(_.toSeq).toSet
+      val batch = EventOps.rollingActiveUsers(
+          (b1 ++ b2 ++ b3).toDF("user_id", "ts")
+            .withColumn("event_id", lit(0L)))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed == Set(
+        Seq("2024-05-01", 2L, 2L),
+        Seq("2024-05-03", 1L, 2L)))
+    } finally q.stop()
+  }
+
+  test("chunkDocuments is stateless and streams in append mode unchanged") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = TextAnalysis.chunkDocuments(
+        stream.toDF().toDF("doc_id", "text"), 4, 2)
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(Seq((1L, (1 to 6).map("t" + _).mkString(" "))))
+      q.processAllAvailable()
+      val got = spark.table("chunk_stream")
+        .select("chunk_no", "chunk_text").as[(Long, String)]
+        .collect().sortBy(_._1).toSeq
+      assert(got == Seq((0L, "t1 t2 t3 t4"), (1L, "t3 t4 t5 t6")))
+    } finally q.stop()
+  }
+
   test("winsorize clips at rounded per-group interpolated percentiles") {
     val d = (1 to 20).map(i => ("a", i.toDouble)) :+ (("b", 100.0))
     val out = Summary.winsorize(d.toDF("g", "v"), "v", Seq("g"), 0.05, 0.95)
