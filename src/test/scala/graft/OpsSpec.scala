@@ -97,6 +97,14 @@ class OpsSpec extends SparkSpec {
     val distributed = Dedup.dedupClusters(pairs, driverThreshold = 0L)
       .as[(Long, Long)].collect().toMap
     assert(distributed == out)
+    // dispatch boundary: the edge relation carries both orientations, so
+    // 5 pairs = 10 edges. threshold == count takes the driver union-find,
+    // threshold == count − 1 takes label propagation — identical labels
+    // either side of the boundary, so the count-gated dispatch is safe at
+    // exactly its limit (and unionFindLocal's require stays satisfied).
+    for (t <- Seq(10L, 9L))
+      assert(Dedup.dedupClusters(pairs, driverThreshold = t)
+        .as[(Long, Long)].collect().toMap == out)
   }
 
   test("streaming exact dedup keeps the first-seen doc per content hash") {
