@@ -1743,7 +1743,80 @@ object SparkEntry {
              |       CAST(count(*) OVER w AS BIGINT) AS n_window
              |FROM e
              |WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id
-             |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin))
+             |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // 14-day retention matrix: first-active-day cohorts × day offsets.
+    // One user-keyed shuffle builds the distinct-day sets; the join the
+    // naive SQL does is folded into array_min over that set.
+    ("q90_events_retention",
+      (s: SparkSession, dir: String) =>
+        EventOps.retentionMatrix(Cohorts.events(s, dir), 14),
+      Some("""WITH p AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+             |           FROM events),
+             |f AS (SELECT user_id, min(day) AS cohort_day FROM p GROUP BY user_id),
+             |o AS (SELECT f.cohort_day,
+             |             CAST(date_diff('day', f.cohort_day, p.day) AS BIGINT) AS day_offset
+             |      FROM p JOIN f USING (user_id)
+             |      WHERE date_diff('day', f.cohort_day, p.day) <= 14),
+             |m AS (SELECT cohort_day, day_offset,
+             |             CAST(count(*) AS BIGINT) AS n_users
+             |      FROM o GROUP BY cohort_day, day_offset)
+             |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, day_offset,
+             |       n_users,
+             |       ROUND(1e-9 + n_users * 1.0 /
+             |             max(CASE WHEN day_offset = 0 THEN n_users END)
+             |               OVER (PARTITION BY cohort_day), 4) AS retention
+             |FROM m""".stripMargin)),
+
+    // First-order event-type transition matrix with row probabilities:
+    // lead over (user, ts, event_id) → O(types²) count matrix.
+    ("q91_events_transitions",
+      (s: SparkSession, dir: String) =>
+        EventOps.eventTransitions(Cohorts.events(s, dir)),
+      Some("""WITH nx AS (
+             |  SELECT event_type AS from_type,
+             |         lead(event_type) OVER (
+             |           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+             |      FROM nx WHERE to_type IS NOT NULL
+             |      GROUP BY from_type, to_type)
+             |SELECT from_type, to_type, n,
+             |       ROUND(1e-9 + n * 1.0 /
+             |             sum(n) OVER (PARTITION BY from_type), 4) AS p
+             |FROM c""".stripMargin)),
+
+    // Temperature-α language rebalance (α=0.5): kept corpus shares follow
+    // n_lang^α, smallest language keeps everything, membership
+    // content-addressed (lang is the skewed stratum in this corpus —
+    // sources are uniform).
+    ("q92_sample_temperature",
+      (s: SparkSession, dir: String) =>
+        Sampling.temperatureSample(Cohorts.documents(s, dir),
+            "lang", "doc_id", 0.5, "t42")
+          .select("doc_id", "lang", "rate"),
+      Some(s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+              |          FROM documents GROUP BY lang),
+              |r AS (SELECT lang,
+              |             ROUND(1e-9 + pow((SELECT min(n) FROM c) * 1.0 / n,
+              |                              0.5), 6) AS rate
+              |      FROM c)
+              |SELECT d.doc_id, d.lang, r.rate
+              |FROM documents d JOIN r USING (lang)
+              |WHERE ${Sampling.hashUnitSql("d.doc_id", "t42")} < r.rate""".stripMargin)),
+
+    // Deterministic global training-shuffle order: dense positions in
+    // finalized-hash order via the range-partitioned zipWithIndex plan —
+    // no single-task window anywhere.
+    ("q93_shuffle_order",
+      (s: SparkSession, dir: String) =>
+        Sampling.shuffleOrder(Cohorts.documents(s, dir), "doc_id", "sh42")
+          .select("doc_id", "shuffle_pos"),
+      Some(s"""SELECT doc_id,
+              |       CAST(row_number() OVER (
+              |         ORDER BY ${Sampling.hashUnitSql("doc_id", "sh42")}, doc_id)
+              |         AS BIGINT) - 1 AS shuffle_pos
+              |FROM documents""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -135,4 +135,45 @@ object Sampling {
     }
     df.withColumn(splitCol, assign)
   }
+
+  /** Temperature (α) mixture resampling — the multilingual-training domain
+    * rebalance: downsample each stratum so the KEPT corpus's stratum
+    * shares follow n_s^α instead of n_s (α=1 keeps the natural mix, α=0
+    * flattens toward uniform). Downsample-only: the smallest stratum keeps
+    * rate 1 and stratum s keeps rate (n_min/n_s)^(1−α), so kept_s ∝ n_s^α
+    * with no row ever duplicated. Plan: one partial-agg count pass over
+    * the corpus, rate arithmetic on the strata-sized relation, broadcast
+    * join back, content-addressed filter — the corpus is scanned twice but
+    * never shuffled. Rates are rounded to 6 dp ([[graft.Num.rnd]]'s
+    * half-up with the 1e-9 nudge) so the threshold is the same decimal in
+    * Spark and the SQL twin — `pow` may differ by an ulp between engines,
+    * and an unrounded threshold would let that ulp flip a row's fate. */
+  def temperatureSample(df: DataFrame, strataCol: String, keyCol: String,
+                        alpha: Double, seed: String,
+                        rateCol: String = "rate"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min(col("__n")).as("__nmin"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col(strataCol),
+        graft.Num.rnd(pow(col("__nmin").cast("double") / col("__n"),
+          1.0 - alpha), 6).as(rateCol))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(checkedUnit(col(keyCol), seed) < col(rateCol))
+  }
+
+  /** Deterministic global training-shuffle order: every row gets a dense
+    * position 0..n−1 in finalized-hash order — the "shuffle the dataset
+    * once, identically, on every engine and every rerun" step before
+    * sequence packing. Composes [[hashUnit]] (the order key) with
+    * [[graft.Preprocess.withRowIdsDistributed]] (range-partitioned sort +
+    * per-partition offsets), so there is NO single-task global window: the
+    * plan is the same one a 100 TB global sort uses, and the hash order key
+    * is uniform so the range partitions are balanced by construction. */
+  def shuffleOrder(df: DataFrame, keyCol: String, seed: String,
+                   outCol: String = "shuffle_pos"): DataFrame =
+    graft.Preprocess.withRowIdsDistributed(
+        df.withColumn("__u", checkedUnit(col(keyCol), seed)),
+        Seq("__u", keyCol), outCol)
+      .drop("__u")
 }

@@ -529,4 +529,107 @@ object EventOps {
           out.iterator
       }
   }
+
+  /** N-day retention matrix: users are cohorted by their FIRST active day;
+    * each cell counts how many of that cohort are active again `offset`
+    * days later (offset 0 = cohort size), with the retention ratio
+    * alongside. The naive construction — self-join activity against a
+    * first-seen relation on user_id — shuffles the full activity table
+    * twice. This one folds the join away: ONE shuffle on user_id builds
+    * each user's distinct-day set (collect_set is bounded by the calendar
+    * span, never event volume, and partial aggregation dedups map-side),
+    * the cohort day is `array_min` of that set, and exploding
+    * (cohort_day, offset) pairs leaves each (user, offset) unique — so the
+    * final count(*) IS the distinct-user count, no countDistinct shuffle.
+    * The ratio window runs over the tiny aggregated matrix (≤ days²). */
+  def retentionMatrix(events: DataFrame, maxOffset: Int = 14): DataFrame = {
+    require(maxOffset >= 0, s"maxOffset must be >= 0, got $maxOffset")
+    val offsets = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy("user_id")
+      .agg(collect_set("day").as("days"))
+      .select(array_min(col("days")).as("cohort_day"),
+        explode(col("days")).as("day"))
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .filter(col("day_offset") <= maxOffset)
+    val m = offsets.groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+    val wc = Window.partitionBy("cohort_day")
+    m.select(
+      date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+      col("day_offset"), col("n_users"),
+      graft.Num.rnd(col("n_users") /
+        max(when(col("day_offset") === 0, col("n_users"))).over(wc), 4)
+        .as("retention"))
+  }
+
+  /** First-order event-type transition matrix: per user, each event's
+    * successor type via `lead` over (ts, event_id) — one shuffle on
+    * user_id whose per-partition sort is bounded by that user's events —
+    * then a hash count over the tiny (from, to) cross-type matrix and a
+    * row-probability window over it. The from/to matrix is O(types²)
+    * regardless of data scale, so everything after the lead window is
+    * broadcast-sized. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts.select(col("from_type"), col("to_type"), col("n"),
+      graft.Num.rnd(col("n") / sum("n").over(Window.partitionBy("from_type")), 4)
+        .as("p"))
+  }
+
+  /** Transition-stream state per user: the last SEALED event (all a future
+    * transition needs) plus the not-yet-sealed arrivals. */
+  final case class TransBuf(last: Option[(Long, Long, String)],
+                            buf: Seq[(Long, Long, String)])
+  final case class TransOut(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming twin of [[eventTransitions]]'s per-user transition
+    * extraction: emits each (from_type, to_type) edge exactly when its
+    * LATER endpoint becomes watermark-final. An event at (tsUs, event_id)
+    * is sealed once the watermark passes it — any admissible late arrival
+    * sorts strictly after it in the (ts, event_id) order, so the sealed
+    * prefix's successor chain is immutable (the [[asofJoinStream]]
+    * argument applied to adjacency). State per user is O(1) sealed (just
+    * the last event) + the unsealed horizon. The count/probability
+    * aggregation downstream is an ordinary streaming groupBy over these
+    * edges; tests pin edge-set equality against the batch twin. */
+  def eventTransitionsStream(
+      events: Dataset[(Long, java.sql.Timestamp, Long, String)],
+      watermark: String = "2 hours"): Dataset[TransOut] = {
+    import events.sparkSession.implicits._
+    val tsUs = (t: java.sql.Timestamp) =>
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000L
+    events
+      .withWatermark("_2", watermark)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TransBuf, TransOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[TransBuf]) =>
+          val prev = state.getOption.getOrElse(TransBuf(None, Nil))
+          val buf = prev.buf ++ rows.map(r => (tsUs(r._2), r._3, r._4))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, pending) = buf.partition(_._1 <= wmUs)
+          val ordered = ready.sortBy(r => (r._1, r._2))
+          var last = prev.last
+          val out = ordered.flatMap { e =>
+            val edge = last.map(l => TransOut(user, l._3, e._3))
+            last = Some(e)
+            edge
+          }
+          // `last` alone never expires: it is the left endpoint of the
+          // next transition whenever this user speaks again — one tuple
+          // per live user, the irreducible state of the operator.
+          state.update(TransBuf(last, pending))
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(pending.map(_._1).min / 1000L + 1000L)
+          out.iterator
+      }
+  }
 }

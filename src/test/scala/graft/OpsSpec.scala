@@ -1271,4 +1271,136 @@ class OpsSpec extends SparkSpec {
     // "shared" appears in every doc → idf 0 → never outranks a real term.
     assert(out.filter($"token" === "shared" && $"rank" === 1L).isEmpty)
   }
+
+  test("retentionMatrix cohorts by first day and counts distinct returners") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // u1 first on d1, back on d2 (twice — must count once) and d3;
+    // u2 first on d1 only; u3 first on d2, back on d3.
+    val e = Seq(
+      (1L, ts("2024-05-01 10:00:00")), (1L, ts("2024-05-02 09:00:00")),
+      (1L, ts("2024-05-02 23:00:00")), (1L, ts("2024-05-03 01:00:00")),
+      (2L, ts("2024-05-01 12:00:00")),
+      (3L, ts("2024-05-02 08:00:00")), (3L, ts("2024-05-03 07:00:00"))
+    ).toDF("user_id", "ts")
+    val out = EventOps.retentionMatrix(e, 14)
+      .select("cohort_day", "day_offset", "n_users", "retention")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      ("2024-05-01", 0L, 2L, 1.0), ("2024-05-01", 1L, 1L, 0.5),
+      ("2024-05-01", 2L, 1L, 0.5),
+      ("2024-05-02", 0L, 1L, 1.0), ("2024-05-02", 1L, 1L, 1.0)))
+  }
+
+  test("retentionMatrix drops offsets beyond the horizon") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val e = Seq((1L, ts("2024-05-01 10:00:00")),
+                (1L, ts("2024-06-30 10:00:00"))).toDF("user_id", "ts")
+    val out = EventOps.retentionMatrix(e, 14)
+    assert(out.count() == 1) // only offset 0 survives the 14-day horizon
+  }
+
+  test("eventTransitions counts successor types in (ts, event_id) order") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // u1: A→B→A; u2: A→B. Same-ts tie (u1 events 2,3) broken by event_id.
+    val e = Seq(
+      (1L, ts("2024-05-01 10:00:00"), 1L, "A"),
+      (1L, ts("2024-05-01 10:05:00"), 2L, "B"),
+      (1L, ts("2024-05-01 10:05:00"), 3L, "A"),
+      (2L, ts("2024-05-01 11:00:00"), 4L, "A"),
+      (2L, ts("2024-05-01 11:30:00"), 5L, "B")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventOps.eventTransitions(e)
+      .select("from_type", "to_type", "n", "p")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(out == Set(("A", "B", 2L, 1.0), ("B", "A", 1L, 1.0)))
+  }
+
+  test("eventTransitionsStream matches batch edge counts on shuffled events") {
+    implicit val sq = spark.sqlContext
+    val raw = Cohorts.events(spark, "/root/testdata/sf0.001")
+      .filter($"user_id" < 20)
+    val rows = new scala.util.Random(17).shuffle(raw
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)].collect().toSeq)
+    val flushTs = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+    val users = rows.map(_._1).distinct
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = EventOps.eventTransitionsStream(stream.toDS().map(identity))
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(rows)
+      // sentinels advance the watermark past every real event and stay
+      // pending themselves (never sealed, never emit an edge)
+      stream.addData(users.map(u => (u, flushTs, -1L, "SENTINEL")))
+      q.processAllAvailable()
+      val streamed = spark.table("trans_out")
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .as[(String, String, Long)].collect().toSet
+      val batch = EventOps.eventTransitions(raw)
+        .select("from_type", "to_type", "n")
+        .as[(String, String, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("eventTransitionsStream: late in-watermark arrival splices the chain") {
+    implicit val sq = spark.sqlContext
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // A@10:00 and C@10:10 arrive first; B@10:05 arrives late but inside
+    // the 1 h watermark. Event-time edges must read A→B, B→C — never the
+    // arrival-order A→C.
+    val b1 = Seq((1L, ts("2024-05-01 10:00:00"), 1L, "A"),
+                 (1L, ts("2024-05-01 10:10:00"), 2L, "C"))
+    val b2 = Seq((1L, ts("2024-05-01 10:05:00"), 3L, "B"))
+    val b3 = Seq((1L, ts("2030-01-01 00:00:00"), -1L, "SENTINEL"))
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = EventOps.eventTransitionsStream(stream.toDS().map(identity),
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("trans_ooo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(b1, b2, b3).foreach { b => stream.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("trans_ooo")
+        .select("from_type", "to_type").as[(String, String)].collect().toSet
+      assert(streamed == Set(("A", "B"), ("B", "C")))
+    } finally q.stop()
+  }
+
+  test("temperatureSample keeps the smallest stratum whole, others at (nmin/n)^(1-a)") {
+    val d = ((1 to 300).map(i => (i.toLong, "big")) ++
+      (301 to 375).map(i => (i.toLong, "small"))).toDF("doc_id", "lang")
+    val out = Sampling.temperatureSample(d, "lang", "doc_id", 0.5, "tt")
+    val rates = out.select("lang", "rate").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(rates("small") == 1.0)
+    assert(math.abs(rates("big") - math.sqrt(75.0 / 300.0)) < 1e-6)
+    // every small-stratum row survives; big stratum is actually thinned
+    assert(out.filter($"lang" === "small").count() == 75)
+    val kbig = out.filter($"lang" === "big").count()
+    assert(kbig < 300 && kbig > 75) // ≈ 150 expected
+    // α=1 keeps the natural mix — rate 1 everywhere
+    assert(Sampling.temperatureSample(d, "lang", "doc_id", 1.0, "tt").count() == 375)
+  }
+
+  test("shuffleOrder is a deterministic permutation with no global window") {
+    val d = (1 to 500).map(i => (i.toLong, s"t$i")).toDF("doc_id", "text")
+    val out = Sampling.shuffleOrder(d, "doc_id", "sh")
+    val pos = out.select("shuffle_pos").as[Long].collect().sorted
+    assert(pos.toSeq == (0L until 500L))
+    // deterministic across reruns
+    val again = Sampling.shuffleOrder(d, "doc_id", "sh")
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toSet
+    assert(again == out.select("doc_id", "shuffle_pos")
+      .as[(Long, Long)].collect().toSet)
+    // matches the single-task row_number twin (the oracle's construction)
+    val u = Sampling.hashUnit($"doc_id", "sh")
+    val twin = d.withColumn("__u", u)
+      .withColumn("p", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"__u", $"doc_id"))
+        .cast("long") - 1)
+      .select("doc_id", "p").as[(Long, Long)].collect().toSet
+    assert(again == twin)
+  }
 }
