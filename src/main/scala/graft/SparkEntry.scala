@@ -1816,7 +1816,36 @@ object SparkEntry {
               |       CAST(row_number() OVER (
               |         ORDER BY ${Sampling.hashUnitSql("doc_id", "sh42")}, doc_id)
               |         AS BIGINT) - 1 AS shuffle_pos
-              |FROM documents""".stripMargin))
+              |FROM documents""".stripMargin)),
+
+    // Long-to-wide pivot: day × event-type count matrix. The column set is
+    // data-dependent (dummy-encode contract), so its oracle is dynamic —
+    // see eventsPivotOracle.
+    ("q94_events_pivot",
+      (s: SparkSession, dir: String) =>
+        EventOps.pivotDailyCounts(Cohorts.events(s, dir)),
+      None),
+
+    // Per-type equal-width 10-bin value histogram: two agg passes, sparse
+    // (group, bin) output.
+    ("q95_value_histogram",
+      (s: SparkSession, dir: String) =>
+        Summary.histogram(Cohorts.events(s, dir), "value",
+          Seq("event_type"), 10),
+      Some("""WITH st AS (SELECT event_type, min(value) AS mn, max(value) AS mx
+             |            FROM events GROUP BY event_type),
+             |b AS (SELECT e.event_type,
+             |             CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+             |                  ELSE least(CAST(floor((value - mn) /
+             |                         ((mx - mn) / 10.0)) AS BIGINT),
+             |                       CAST(9 AS BIGINT)) END AS bin,
+             |             mn, mx
+             |      FROM events e JOIN st USING (event_type))
+             |SELECT event_type, bin,
+             |       ROUND(1e-9 + mn + bin * ((mx - mn) / 10.0), 4) AS bin_lo,
+             |       ROUND(1e-9 + mn + (bin + 1) * ((mx - mn) / 10.0), 4) AS bin_hi,
+             |       CAST(count(*) AS BIGINT) AS n
+             |FROM b GROUP BY event_type, bin, mn, mx""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
@@ -1883,7 +1912,24 @@ object SparkEntry {
   /** DuckDB-equivalent SQL per query (omitted ⇒ rows-only check). Queries
     * whose oracle embeds learned literals appear only when
     * [[oracleDataDir]] is set. */
+  /** q94's oracle: the pivoted column set is data-dependent (Spark's pivot
+    * discovers the distinct event types); replay the discovery on the same
+    * dir and emit one conditional count per type under the type's own
+    * name — the exact wide schema the pivot produced. */
+  private def eventsPivotOracle(dir: String): String = {
+    val types = Cohorts.events(SparkSession.active, dir)
+      .select("event_type").distinct().collect().map(_.getString(0)).sorted
+    val cols = types.map { t =>
+      val q = t.replace("'", "''")
+      s"""CAST(count(*) FILTER (WHERE event_type = '$q') AS BIGINT) AS "$t""""
+    }.mkString(",\n       ")
+    s"""SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       |       $cols
+       |FROM events GROUP BY CAST(ts AS DATE)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] =
     registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap ++
-      oracleDataDir.map(dir => "q44_sim_ivf_kmeans" -> ivfKmeansOracle(dir))
+      oracleDataDir.map(dir => "q44_sim_ivf_kmeans" -> ivfKmeansOracle(dir)) ++
+      oracleDataDir.map(dir => "q94_events_pivot" -> eventsPivotOracle(dir))
 }

@@ -584,6 +584,28 @@ object EventOps {
         .as("p"))
   }
 
+  /** Daily event-type count pivot — long-to-wide: one row per day, one
+    * column per event type. The type set is data-dependent (the same
+    * contract as the one-hot encoder's `get_dummies` schema): a
+    * config-time distinct scan discovers it, and passing the explicit
+    * value list to `pivot` keeps the plan a SINGLE hash aggregation with
+    * one conditional count per type — no second discovery job, no
+    * per-type scans. Absent (day, type) cells are 0, not null, so the
+    * wide matrix is directly consumable. Wide-side cardinality is the
+    * type vocabulary; this operator is for bounded vocabularies (the
+    * unbounded case belongs in long form). */
+  def pivotDailyCounts(events: DataFrame): DataFrame = {
+    val types = events.select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted
+    events
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .groupBy("day")
+      .pivot("event_type", types.toSeq)
+      .agg(count(lit(1)))
+      .na.fill(0L, types.toSeq)
+  }
+
   /** Transition-stream state per user: the last SEALED event (all a future
     * transition needs) plus the not-yet-sealed arrivals. */
   final case class TransBuf(last: Option[(Long, Long, String)],

@@ -235,4 +235,33 @@ object Summary {
     df.join(broadcast(bounds), groupCols)
       .withColumn("v_clip", least(greatest(col(valueCol), col("lo")), col("hi")))
       .withColumn("clipped", (col(valueCol) < col("lo") || col(valueCol) > col("hi")))
+
+  /** Per-group equal-width histogram: `bins` buckets spanning the group's
+    * [min, max]. Two aggregation passes — a tiny per-group (min, max)
+    * relation broadcast back, then the bin counts — so the data is scanned
+    * twice but shuffled only as pre-aggregated (group, bin) rows. The bin
+    * index is pure IEEE-754 binary64 arithmetic `(v − mn) / width`,
+    * identical in any engine (no transcendental calls, so no cross-engine
+    * ulp risk); the group max lands exactly on `bins` and is clamped into
+    * the last bucket, and a degenerate group (mn = mx) collapses to bin 0.
+    * Output: (group…, bin, bin_lo, bin_hi, n) — empty bins are absent
+    * (sparse), the contract a downstream plotter densifies itself. */
+  def histogram(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val stats = df.groupBy(groupCols.map(col(_)): _*)
+      .agg(min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"))
+    val w = (col("__mx") - col("__mn")) / lit(bins.toDouble)
+    df.join(broadcast(stats), groupCols)
+      .withColumn("bin",
+        when(col("__mx") === col("__mn"), lit(0L)).otherwise(
+          least(floor((col(valueCol) - col("__mn")) / w), lit(bins - 1L))
+            .cast("long")))
+      .groupBy(groupCols.map(col(_)) :+ col("bin") :+ col("__mn") :+ col("__mx"): _*)
+      .agg(count(lit(1)).as("n"))
+      .select(groupCols.map(col(_)) ++ Seq(col("bin"),
+        graft.Num.rnd(col("__mn") + col("bin") * w, 4).as("bin_lo"),
+        graft.Num.rnd(col("__mn") + (col("bin") + 1) * w, 4).as("bin_hi"),
+        col("n")): _*)
+  }
 }

@@ -1403,4 +1403,32 @@ class OpsSpec extends SparkSpec {
       .select("doc_id", "p").as[(Long, Long)].collect().toSet
     assert(again == twin)
   }
+
+  test("pivotDailyCounts widens to one zero-filled column per event type") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val e = Seq(
+      (ts("2024-05-01 10:00:00"), "click"), (ts("2024-05-01 11:00:00"), "click"),
+      (ts("2024-05-01 12:00:00"), "view"),
+      (ts("2024-05-02 09:00:00"), "view")).toDF("ts", "event_type")
+    val out = EventOps.pivotDailyCounts(e)
+    assert(out.columns.toSeq == Seq("day", "click", "view")) // sorted types
+    val rows = out.orderBy("day")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows == Seq(("2024-05-01", 2L, 1L),
+                       ("2024-05-02", 0L, 1L))) // absent cell is 0, not null
+  }
+
+  test("histogram bins per group with clamped max and sparse empty bins") {
+    val d = (Seq.tabulate(10)(i => ("a", i.toDouble)) :+ ("a", 100.0))
+      .++(Seq(("b", 5.0), ("b", 5.0))) // degenerate group: mn = mx
+      .toDF("g", "v")
+    val out = Summary.histogram(d, "v", Seq("g"), 10)
+      .select("g", "bin", "bin_lo", "bin_hi", "n")
+      .as[(String, Long, Double, Double, Long)].collect().toSet
+    // group a spans [0, 100], width 10: values 0..9 land in bin 0,
+    // the max lands exactly on 10·width and clamps into bin 9.
+    assert(out == Set(
+      ("a", 0L, 0.0, 10.0, 10L), ("a", 9L, 90.0, 100.0, 1L),
+      ("b", 0L, 5.0, 5.0, 2L)))
+  }
 }
