@@ -587,23 +587,26 @@ object EventOps {
   /** Daily event-type count pivot — long-to-wide: one row per day, one
     * column per event type. The type set is data-dependent (the same
     * contract as the one-hot encoder's `get_dummies` schema): a
-    * config-time distinct scan discovers it, and passing the explicit
-    * value list to `pivot` keeps the plan a SINGLE hash aggregation with
-    * one conditional count per type — no second discovery job, no
-    * per-type scans. Absent (day, type) cells are 0, not null, so the
-    * wide matrix is directly consumable. Wide-side cardinality is the
+    * config-time distinct scan discovers it, then the pivot is spelled as
+    * one conditional count per type in a single groupBy — NOT
+    * `Dataset.pivot`, which even with explicit values plans a two-phase
+    * (day, type) pre-aggregation + pivotfirst, i.e. TWO exchanges. The
+    * conditional-count spelling is one partial/final HashAggregate pair
+    * over ONE exchange carrying a single wide row per (map, day), and
+    * `count` never returns null so absent cells are 0 by construction
+    * (PropertySpec pins the plan shape). Wide-side cardinality is the
     * type vocabulary; this operator is for bounded vocabularies (the
     * unbounded case belongs in long form). */
   def pivotDailyCounts(events: DataFrame): DataFrame = {
     val types = events.select("event_type").distinct()
       .collect().map(_.getString(0)).sorted
+    val aggs = types.map(t =>
+      count(when(col("event_type") === lit(t), 1)).as(t))
     events
       .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
         col("event_type"))
       .groupBy("day")
-      .pivot("event_type", types.toSeq)
-      .agg(count(lit(1)))
-      .na.fill(0L, types.toSeq)
+      .agg(aggs.head, aggs.tail.toSeq: _*)
   }
 
   /** Transition-stream state per user: the last SEALED event (all a future

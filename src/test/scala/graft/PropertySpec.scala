@@ -527,6 +527,109 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: retentionMatrix equals the brute per-user reference") {
+    val evGen: Gen[List[(Long, Int)]] = Gen.listOfN(50, for {
+      u <- Gen.choose(1L, 6L)
+      day <- Gen.choose(0, 20)
+    } yield (u, day))
+    for (events <- sampled(evGen, 8, 131L)) {
+      val base = java.time.LocalDate.of(2024, 3, 1)
+      val df = events.map { case (u, d) =>
+        (u, java.sql.Timestamp.valueOf(base.plusDays(d).atTime(9, 0)))
+      }.toDF("user_id", "ts")
+      val got = graft.ops.EventOps.retentionMatrix(df, 14)
+        .as[(String, Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      val byUser = events.distinct.groupBy(_._1).view.mapValues(_.map(_._2))
+      val cells = byUser.toSeq.flatMap { case (_, ds) =>
+        val d0 = ds.min
+        ds.map(d => (base.plusDays(d0).toString, (d - d0).toLong))
+      }.filter(_._2 <= 14)
+      val want0 = cells.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val want = want0.map { case ((cd, off), n) =>
+        val denom = want0((cd, 0L)).toDouble
+        (cd, off) -> ((n, BigDecimal(n / denom + 1e-9)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+      assert(got == want, s"events=${events.take(10)}…")
+    }
+  }
+
+  test("property: eventTransitions equals a reference fold; rows sum to 1") {
+    val names = Vector("A", "B", "C")
+    val evGen: Gen[List[(Long, Long, Int)]] = Gen.listOfN(40, for {
+      u <- Gen.choose(1L, 5L)
+      sec <- Gen.choose(0L, 86400L)
+      t <- Gen.choose(0, 2)
+    } yield (u, sec, t))
+    for (events <- sampled(evGen, 8, 151L)) {
+      val base = 1700000000L
+      val df = events.zipWithIndex.map { case ((u, sec, t), i) =>
+        (i.toLong, new java.sql.Timestamp((base + sec) * 1000), u, names(t))
+      }.toDF("event_id", "ts", "user_id", "event_type")
+      val got = graft.ops.EventOps.eventTransitions(df)
+        .as[(String, String, Long, Double)].collect()
+      // reference: per user, sort by (sec, event_id), zip with tail
+      val want = events.zipWithIndex
+        .map { case ((u, sec, t), i) => (u, sec, i.toLong, names(t)) }
+        .groupBy(_._1).values.flatMap { es =>
+          val o = es.sortBy(e => (e._2, e._3)).map(_._4)
+          o.zip(o.tail)
+        }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got.map(r => (r._1, r._2) -> r._3).toMap == want)
+      // probabilities are the count shares, and each from-row sums to 1
+      got.groupBy(_._1).foreach { case (_, rows) =>
+        assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-2) // 4-dp rounding slack
+      }
+    }
+  }
+
+  test("property: histogram partitions every group and brackets every value") {
+    val vGen: Gen[List[(Int, Double)]] = Gen.listOfN(60, for {
+      g <- Gen.choose(0, 3)
+      v <- Gen.choose(-50.0, 50.0)
+    } yield (g, v))
+    for (data <- sampled(vGen, 8, 171L)) {
+      val df = data.map { case (g, v) => (s"g$g", v) }.toDF("g", "v")
+      val got = Summary.histogram(df, "v", Seq("g"), 10)
+        .as[(String, Long, Double, Double, Long)].collect()
+      val byG = data.groupBy(t => s"g${t._1}")
+      // bin counts per group sum to the group size (no row lost or doubled)
+      got.groupBy(_._1).foreach { case (g, rows) =>
+        assert(rows.map(_._5).sum == byG(g).size.toLong)
+        assert(rows.map(_._2).distinct.size == rows.size) // one row per bin
+      }
+      // every bin index agrees with the reference arithmetic
+      for ((g, rows) <- got.groupBy(_._1)) {
+        val vs = byG(g).map(_._2)
+        val (mn, mx) = (vs.min, vs.max)
+        val w = (mx - mn) / 10.0
+        val want = vs.map(v =>
+            if (mx == mn) 0L else math.min(math.floor((v - mn) / w).toLong, 9L))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        assert(rows.map(r => r._2 -> r._5).toMap == want)
+      }
+    }
+  }
+
+  test("temperature sample and pivot plan broadcast joins and single aggs") {
+    val d = (0L until 60L).map(i => (i, if (i % 3 == 0) "en" else "de", s"w$i"))
+      .toDF("doc_id", "lang", "text")
+    val sPlan = graft.ops.Sampling.temperatureSample(d, "lang", "doc_id", 0.5, "p")
+      .queryExecution.executedPlan.toString
+    // the corpus side must reach the rates via broadcast, never a shuffle join
+    assert(sPlan.contains("BroadcastHashJoin"), sPlan.take(2000))
+    assert(!sPlan.contains("SortMergeJoin"), sPlan.take(2000))
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val e = Seq((ts("2024-05-01 10:00:00"), "click"),
+      (ts("2024-05-02 10:00:00"), "view")).toDF("ts", "event_type")
+    val pPlan = graft.ops.EventOps.pivotDailyCounts(e)
+      .queryExecution.executedPlan.toString
+    // explicit pivot values ⇒ exactly one partial/final agg pair over one
+    // exchange — no per-type scans, no second discovery aggregation
+    assert("HashAggregate".r.findAllIn(pPlan).size == 2, pPlan.take(2000))
+  }
+
   test("inverted-index text ops never plan a cartesian stage") {
     val docs = (0L until 40L).map(i =>
       (i, "src", "en", (1 to (i % 9 + 2).toInt).map("w" + _).mkString(" ")))
