@@ -1845,7 +1845,48 @@ object SparkEntry {
              |       ROUND(1e-9 + mn + bin * ((mx - mn) / 10.0), 4) AS bin_lo,
              |       ROUND(1e-9 + mn + (bin + 1) * ((mx - mn) / 10.0), 4) AS bin_hi,
              |       CAST(count(*) AS BIGINT) AS n
-             |FROM b GROUP BY event_type, bin, mn, mx""".stripMargin))
+             |FROM b GROUP BY event_type, bin, mn, mx""".stripMargin)),
+
+    // Deterministic weighted interleave (stride scheduling): en 3×, zh
+    // 1.5×, rest 1× — every training prefix sees the target language mix.
+    ("q96_interleave",
+      (s: SparkSession, dir: String) =>
+        Sampling.interleaveByStrata(Cohorts.documents(s, dir), "lang",
+            "doc_id", Map("en" -> 3.0, "zh" -> 1.5), 1.0, "il42")
+          .select("doc_id", "lang", "interleave_pos"),
+      Some(s"""WITH rk AS (SELECT doc_id, lang,
+              |             CAST(row_number() OVER (PARTITION BY lang
+              |               ORDER BY ${Sampling.hashUnitSql("doc_id", "il42")},
+              |                        doc_id) AS BIGINT) AS r
+              |            FROM documents),
+              |k AS (SELECT doc_id, lang,
+              |             r / CASE lang WHEN 'en' THEN 3.0
+              |                           WHEN 'zh' THEN 1.5
+              |                           ELSE 1.0 END AS pk
+              |      FROM rk)
+              |SELECT doc_id, lang,
+              |       CAST(row_number() OVER (ORDER BY pk, lang, doc_id)
+              |         AS BIGINT) - 1 AS interleave_pos
+              |FROM k""".stripMargin)),
+
+    // Per-source unigram KL from the corpus distribution — domain-shift
+    // score that drives mixture re-weighting.
+    ("q97_source_divergence",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.sourceDivergence(Cohorts.documents(s, dir))
+          .select(col("source"), col("n_tokens"), rnd(col("kl"), 4).as("kl")),
+      Some(s"""WITH ${TextSql.toksCte},
+              |o AS (SELECT source, unnest(t) AS tok FROM toks),
+              |st AS (SELECT source, tok, CAST(count(*) AS DOUBLE) AS nst
+              |       FROM o GROUP BY source, tok),
+              |nt AS (SELECT tok, sum(nst) AS nt FROM st GROUP BY tok),
+              |ns AS (SELECT source, sum(nst) AS ns FROM st GROUP BY source),
+              |tot AS (SELECT sum(nst) AS n FROM st)
+              |SELECT st.source, CAST(ns.ns AS BIGINT) AS n_tokens,
+              |       ROUND(1e-9 + sum((nst / ns.ns) *
+              |             ln((nst / ns.ns) / (nt.nt / tot.n))), 4) AS kl
+              |FROM st JOIN nt USING (tok) JOIN ns USING (source), tot
+              |GROUP BY st.source, ns.ns""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -176,4 +176,36 @@ object Sampling {
         df.withColumn("__u", checkedUnit(col(keyCol), seed)),
         Seq("__u", keyCol), outCol)
       .drop("__u")
+
+  /** Deterministic weighted interleave — the data-MIXING twin of
+    * [[temperatureSample]]: instead of dropping rows to hit a mixture, it
+    * ORDERS the full corpus so strata appear at their weight ratios
+    * throughout (every training prefix sees the target mix, the
+    * curriculum property sampling can't give). Stride scheduling: stratum
+    * rank r (per-stratum hash order) gets sort key (r+1)/w_s, so a
+    * stratum with twice the weight lands twice as often in any key
+    * interval; the global order is (key, stratum, row) — fully
+    * deterministic, ties exact because both engines compute the same
+    * binary64 division. Both ranks come from the distributed zipWithIndex
+    * primitives ([[graft.Preprocess.withGroupRowIdsDistributed]] +
+    * withRowIdsDistributed): NO per-stratum single-task window, no global
+    * single-task window — the two range-partitioned sorts are the
+    * operator's irreducible cost at any scale. */
+  def interleaveByStrata(df: DataFrame, strataCol: String, keyCol: String,
+                         weights: Map[String, Double], defaultWeight: Double,
+                         seed: String,
+                         outCol: String = "interleave_pos"): DataFrame = {
+    (weights.values ++ Seq(defaultWeight)).foreach(w =>
+      require(w > 0.0, s"interleave weights must be > 0, got $w"))
+    val wcol = weights.foldLeft(lit(defaultWeight)) {
+      case (els, (k, v)) => when(col(strataCol) === lit(k), lit(v)).otherwise(els)
+    }
+    val ranked = graft.Preprocess.withGroupRowIdsDistributed(
+      df.withColumn("__u", checkedUnit(col(keyCol), seed)),
+      Seq(strataCol), Seq("__u", keyCol), "__r")
+    graft.Preprocess.withRowIdsDistributed(
+        ranked.withColumn("__pk", (col("__r") + 1).cast("double") / wcol),
+        Seq("__pk", strataCol, keyCol), outCol)
+      .drop("__u", "__r", "__pk")
+  }
 }

@@ -377,6 +377,40 @@ object TextAnalysis {
         size(col("__chunk")).cast("long").as("n_tokens"),
         array_join(col("__chunk"), " ").as("chunk_text"))
   }
+
+  /** Per-source unigram KL divergence from the corpus distribution —
+    * domain-shift detection for mixture curation: KL(p_source ‖ p_corpus)
+    * = Σ_t p_s(t)·ln(p_s(t)/p_c(t)) over the source's observed tokens
+    * (p_s(t)=0 terms contribute 0; p_c(t)>0 wherever p_s(t)>0 since the
+    * corpus contains the source). A source whose token mix matches the
+    * corpus scores ~0; a divergent domain scores high — the signal that
+    * drives re-weighting ([[graft.ops.Sampling.temperatureSample]]) or
+    * exclusion.
+    *
+    * Plan: one tokenize+explode pass into the (source, token) count
+    * relation — persisted, because THREE consumers read it (token
+    * marginals, source marginals, the final join) and its lineage is the
+    * corpus-sized explode; everything downstream is pre-aggregated,
+    * Zipf-bounded rows. The token-marginal join shuffles only those
+    * aggregated rows; source marginals and the grand total ride in as
+    * broadcasts. Output: (source, n_tokens, kl). */
+  def sourceDivergence(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val st = docs
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).cast("double").as("__nst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val byTok = st.groupBy("t").agg(sum("__nst").as("__nt"))
+    val bySrc = st.groupBy("source").agg(sum("__nst").as("__ns"))
+    val total = byTok.agg(sum("__nt").as("__n"))
+    st.join(byTok, "t")
+      .join(broadcast(bySrc), "source")
+      .crossJoin(broadcast(total))
+      .groupBy("source")
+      .agg(first(col("__ns")).cast("long").as("n_tokens"),
+        sum((col("__nst") / col("__ns")) *
+          log((col("__nst") / col("__ns")) / (col("__nt") / col("__n"))))
+          .as("kl"))
+  }
 }
 
 /** DuckDB SQL twins of [[TextAnalysis]] — fragment builders interpolated

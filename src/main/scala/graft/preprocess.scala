@@ -125,6 +125,60 @@ object Preprocess {
     df.sparkSession.createDataFrame(withIds, schema)
   }
 
+  /** Distributed PER-GROUP dense row ids — the scale twin of
+    * `row_number().over(Window.partitionBy(groupCols…).orderBy(orderCols…))
+    * − 1`, which ships EVERY row of a group through one task (a 100 TB
+    * stratum = one sort on one core). Same zipWithIndex shape as
+    * [[withRowIdsDistributed]], generalized: range-partition on
+    * (group ++ order) — a group's rows may span partitions, but each
+    * partition holds a contiguous sorted slice of it — then one tiny job
+    * collects per-(partition, group) counts (|partitions| × |groups
+    * touched| rows, driver-bounded by construction, NOT data-sized),
+    * cumulative offsets per group across partitions, and a streaming
+    * per-partition pass adds offset + local position. Requires
+    * (group ++ order) to form a total order. Equivalence to the window
+    * form is pinned by PreprocessSpec. */
+  def withGroupRowIdsDistributed(df: DataFrame, groupCols: Seq[String],
+                                 orderCols: Seq[String],
+                                 outCol: String = "idx"): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty (use withRowIdsDistributed)")
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val keyCols = groupCols ++ orderCols
+    val sorted = df
+      .repartitionByRange(n, keyCols.map(col(_)): _*)
+      .sortWithinPartitions(keyCols.map(col(_)): _*)
+    val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gIdx = groupCols.map(sorted.schema.fieldIndex)
+    val counts = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      // LinkedHashMap: a partition sees each group as one contiguous run,
+      // so this is O(groups-in-partition) entries however large the slice
+      val m = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Long]
+      it.foreach { r =>
+        val k = gIdx.map(r.get)
+        m.update(k, m.getOrElse(k, 0L) + 1L)
+      }
+      m.iterator.map { case (k, c) => (pid, k, c) }
+    }.collect()
+    val offsets: Map[(Int, Seq[Any]), Long] = counts.groupBy(_._2)
+      .flatMap { case (g, cs) =>
+        val inOrder = cs.sortBy(_._1)
+        inOrder.map(_._1).zip(inOrder.map(_._3).scanLeft(0L)(_ + _))
+          .map { case (pid, off) => (pid, g) -> off }
+      }
+    val schema = sorted.schema.add(outCol, org.apache.spark.sql.types.LongType,
+      nullable = false)
+    val withIds = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      val next = scala.collection.mutable.HashMap.empty[Seq[Any], Long]
+      it.map { r =>
+        val k = gIdx.map(r.get)
+        val v = next.getOrElse(k, offsets.getOrElse((pid, k), 0L))
+        next.update(k, v + 1)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v)
+      }
+    }
+    df.sparkSession.createDataFrame(withIds, schema)
+  }
+
   /** Distributed INCLUSIVE running count of rows with `flagCol` != 0 in the
     * total order of `orderCols` — the zipWithIndex-shaped scale twin of
     * `sum(flag).over(Window.orderBy(orderCols…).rowsBetween(

@@ -1418,6 +1418,49 @@ class OpsSpec extends SparkSpec {
                        ("2024-05-02", 0L, 1L))) // absent cell is 0, not null
   }
 
+  test("interleaveByStrata is a stride-scheduled permutation") {
+    val d = ((1 to 200).map(i => (i.toLong, "a")) ++
+      (201 to 300).map(i => (i.toLong, "b"))).toDF("doc_id", "lang")
+    val out = Sampling.interleaveByStrata(d, "lang", "doc_id",
+      Map("a" -> 2.0), 1.0, "il")
+    val rows = out.select("interleave_pos", "lang")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L until 300L)) // dense permutation
+    // stride property: strata appear at their weight ratio in EVERY
+    // aligned prefix — after 3k positions, 2k of a and k of b (both
+    // strata still live: a's rank r sorts at r/2, b's at r, so positions
+    // [0, 3k) hold a-ranks 1..2k and b-ranks 1..k exactly)
+    for (k <- Seq(10, 30, 90)) {
+      val prefix = rows.take(3 * k)
+      assert(prefix.count(_._2 == "a") == 2 * k, s"prefix ${3 * k}")
+    }
+    // deterministic rerun
+    val again = Sampling.interleaveByStrata(d, "lang", "doc_id",
+        Map("a" -> 2.0), 1.0, "il")
+      .select("doc_id", "interleave_pos").as[(Long, Long)].collect().toSet
+    assert(again == out.select("doc_id", "interleave_pos")
+      .as[(Long, Long)].collect().toSet)
+  }
+
+  test("sourceDivergence scores matching sources ~0 and divergent ones high") {
+    // s1/s2 share the corpus-dominant distribution; s3 is disjoint tokens
+    val d = (
+      (1 to 10).map(i => (i.toLong, "s1", "common words here")) ++
+      (11 to 20).map(i => (i.toLong, "s2", "common words here")) ++
+      (21 to 22).map(i => (i.toLong, "s3", "alien vocabulary entirely"))
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceDivergence(d)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("s1")._1 == 30L) // 10 docs × 3 tokens
+    assert(out("s3")._1 == 6L)
+    // s1 and s2 are the bulk of the corpus → near-zero divergence;
+    // s3's tokens never occur elsewhere → large positive divergence
+    assert(out("s1")._2 < 0.2 && out("s2")._2 < 0.2)
+    assert(out("s3")._2 > 1.0)
+    // KL is non-negative for every source
+    out.values.foreach { case (_, kl) => assert(kl >= -1e-9) }
+  }
+
   test("histogram bins per group with clamped max and sparse empty bins") {
     val d = (Seq.tabulate(10)(i => ("a", i.toDouble)) :+ ("a", 100.0))
       .++(Seq(("b", 5.0), ("b", 5.0))) // degenerate group: mn = mx

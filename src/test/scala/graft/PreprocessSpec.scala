@@ -112,4 +112,22 @@ class PreprocessSpec extends SparkSpec {
     assert(dist.select("key", "flag", "payload", "rc")
       .collect().map(_.toSeq).toSet == windowed)
   }
+
+  test("distributed per-group row ids equal the partitioned window form") {
+    import org.apache.spark.sql.expressions.Window
+    // few groups × many rows: each group MUST span several range
+    // partitions, exercising the cross-partition offset stitching
+    val df = spark.range(0, 900).select(
+      (col("id") % 3).cast("string").as("g"),
+      (col("id") * 7919 % 900).as("key"),
+      col("id").as("payload"))
+      .repartition(13)
+    val windowed = df.withColumn("idx",
+        row_number().over(Window.partitionBy("g").orderBy("key")).cast("long") - 1)
+      .select("g", "key", "payload", "idx").collect().map(_.toSeq).toSet
+    val dist = Preprocess.withGroupRowIdsDistributed(df, Seq("g"), Seq("key"), "idx")
+    assert(dist.rdd.getNumPartitions > 1) // no per-group single-task stage
+    assert(dist.select("g", "key", "payload", "idx")
+      .collect().map(_.toSeq).toSet == windowed)
+  }
 }
