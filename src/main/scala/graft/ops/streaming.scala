@@ -609,6 +609,72 @@ object EventOps {
       .agg(aggs.head, aggs.tail.toSeq: _*)
   }
 
+  /** Retention-stream state per user: the sealed cohort day (epoch days,
+    * None until the watermark passes its START), the offsets already
+    * emitted (≤ maxOffset+1 of them — O(1)), and the day set buffered
+    * while the cohort candidate can still be lowered (watermark-horizon
+    * bounded). */
+  final case class RetBuf(cohortDay: Option[Long], emitted: Set[Int],
+                          pending: Set[Long])
+  final case class RetOut(cohort_day: String, day_offset: Long)
+
+  /** Streaming twin of [[retentionMatrix]]'s per-user cell extraction:
+    * emits one (cohort_day, day_offset) increment the first time a user is
+    * seen at that offset; a downstream streaming count per cell IS the
+    * retention matrix (tests pin cell counts against batch).
+    *
+    * Correctness under out-of-order arrival hinges on ONE fact: a user's
+    * cohort day only ever moves EARLIER, and once the watermark passes the
+    * START of the earliest day seen, any admissible late event has
+    * ts > wm ≥ that start, so its day cannot be earlier — the cohort is
+    * final. Until then nothing is emitted (an emitted offset would be
+    * relative to a revisable cohort); after sealing, offsets are
+    * append-only facts — (user, day) presence is monotone — so each
+    * distinct admissible day emits exactly once, immediately. State is
+    * O(maxOffset) sealed + the unsealed horizon, with an event-time
+    * timeout to seal through no-data micro-batches. */
+  def retentionMatrixStream(
+      events: Dataset[(Long, java.sql.Timestamp)], maxOffset: Int = 14,
+      watermark: String = "2 hours"): Dataset[RetOut] = {
+    import events.sparkSession.implicits._
+    require(maxOffset >= 0, s"maxOffset must be >= 0, got $maxOffset")
+    val MsPerDay = 86400000L
+    val fmt = (day: Long) =>
+      java.time.LocalDate.ofEpochDay(day).toString
+    events
+      .withWatermark("_2", watermark)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RetBuf, RetOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state: GroupState[RetBuf]) =>
+          val prev = state.getOption.getOrElse(RetBuf(None, Set.empty, Set.empty))
+          val days = prev.pending ++
+            rows.map(r => Math.floorDiv(r._2.getTime, MsPerDay))
+          val wmDay = Math.floorDiv(state.getCurrentWatermarkMs(), MsPerDay)
+          val (cohort, rest) = prev.cohortDay match {
+            case Some(c) => (Some(c), days)
+            case None if days.nonEmpty && wmDay >= days.min =>
+              (Some(days.min), days) // sealed: no admissible earlier day
+            case None => (None, days)
+          }
+          val out = cohort match {
+            case None => Nil
+            case Some(c) =>
+              rest.toSeq.map(d => (d - c).toInt).distinct
+                .filter(o => o >= 0 && o <= maxOffset && !prev.emitted(o))
+                .sorted.map(o => RetOut(fmt(c), o.toLong))
+          }
+          val emitted = prev.emitted ++ out.map(_.day_offset.toInt)
+          // once sealed, pending days are spent on arrival — drop them
+          state.update(RetBuf(cohort, emitted,
+            if (cohort.isDefined) Set.empty else rest))
+          if (cohort.isEmpty && rest.nonEmpty)
+            // seal as soon as the watermark reaches the candidate's start
+            state.setTimeoutTimestamp(rest.min * MsPerDay + 1000L)
+          out.iterator
+      }
+  }
+
   /** Transition-stream state per user: the last SEALED event (all a future
     * transition needs) plus the not-yet-sealed arrivals. */
   final case class TransBuf(last: Option[(Long, Long, String)],

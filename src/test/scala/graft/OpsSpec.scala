@@ -1315,6 +1315,57 @@ class OpsSpec extends SparkSpec {
     assert(out == Set(("A", "B", 2L, 1.0), ("B", "A", 1L, 1.0)))
   }
 
+  test("retentionMatrixStream matches batch cell counts on shuffled events") {
+    implicit val sq = spark.sqlContext
+    val raw = Cohorts.events(spark, "/root/testdata/sf0.001")
+    val rows = new scala.util.Random(23).shuffle(raw
+      .select($"user_id", $"ts")
+      .as[(Long, java.sql.Timestamp)].collect().toSeq)
+    val flushTs = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+    val users = rows.map(_._1).distinct
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = EventOps.retentionMatrixStream(stream.toDS().map(identity), 14)
+      .writeStream.format("memory").queryName("ret_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(rows)
+      // sentinels advance the watermark past every real day; their own
+      // offset exceeds maxOffset and is filtered
+      stream.addData(users.map(u => (u, flushTs)))
+      q.processAllAvailable()
+      val streamed = spark.table("ret_out")
+        .groupBy("cohort_day", "day_offset").agg(count(lit(1)).as("n_users"))
+        .as[(String, Long, Long)].collect().toSet
+      val batch = EventOps.retentionMatrix(raw, 14)
+        .select("cohort_day", "day_offset", "n_users")
+        .as[(String, Long, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("retentionMatrixStream: a late earlier day revises the cohort before sealing") {
+    implicit val sq = spark.sqlContext
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // day-5 activity arrives first; day-3 arrives LATE but inside the
+    // 3-day watermark — the user's cohort must seal at day 3, emitting
+    // offsets {0, 2}, never a day-5 cohort row.
+    val b1 = Seq((1L, ts("2024-05-05 10:00:00")))
+    val b2 = Seq((1L, ts("2024-05-03 12:00:00")))
+    val b3 = Seq((1L, ts("2030-01-01 00:00:00")))
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = EventOps.retentionMatrixStream(stream.toDS().map(identity),
+        maxOffset = 14, watermark = "3 days")
+      .writeStream.format("memory").queryName("ret_ooo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(b1, b2, b3).foreach { b => stream.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("ret_ooo")
+        .as[(String, Long)].collect().toSet
+      assert(streamed == Set(("2024-05-03", 0L), ("2024-05-03", 2L)))
+    } finally q.stop()
+  }
+
   test("eventTransitionsStream matches batch edge counts on shuffled events") {
     implicit val sq = spark.sqlContext
     val raw = Cohorts.events(spark, "/root/testdata/sf0.001")
