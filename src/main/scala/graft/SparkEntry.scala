@@ -1886,7 +1886,68 @@ object SparkEntry {
               |       ROUND(1e-9 + sum((nst / ns.ns) *
               |             ln((nst / ns.ns) / (nt.nt / tot.n))), 4) AS kl
               |FROM st JOIN nt USING (tok) JOIN ns USING (source), tot
-              |GROUP BY st.source, ns.ns""".stripMargin))
+              |GROUP BY st.source, ns.ns""".stripMargin)),
+
+    // PMI collocations: top-10 statistically-bound word pairs per language
+    // (min 5 occurrences — PMI is noise below that).
+    ("q98_collocations",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.collocations(Cohorts.documents(s, dir), 5, 10),
+      Some(s"""WITH ${TextSql.toksCte},
+              |bg AS (SELECT lang, unnest(${TextSql.shingleStrings("t", 2)}) AS g
+              |       FROM toks),
+              |b AS (SELECT lang, string_split(g, ' ')[1] AS w1,
+              |             string_split(g, ' ')[2] AS w2 FROM bg),
+              |pc AS (SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+              |       FROM b GROUP BY lang, w1, w2),
+              |nb AS (SELECT lang, CAST(count(*) AS DOUBLE) AS nbg
+              |       FROM b GROUP BY lang),
+              |o AS (SELECT lang, unnest(t) AS tok FROM toks),
+              |ug AS (SELECT lang, tok, CAST(count(*) AS DOUBLE) AS c
+              |       FROM o GROUP BY lang, tok),
+              |nu AS (SELECT lang, sum(c) AS nu FROM ug GROUP BY lang),
+              |sc AS (SELECT pc.lang, pc.w1, pc.w2, pc.n_pair,
+              |              ln((n_pair / nb.nbg) /
+              |                 ((u1.c / nu.nu) * (u2.c / nu.nu))) AS pmi
+              |       FROM pc
+              |       JOIN nb USING (lang)
+              |       JOIN ug u1 ON u1.lang = pc.lang AND u1.tok = pc.w1
+              |       JOIN ug u2 ON u2.lang = pc.lang AND u2.tok = pc.w2
+              |       JOIN nu ON nu.lang = pc.lang
+              |       WHERE n_pair >= 5),
+              |r AS (SELECT *, CAST(row_number() OVER (
+              |        PARTITION BY lang
+              |        ORDER BY round(1e-9 + pmi, 9) DESC, w1, w2) AS BIGINT) AS rank
+              |      FROM sc)
+              |SELECT lang, w1, w2, n_pair, ROUND(1e-9 + pmi, 4) AS pmi, rank
+              |FROM r WHERE rank <= 10""".stripMargin)),
+
+    // Robust per-type outlier flags: MAD-scored values, |z| > 3 — the
+    // scale-stats pass the mean/stddev z-score can't do when outliers
+    // inflate the scale itself.
+    ("q99_mad_outliers",
+      (s: SparkSession, dir: String) =>
+        Summary.madOutliers(Cohorts.events(s, dir), "value",
+            Seq("event_type"), 3.0)
+          .select(col("event_id"), col("event_type"), col("value"),
+            col("med"), col("mad"), rnd(col("robust_z"), 4).as("robust_z"),
+            col("outlier")),
+      Some("""WITH m AS (SELECT event_type,
+             |                  ROUND(1e-9 + quantile_cont(value, 0.5), 4) AS med
+             |           FROM events GROUP BY event_type),
+             |d AS (SELECT e.event_id, e.event_type, e.value, m.med
+             |      FROM events e JOIN m USING (event_type)),
+             |md AS (SELECT event_type,
+             |              ROUND(1e-9 + quantile_cont(abs(value - med), 0.5), 4) AS mad
+             |       FROM d GROUP BY event_type)
+             |SELECT event_id, event_type, value, med, mad,
+             |       ROUND(1e-9 + CASE WHEN mad = 0 THEN 0.0
+             |                         ELSE (value - med) / (1.4826 * mad) END,
+             |             4) AS robust_z,
+             |       CAST(CASE WHEN mad <> 0 AND
+             |                      abs((value - med) / (1.4826 * mad)) > 3.0
+             |                 THEN 1 ELSE 0 END AS BIGINT) AS outlier
+             |FROM d JOIN md USING (event_type)""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -378,6 +378,51 @@ object TextAnalysis {
         array_join(col("__chunk"), " ").as("chunk_text"))
   }
 
+  /** PMI collocations per language — statistically-bound word pairs
+    * (`"new york"`-style units a tokenizer or phrase-mining pass wants):
+    * pmi(w₁,w₂) = ln(p(w₁w₂) / (p(w₁)·p(w₂))) over adjacent-bigram and
+    * unigram occurrence counts, reported for pairs with ≥ `minCount`
+    * occurrences (PMI is noise at low counts), top-`topK` per language.
+    *
+    * Plan: the bigram and unigram count relations are the same Zipf-
+    * bounded aggregates the LM scores build; the two unigram joins key on
+    * (lang, word) — pre-aggregated rows only, AQE free to broadcast the
+    * vocabulary side when it fits. Ranking is engine-stable: 9-dp-rounded
+    * PMI, (w₁, w₂) tie-break, rank inside the minCount-filtered relation
+    * (vocabulary-bounded, so the per-lang window is small by
+    * construction). */
+  def collocations(docs: org.apache.spark.sql.DataFrame, minCount: Long = 5,
+                   topK: Int = 20): org.apache.spark.sql.DataFrame = {
+    val b = docs
+      .select(col("lang"), explode(shingles(tokens(col("text")), 2)).as("g"))
+      .select(col("lang"),
+        split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"))
+    val pc = b.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val nb = b.groupBy("lang").agg(count(lit(1)).cast("double").as("__nbg"))
+    val ug = docs
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).cast("double").as("__c"))
+    val nu = ug.groupBy("lang").agg(sum("__c").as("__nu"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(col("__pmi9").desc, col("w1").asc, col("w2").asc)
+    pc.filter(col("n_pair") >= minCount)
+      .join(ug.select(col("lang"), col("tok").as("w1"), col("__c").as("__c1")),
+        Seq("lang", "w1"))
+      .join(ug.select(col("lang"), col("tok").as("w2"), col("__c").as("__c2")),
+        Seq("lang", "w2"))
+      .join(broadcast(nb), "lang")
+      .join(broadcast(nu), "lang")
+      .withColumn("__pmi", log((col("n_pair") / col("__nbg")) /
+        ((col("__c1") / col("__nu")) * (col("__c2") / col("__nu")))))
+      .withColumn("__pmi9", graft.Num.rnd(col("__pmi"), 9))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("lang"), col("w1"), col("w2"), col("n_pair"),
+        graft.Num.rnd(col("__pmi"), 4).as("pmi"), col("rank"))
+  }
+
   /** Per-source unigram KL divergence from the corpus distribution —
     * domain-shift detection for mixture curation: KL(p_source ‖ p_corpus)
     * = Σ_t p_s(t)·ln(p_s(t)/p_c(t)) over the source's observed tokens

@@ -236,6 +236,35 @@ object Summary {
       .withColumn("v_clip", least(greatest(col(valueCol), col("lo")), col("hi")))
       .withColumn("clipped", (col(valueCol) < col("lo") || col(valueCol) > col("hi")))
 
+  /** Robust per-group outlier detection via MAD (median absolute
+    * deviation): robust_z = (v − median) / (1.4826·MAD), flagged when
+    * |robust_z| > k. The mean/stddev z-score ([[zscore]]) lets the
+    * outliers it hunts inflate its own scale; median/MAD have a 50%
+    * breakdown point. Two percentile passes (median, then the deviation
+    * median — the second is inherently sequential to the first) with the
+    * tiny per-group stats broadcast back each time; the data is scanned
+    * twice, shuffled never. Both stats are rounded to 4 dp BEFORE the
+    * score: the score and the k-threshold flag then compute from identical
+    * decimals in any engine — an unrounded interpolated percentile could
+    * differ by an ulp across engines and flip a boundary row's flag.
+    * Degenerate groups (MAD = 0, ≥ half the values at the median) score 0,
+    * like [[zscore]]'s sigma = 0 convention. */
+  def madOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                  k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val med = df.groupBy(groupCols.map(col(_)): _*)
+      .agg(graft.Num.rnd(expr(s"percentile($valueCol, 0.5)"), 4).as("med"))
+    val withMed = df.join(broadcast(med), groupCols)
+    val mad = withMed.groupBy(groupCols.map(col(_)): _*)
+      .agg(graft.Num.rnd(expr(s"percentile(abs($valueCol - med), 0.5)"), 4)
+        .as("mad"))
+    val z = when(col("mad") === 0.0, lit(0.0))
+      .otherwise((col(valueCol) - col("med")) / (lit(1.4826) * col("mad")))
+    withMed.join(broadcast(mad), groupCols)
+      .withColumn("robust_z", z)
+      .withColumn("outlier", (abs(z) > k).cast("long"))
+  }
+
   /** Per-group equal-width histogram: `bins` buckets spanning the group's
     * [min, max]. Two aggregation passes — a tiny per-group (min, max)
     * relation broadcast back, then the bin counts — so the data is scanned

@@ -1493,6 +1493,44 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet)
   }
 
+  test("collocations rank bound pairs above independent ones") {
+    // "new york" always co-occurs (PMI high); "the cat"/"the dog" split
+    // "the"'s mass (lower PMI); all pairs clear minCount = 5.
+    val d = (1 to 6).map(i =>
+      (i.toLong, "en", "new york " + (if (i % 2 == 0) "the cat" else "the dog")))
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.collocations(d, 5, 10)
+      .select("lang", "w1", "w2", "n_pair", "pmi", "rank")
+      .as[(String, String, String, Long, Double, Long)].collect()
+      .sortBy(_._6)
+    assert(out.head._2 == "new" && out.head._3 == "york" && out.head._4 == 6L)
+    // every reported pair really occurred ≥ minCount times adjacently
+    assert(out.forall(_._4 >= 5L))
+    // hand-computed: p(new york) = 6/18, p(new) = p(york) = 6/24
+    // → pmi = ln((1/3) / (1/16)) = ln(16/3) ≈ 1.6740
+    val pmiByPair = out.map(r => (r._2, r._3) -> r._5).toMap
+    assert(math.abs(pmiByPair(("new", "york")) - math.log(16.0 / 3.0)) < 1e-3)
+    // (the, cat): n_pair = 3 < minCount — PMI noise floor drops it
+    assert(!pmiByPair.contains(("the", "cat")))
+    // (york, the) is equally bound here (same count ratios); the tie is
+    // broken lexicographically, which is what put new/york at rank 1
+    assert(pmiByPair(("york", "the")) == pmiByPair(("new", "york")))
+  }
+
+  test("madOutliers flags far points without letting them inflate the scale") {
+    // 19 values at 10±2 plus one at 1000: mean/stddev z would dilute, MAD
+    // doesn't. Degenerate group "flat" (MAD = 0) scores 0 everywhere.
+    val d = ((1 to 19).map(i => (i.toLong, "a", 10.0 + (i % 5) - 2)) ++
+      Seq((20L, "a", 1000.0)) ++
+      (21 to 25).map(i => (i.toLong, "flat", 7.0))).toDF("id", "g", "v")
+    val out = Summary.madOutliers(d, "v", Seq("g"), 3.0)
+      .select("id", "g", "robust_z", "outlier")
+      .as[(Long, String, Double, Long)].collect().map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(out(20L)._2 == 1L) // the far point is flagged
+    assert((1 to 19).forall(i => out(i.toLong)._2 == 0L)) // inliers are not
+    assert((21 to 25).forall(i => out(i.toLong) == ((0.0, 0L)))) // MAD=0 → 0
+  }
+
   test("sourceDivergence scores matching sources ~0 and divergent ones high") {
     // s1/s2 share the corpus-dominant distribution; s3 is disjoint tokens
     val d = (
