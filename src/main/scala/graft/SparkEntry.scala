@@ -1947,6 +1947,37 @@ object SparkEntry {
              |       CAST(CASE WHEN mad <> 0 AND
              |                      abs((value - med) / (1.4826 * mad)) > 3.0
              |                 THEN 1 ELSE 0 END AS BIGINT) AS outlier
+             |FROM d JOIN md USING (event_type)""".stripMargin)),
+
+    // Hourly volume anomalies: per-type hourly counts scored against the
+    // type's own median/MAD — the feed-monitoring composite.
+    ("q100_hourly_anomaly",
+      (s: SparkSession, dir: String) =>
+        EventOps.hourlyAnomalies(Cohorts.events(s, dir), 3.0)
+          .select(col("hour_start"), col("event_type"),
+            col("n_events").cast("long").as("n_events"),
+            col("med"), col("mad"),
+            rnd(col("robust_z"), 4).as("robust_z"), col("outlier")),
+      Some("""WITH h AS (SELECT strftime(date_trunc('hour', ts),
+             |                           '%Y-%m-%d %H:%M:%S') AS hour_start,
+             |                  event_type,
+             |                  CAST(count(*) AS DOUBLE) AS n
+             |           FROM events GROUP BY 1, 2),
+             |m AS (SELECT event_type,
+             |             ROUND(1e-9 + quantile_cont(n, 0.5), 4) AS med
+             |      FROM h GROUP BY event_type),
+             |d AS (SELECT h.*, m.med FROM h JOIN m USING (event_type)),
+             |md AS (SELECT event_type,
+             |              ROUND(1e-9 + quantile_cont(abs(n - med), 0.5), 4) AS mad
+             |       FROM d GROUP BY event_type)
+             |SELECT hour_start, event_type, CAST(n AS BIGINT) AS n_events,
+             |       med, mad,
+             |       ROUND(1e-9 + CASE WHEN mad = 0 THEN 0.0
+             |                         ELSE (n - med) / (1.4826 * mad) END,
+             |             4) AS robust_z,
+             |       CAST(CASE WHEN mad <> 0 AND
+             |                      abs((n - med) / (1.4826 * mad)) > 3.0
+             |                 THEN 1 ELSE 0 END AS BIGINT) AS outlier
              |FROM d JOIN md USING (event_type)""".stripMargin))
   )
 

@@ -609,6 +609,21 @@ object EventOps {
       .agg(aggs.head, aggs.tail.toSeq: _*)
   }
 
+  /** Hourly volume anomaly detection — the data-quality monitor over an
+    * event feed: per (hour, type) counts from [[hourlyAgg]], then each
+    * type's hours scored against its own median/MAD
+    * ([[graft.Summary.madOutliers]]); an hour whose volume sits k robust
+    * deviations from the type's median is flagged. Pure composition: the
+    * hourly aggregation reduces the corpus to a (hours × types)-sized
+    * relation BEFORE the robust-stats passes, so the two percentile scans
+    * read pre-aggregated rows, not events. */
+  def hourlyAnomalies(events: DataFrame, k: Double = 3.0): DataFrame =
+    graft.Summary.madOutliers(
+      hourlyAgg(events)
+        .select(col("hour_start"), col("event_type"),
+          col("n_events").cast("double").as("n_events")),
+      "n_events", Seq("event_type"), k)
+
   /** Retention-stream state per user: the sealed cohort day (epoch days,
     * None until the watermark passes its START), the offsets already
     * emitted (≤ maxOffset+1 of them — O(1)), and the day set buffered

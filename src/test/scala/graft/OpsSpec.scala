@@ -1531,6 +1531,24 @@ class OpsSpec extends SparkSpec {
     assert((21 to 25).forall(i => out(i.toLong) == ((0.0, 0L)))) // MAD=0 → 0
   }
 
+  test("hourlyAnomalies flags the burst hour against per-type MAD") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // 9 steady hours of 2-3 events (varied — identical counts would
+    // collapse MAD to 0) + one 40-event burst hour for "click"
+    val steady = for (h <- 0 until 9; i <- 0 until (2 + h % 2)) yield
+      (ts(f"2024-05-01 $h%02d:${i * 7}%02d:00"), "click", 1.0)
+    val burst = (0 until 40).map(i =>
+      (ts(f"2024-05-01 12:${i % 60}%02d:${i % 50}%02d"), "click", 1.0))
+    val e = (steady ++ burst).zipWithIndex.map { case ((t, ty, v), i) =>
+      (i.toLong, t, i.toLong % 7, ty, v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.hourlyAnomalies(e, 3.0)
+      .select("hour_start", "outlier")
+      .as[(String, Long)].collect().toMap
+    assert(out("2024-05-01 12:00:00") == 1L) // the burst is flagged
+    assert(out.count(_._2 == 1L) == 1)       // nothing else is
+  }
+
   test("sourceDivergence scores matching sources ~0 and divergent ones high") {
     // s1/s2 share the corpus-dominant distribution; s3 is disjoint tokens
     val d = (
