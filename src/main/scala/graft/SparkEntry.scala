@@ -2051,10 +2051,12 @@ object SparkEntry {
     * name — the exact wide schema the pivot produced. */
   private def eventsPivotOracle(dir: String): String = {
     val types = Cohorts.events(SparkSession.active, dir)
-      .select("event_type").distinct().collect().map(_.getString(0)).sorted
+      .select("event_type").where(col("event_type").isNotNull).distinct()
+      .collect().map(_.getString(0)).sorted
     val cols = types.map { t =>
-      val q = t.replace("'", "''")
-      s"""CAST(count(*) FILTER (WHERE event_type = '$q') AS BIGINT) AS "$t""""
+      val q = t.replace("'", "''")       // string-literal escaping
+      val id = t.replace("\"", "\"\"")   // quoted-identifier escaping
+      s"""CAST(count(*) FILTER (WHERE event_type = '$q') AS BIGINT) AS "$id""""
     }.mkString(",\n       ")
     s"""SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
        |       $cols

@@ -598,15 +598,21 @@ object EventOps {
     * type vocabulary; this operator is for bounded vocabularies (the
     * unbounded case belongs in long form). */
   def pivotDailyCounts(events: DataFrame): DataFrame = {
-    val types = events.select("event_type").distinct()
-      .collect().map(_.getString(0)).sorted
-    val aggs = types.map(t =>
-      count(when(col("event_type") === lit(t), 1)).as(t))
-    events
+    val days = events
       .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
         col("event_type"))
-      .groupBy("day")
-      .agg(aggs.head, aggs.tail.toSeq: _*)
+    // null types can't name a column — they are skipped (their rows still
+    // count toward no bucket, exactly like Dataset.pivot drops them)
+    val types = events.select("event_type")
+      .where(col("event_type").isNotNull).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(!types.contains("day"),
+      "event_type value 'day' collides with the pivot's day column")
+    if (types.isEmpty) days.select("day").distinct()
+    else days.groupBy("day").agg(
+      count(when(col("event_type") === lit(types.head), 1)).as(types.head),
+      types.tail.toSeq.map(t =>
+        count(when(col("event_type") === lit(t), 1)).as(t)): _*)
   }
 
   /** Hourly volume anomaly detection — the data-quality monitor over an

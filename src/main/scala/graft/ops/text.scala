@@ -393,16 +393,23 @@ object TextAnalysis {
     * construction). */
   def collocations(docs: org.apache.spark.sql.DataFrame, minCount: Long = 5,
                    topK: Int = 20): org.apache.spark.sql.DataFrame = {
+    // both count relations sit on the corpus-sized tokenize/explode
+    // lineage and feed multiple consumers (pc: join + the nb marginal;
+    // ug: two join sides + the nu marginal) — persist them and DERIVE the
+    // marginals from the aggregates (nb = Σ n_pair pre-filter) so the
+    // explode runs once per modality, the sourceDivergence discipline.
     val b = docs
       .select(col("lang"), explode(shingles(tokens(col("text")), 2)).as("g"))
       .select(col("lang"),
         split(col("g"), " ").getItem(0).as("w1"),
         split(col("g"), " ").getItem(1).as("w2"))
     val pc = b.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("n_pair"))
-    val nb = b.groupBy("lang").agg(count(lit(1)).cast("double").as("__nbg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nb = pc.groupBy("lang").agg(sum("n_pair").cast("double").as("__nbg"))
     val ug = docs
       .select(col("lang"), explode(tokens(col("text"))).as("tok"))
       .groupBy("lang", "tok").agg(count(lit(1)).cast("double").as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nu = ug.groupBy("lang").agg(sum("__c").as("__nu"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang")

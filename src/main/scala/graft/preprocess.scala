@@ -132,10 +132,15 @@ object Preprocess {
     * [[withRowIdsDistributed]], generalized: range-partition on
     * (group ++ order) — a group's rows may span partitions, but each
     * partition holds a contiguous sorted slice of it — then one tiny job
-    * collects per-(partition, group) counts (|partitions| × |groups
-    * touched| rows, driver-bounded by construction, NOT data-sized),
-    * cumulative offsets per group across partitions, and a streaming
-    * per-partition pass adds offset + local position. Requires
+    * collects per-(partition, group) counts, cumulative offsets per group
+    * across partitions, and a streaming per-partition pass adds
+    * offset + local position. CONTRACT: the collected state is
+    * O(|partitions| × |distinct groups|) driver rows and the offsets map
+    * ships in every task closure — the operator is for BOUNDED-CARDINALITY
+    * strata (languages, sources, shards; its caller
+    * [[graft.ops.Sampling.interleaveByStrata]] is exactly that), not for
+    * data-sized keys like user ids, where the per-group id should come
+    * from a window over the key's own partition instead. Requires
     * (group ++ order) to form a total order. Equivalence to the window
     * form is pinned by PreprocessSpec. */
   def withGroupRowIdsDistributed(df: DataFrame, groupCols: Seq[String],

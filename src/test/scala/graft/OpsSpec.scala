@@ -1469,6 +1469,18 @@ class OpsSpec extends SparkSpec {
                        ("2024-05-02", 0L, 1L))) // absent cell is 0, not null
   }
 
+  test("pivotDailyCounts degrades on empty input and skips null types") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val empty = Seq.empty[(java.sql.Timestamp, String)].toDF("ts", "event_type")
+    val out0 = EventOps.pivotDailyCounts(empty)
+    assert(out0.columns.toSeq == Seq("day") && out0.count() == 0)
+    val withNull = Seq((ts("2024-05-01 10:00:00"), "click"),
+      (ts("2024-05-01 11:00:00"), null)).toDF("ts", "event_type")
+    val out1 = EventOps.pivotDailyCounts(withNull)
+    assert(out1.columns.toSeq == Seq("day", "click")) // null never a column
+    assert(out1.as[(String, Long)].collect().toSeq == Seq(("2024-05-01", 1L)))
+  }
+
   test("interleaveByStrata is a stride-scheduled permutation") {
     val d = ((1 to 200).map(i => (i.toLong, "a")) ++
       (201 to 300).map(i => (i.toLong, "b"))).toDF("doc_id", "lang")
