@@ -115,14 +115,16 @@ object Bench {
     }
     // The harness keeps only the last 2000 chars of the captured stream and
     // parses the JSON line out of that tail. Two hard requirements follow:
-    // the line must be < ~1500 chars (qNN short keys + 3-decimal seconds;
+    // the line must be < ~1500 chars (qNN short keys + 2-decimal seconds;
     // full names already went to stderr during the passes), and it must be
     // the ABSOLUTE LAST output — r6 lost the whole report because a final
     // stderr dump interleaved after the println and pushed its head out of
     // the tail. So: stop Spark (its shutdown chatter goes to stderr/log4j
     // but do it first anyway), then print exactly one line and flush.
     // Locale.ROOT keeps the decimal separator a dot under any JVM locale.
-    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // 2 decimals: 10 ms grain is below host noise and buys ~100 chars of
+    // tail headroom at 100 queries (one char per query vs 3 decimals).
+    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val shortKeys = results.map(_._1.takeWhile(_ != '_'))
     require(shortKeys.distinct.size == shortKeys.size,
       s"duplicate short query keys would corrupt the JSON report: ${shortKeys.diff(shortKeys.distinct)}")
