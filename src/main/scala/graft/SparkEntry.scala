@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, EventOps, Multimodal, Packing, Sampling, Similarity, TextAnalysis, TextSql}
+import graft.ops.{Dedup, EventOps, Multimodal, Packing, Profile, Sampling, Similarity, TextAnalysis, TextSql}
 
 /** Driver contract — one entry per operator from SURVEY.md §2, each with a
   * DuckDB-equivalent oracle SQL over the same parquet tables. Column names
@@ -1978,7 +1978,63 @@ object SparkEntry {
              |       CAST(CASE WHEN mad <> 0 AND
              |                      abs((n - med) / (1.4826 * mad)) > 3.0
              |                 THEN 1 ELSE 0 END AS BIGINT) AS outlier
-             |FROM d JOIN md USING (event_type)""".stripMargin))
+             |FROM d JOIN md USING (event_type)""".stripMargin)),
+
+    // BPE first-iteration pair statistic: corpus → distinct (word, count)
+    // (Zipf contraction) → per-distinct-word char-pair explode → weighted
+    // counts → distributed top-50 (TakeOrderedAndProject, no global sort).
+    ("q101_bpe_pairs",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.bpePairCounts(Cohorts.documents(s, dir), 50),
+      Some(s"""WITH ${TextSql.toksCte},
+              |tok AS (SELECT unnest(t) AS w FROM toks),
+              |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+              |       FROM tok GROUP BY w),
+              |p AS (SELECT unnest(list_transform(range(length(w) - 1),
+              |               i -> substr(w, CAST(i + 1 AS INT), 2))) AS pair,
+              |             cnt
+              |      FROM wc WHERE length(w) >= 2),
+              |agg AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+              |        FROM p GROUP BY pair)
+              |SELECT pair, n, rank FROM (
+              |  SELECT pair, n, CAST(row_number() OVER (
+              |    ORDER BY n DESC, pair) AS BIGINT) AS rank FROM agg)
+              |WHERE rank <= 50""".stripMargin)),
+
+    // Arrival-process statistics: per-user lag window (one shuffle), exact
+    // BIGINT micro gaps, partial-aggregated per-type rollup.
+    ("q102_interevent_gaps",
+      (s: SparkSession, dir: String) =>
+        EventOps.interEventGaps(Cohorts.events(s, dir)),
+      Some("""WITH g AS (
+             |  SELECT event_type,
+             |         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+             |  FROM events)
+             |SELECT event_type,
+             |       CAST(count(*) AS BIGINT) AS n_gaps,
+             |       ROUND(1e-9 + CAST(sum(gap_us) AS DOUBLE) / count(*) / 1e6,
+             |             4) AS avg_gap_s,
+             |       ROUND(1e-9 + quantile_cont(gap_us, 0.5) / 1e6, 4)
+             |         AS median_gap_s,
+             |       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+             |FROM g WHERE gap_us IS NOT NULL
+             |GROUP BY event_type""".stripMargin)),
+
+    // Ingestion-gate column profile: one scan (Expand-replicated map side),
+    // one partial-aggregated shuffle, driver-sized unpivot.
+    ("q103_profile",
+      (s: SparkSession, dir: String) =>
+        Profile.columnProfile(Cohorts.events(s, dir),
+          Seq("event_id", "ts", "user_id", "event_type", "value", "props")),
+      Some(Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+        .map(c =>
+          s"""SELECT '$c' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_nulls,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+             |FROM events""".stripMargin)
+        .mkString("\nUNION ALL\n")))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

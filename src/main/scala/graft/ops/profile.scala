@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling — the schema-audit pass a training-data pipeline
+  * runs before trusting a new drop: per-column row/null/distinct counts in
+  * long (one-row-per-column) form.
+  */
+object Profile {
+
+  /** Per-column profile of `df` restricted to `cols`: total rows, null
+    * count, exact distinct count — the three numbers every ingestion gate
+    * checks (unexpected null rates and cardinality collapses are the two
+    * classic upstream-breakage signals).
+    *
+    * Plan shape: ONE scan. The multi-column `countDistinct` aggregate goes
+    * through Catalyst's Expand — the input is replicated once per profiled
+    * column map-side, each replica carrying only its own column (the others
+    * are nulled), then a single partial-aggregated shuffle counts them all.
+    * That is |cols|× map volume but stays one job, no per-column re-scan;
+    * at 100 TB profile the columns you gate on, or swap the exact distinct
+    * for `approx_count_distinct` (HLL, one pass, no Expand) — the exact
+    * form is kept here because the oracle hashes it.
+    *
+    * Output unpivots to (column, n_rows, n_nulls, n_distinct) via a stack
+    * projection over the single aggregated row — driver-sized. */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val stacked = cols.map { c =>
+      s"'$c', __nn_$c, __nd_$c"
+    }.mkString(", ")
+    one.select(col("__rows"),
+      expr(s"stack(${cols.size}, $stacked) AS (column, n_nulls, n_distinct)"))
+      .select(col("column"), col("__rows").as("n_rows"),
+        col("n_nulls"), col("n_distinct"))
+  }
+}

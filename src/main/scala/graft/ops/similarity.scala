@@ -84,6 +84,37 @@ object Similarity {
     ranked(joined, k)
   }
 
+  /** LSH-banded hard-negative mining — the corpus-scale candidate path for
+    * [[hardNegatives]]: sign-random-projection band buckets on BOTH sides,
+    * candidates = (query, corpus) pairs sharing ≥ 1 full band (equi-join on
+    * (band, chunk), shuffle O((|corpus|+|queries|)·bands), never the cross
+    * product), then EXACT cosine verification, the same [simLo, simHi)
+    * band filter, and the same rank. Returned rows are a subset of
+    * [[hardNegatives]]' candidate relation with identical sims (OpsSpec
+    * pins both, plus determinism under the fixed seed); recall at the band
+    * floor simLo follows the SRP curve documented on [[nearDupPairsLsh]] —
+    * raise `bands` to push it up (bands=32 ⇒ 2-bit chunks, admission at
+    * s = 0.5 already > 99%). */
+  def hardNegativesBanded(corpus: DataFrame, queries: DataFrame, k: Int,
+                          simLo: Double, simHi: Double,
+                          bands: Int = 32, seed: Long = 42L): DataFrame = {
+    require(simLo < simHi, s"need simLo < simHi, got [$simLo, $simHi)")
+    val cChunks = srpChunks(corpus, bands, seed)
+    val qChunks = srpChunks(queries, bands, seed)
+    val candidates = qChunks.as("q").join(cChunks.as("c"),
+        col("q.band") === col("c.band") && col("q.chunk") === col("c.chunk") &&
+          col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("q_id"), col("c.id").as("c_id"))
+      .distinct()
+    val joined = candidates
+      .join(prep(queries, "q_"), "q_id")
+      .join(prep(corpus, "c_"), "c_id")
+      .withColumn("sim", dotD(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+      .filter(graft.Num.rnd(col("sim"), 9) >= simLo &&
+        graft.Num.rnd(col("sim"), 9) < simHi)
+    ranked(joined, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: exact all-pairs self-join with
     * the dot-product kernel, `a < b` dedupe, cosine ≥ threshold. The
     * brute-force baseline — at corpus scale the candidate set shrinks via

@@ -571,6 +571,37 @@ object EventOps {
     * row-probability window over it. The from/to matrix is O(types²)
     * regardless of data scale, so everything after the lead window is
     * broadcast-sized. */
+  /** Inter-event gap distribution per event type: for every event with a
+    * same-user predecessor (any type), the time since that predecessor,
+    * aggregated per the LATER event's type — the arrival-process statistic
+    * behind session-gap tuning, bot detection and retention models.
+    *
+    * Plan: ONE shuffle on user_id for the lag window (per-user bounded
+    * sort), then a partial-aggregated shuffle on event_type over the
+    * pre-computed gaps. All gap arithmetic stays exact BIGINT micros;
+    * seconds appear only in the final rounded projection (sum/n division
+    * of exact integers — engine-stable, no double accumulation order).
+    * Median via the sort-based exact `percentile` (the q16-proven
+    * quantile_cont pairing). */
+  def interEventGaps(events: DataFrame): DataFrame = {
+    // ordered by (__us, event_id) — identical to (ts, event_id): micros
+    // are injective on the microsecond-grain timestamps.
+    val w = Window.partitionBy("user_id").orderBy(col("__us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("__us"))
+      .withColumn("__gap_us", col("__us") - lag(col("__us"), 1).over(w))
+      .filter(col("__gap_us").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        graft.Num.rnd(sum(col("__gap_us")).cast("double") /
+          count(lit(1)) / lit(1e6), 4).as("avg_gap_s"),
+        graft.Num.rnd(percentile(col("__gap_us"), lit(0.5)) / lit(1e6), 4)
+          .as("median_gap_s"),
+        max(col("__gap_us")).as("max_gap_us"))
+  }
+
   def eventTransitions(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val counts = events

@@ -378,6 +378,42 @@ object TextAnalysis {
         array_join(col("__chunk"), " ").as("chunk_text"))
   }
 
+  /** BPE-style adjacent symbol-pair counts — the statistic one iteration of
+    * byte-pair-encoding tokenizer training maximizes (Sennrich et al. 2016,
+    * the subword-vocab path every LLM tokenizer starts from): for every
+    * adjacent character pair inside a whitespace word, the total number of
+    * occurrences across the corpus, top-`topK` pairs.
+    *
+    * Plan shape — the Zipf contraction is the whole design: the corpus is
+    * tokenized and aggregated to DISTINCT (word, count) FIRST (one
+    * partial-aggregated shuffle whose key space is the vocabulary, not the
+    * token stream), and only the distinct words are exploded into their
+    * ≤ len−1 pairs, weighted by the word's corpus count. At 100 TB the
+    * token stream is trillions of rows but the vocabulary is millions —
+    * the pair explode and second aggregate run on the small relation.
+    * Ranking is engine-stable: exact BIGINT counts, pair-string
+    * tie-break. */
+  def bpePairCounts(docs: org.apache.spark.sql.DataFrame,
+                    topK: Int = 50): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wordCounts = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val pairs = wordCounts
+      .filter(length(col("w")) >= 2)
+      .select(col("cnt"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("cnt")).as("n"))
+    // global top-k WITHOUT a one-partition window sort: orderBy+limit is
+    // planned as TakeOrderedAndProject (per-partition bounded heaps, k-row
+    // merge on the driver); only the k survivors see the rank window.
+    val w = Window.orderBy(col("n").desc, col("pair"))
+    pairs.orderBy(col("n").desc, col("pair")).limit(topK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("pair"), col("n"), col("rank"))
+  }
+
   /** PMI collocations per language — statistically-bound word pairs
     * (`"new york"`-style units a tokenizer or phrase-mining pass wants):
     * pmi(w₁,w₂) = ln(p(w₁w₂) / (p(w₁)·p(w₂))) over adjacent-bigram and

@@ -1593,4 +1593,71 @@ class OpsSpec extends SparkSpec {
       ("a", 0L, 0.0, 10.0, 10L), ("a", 9L, 90.0, 100.0, 1L),
       ("b", 0L, 5.0, 5.0, 2L)))
   }
+
+  test("bpePairCounts weights char pairs by corpus word frequency") {
+    val d = Seq((1L, "aab ab"), (2L, "aab x")).toDF("doc_id", "text")
+    // words: aab×2 (pairs aa, ab), ab×1 (pair ab), x×1 (no pair)
+    val out = TextAnalysis.bpePairCounts(d, 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("ab", 3L, 1L), ("aa", 2L, 2L)))
+    // repeated pair inside one word counts per position: "aaa" → aa twice
+    val rep = TextAnalysis.bpePairCounts(
+      Seq((1L, "aaa")).toDF("doc_id", "text"), 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rep == Seq(("aa", 2L, 1L)))
+  }
+
+  test("interEventGaps measures same-user deltas keyed by the later type") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val d = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L, "view", 0.0),
+      (2L, ts("2024-01-01 00:00:10"), 10L, "click", 0.0),
+      (3L, ts("2024-01-01 00:00:40"), 10L, "click", 0.0),
+      (4L, ts("2024-01-01 00:05:00"), 20L, "view", 0.0), // first per user: no gap
+      (5L, ts("2024-01-01 00:05:02"), 20L, "buy", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.interEventGaps(d)
+      .as[(String, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set("click", "buy"))
+    // click gaps: 10 s and 30 s → avg 20, median 20, max 30 s
+    assert(out("click") == ("click", 2L, 20.0, 20.0, 30000000L))
+    assert(out("buy") == ("buy", 1L, 2.0, 2.0, 2000000L))
+  }
+
+  test("columnProfile counts rows, nulls and exact distincts in one pass") {
+    val d = Seq(
+      (Some(1L), Some("a")), (Some(1L), None), (Some(2L), Some("b")),
+      (None, Some("a")))
+      .toDF("k", "s")
+    val out = Profile.columnProfile(d, Seq("k", "s"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out == Set(("k", 4L, 1L, 2L), ("s", 4L, 1L, 2L)))
+    // single aggregate: the plan contains exactly one Aggregate→Expand scan
+    val plan = Profile.columnProfile(d, Seq("k", "s"))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("Expand"))
+  }
+
+  test("hardNegativesBanded: subset of brute band with identical sims") {
+    val rng = new scala.util.Random(7)
+    val corpus = Seq.tabulate(60) { i =>
+      (i.toLong, Array.fill(8)(rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 5)
+    val brute = Similarity.hardNegatives(corpus, queries, 60, 0.1, 0.9)
+      .select("q_id", "c_id", "sim").as[(Long, Long, Double)].collect().toSet
+    val banded = Similarity.hardNegativesBanded(corpus, queries, 5, 0.1, 0.9)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // every banded row is a true band member with the exact sim
+    banded.foreach { case (q, c, _, s) => assert(brute.contains((q, c, s))) }
+    // ranks are consecutive from 1 per query
+    banded.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._3).sorted == (1L to rows.size).toSeq)
+    }
+    // deterministic under the fixed seed
+    val again = Similarity.hardNegativesBanded(corpus, queries, 5, 0.1, 0.9)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(banded.toSet == again.toSet)
+  }
 }
