@@ -583,15 +583,8 @@ object EventOps {
     * of exact integers — engine-stable, no double accumulation order).
     * Median via the sort-based exact `percentile` (the q16-proven
     * quantile_cont pairing). */
-  def interEventGaps(events: DataFrame): DataFrame = {
-    // ordered by (__us, event_id) — identical to (ts, event_id): micros
-    // are injective on the microsecond-grain timestamps.
-    val w = Window.partitionBy("user_id").orderBy(col("__us"), col("event_id"))
-    events
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("__us"))
-      .withColumn("__gap_us", col("__us") - lag(col("__us"), 1).over(w))
-      .filter(col("__gap_us").isNotNull)
+  def interEventGaps(events: DataFrame): DataFrame =
+    interEventGapRows(events)
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n_gaps"),
@@ -600,6 +593,20 @@ object EventOps {
         graft.Num.rnd(percentile(col("__gap_us"), lit(0.5)) / lit(1e6), 4)
           .as("median_gap_s"),
         max(col("__gap_us")).as("max_gap_us"))
+
+  /** The windowed half of [[interEventGaps]]: one row per event with a
+    * same-user predecessor — (user_id, event_id, event_type, __gap_us).
+    * Ordered by (__us, event_id), identical to (ts, event_id): micros are
+    * injective on the microsecond-grain timestamps. This is the relation
+    * [[interEventGapsStream]] reproduces incrementally. */
+  def interEventGapRows(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("__us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("__us"))
+      .withColumn("__gap_us", col("__us") - lag(col("__us"), 1).over(w))
+      .filter(col("__gap_us").isNotNull)
+      .drop("__us")
   }
 
   def eventTransitions(events: DataFrame): DataFrame = {
@@ -743,6 +750,51 @@ object EventOps {
     * the last event) + the unsealed horizon. The count/probability
     * aggregation downstream is an ordinary streaming groupBy over these
     * edges; tests pin edge-set equality against the batch twin. */
+  final case class GapOut(user_id: Long, event_id: Long,
+                          event_type: String, gap_us: Long)
+
+  /** Streaming twin of [[interEventGaps]]' per-event gap rows — emits each
+    * event's distance to its same-user predecessor exactly when the event
+    * becomes watermark-final. Same O(1) sealed state per user as
+    * [[eventTransitionsStream]] (the last sealed event is the left endpoint
+    * of the next gap — the irreducible tuple), same
+    * finalize-under-the-watermark argument: an admissible arrival has
+    * ts > wm, sorts strictly after every sealed row, and can only START a
+    * new gap, never change an emitted one. The per-type rollup of
+    * [[interEventGaps]] is then a plain streaming aggregation downstream.
+    * Input: (user_id, ts, event_id, event_type). First event per user
+    * emits nothing (no predecessor), exactly like batch's null-lag
+    * filter. */
+  def interEventGapsStream(
+      events: Dataset[(Long, java.sql.Timestamp, Long, String)],
+      watermark: String = "2 hours"): Dataset[GapOut] = {
+    import events.sparkSession.implicits._
+    val tsUs = (t: java.sql.Timestamp) =>
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000L
+    events
+      .withWatermark("_2", watermark)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TransBuf, GapOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[TransBuf]) =>
+          val prev = state.getOption.getOrElse(TransBuf(None, Nil))
+          val buf = prev.buf ++ rows.map(r => (tsUs(r._2), r._3, r._4))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, pending) = buf.partition(_._1 <= wmUs)
+          val ordered = ready.sortBy(r => (r._1, r._2))
+          var last = prev.last
+          val out = ordered.flatMap { e =>
+            val gap = last.map(l => GapOut(user, e._2, e._3, e._1 - l._1))
+            last = Some(e)
+            gap
+          }
+          state.update(TransBuf(last, pending))
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(pending.map(_._1).min / 1000L + 1000L)
+          out.iterator
+      }
+  }
+
   def eventTransitionsStream(
       events: Dataset[(Long, java.sql.Timestamp, Long, String)],
       watermark: String = "2 hours"): Dataset[TransOut] = {

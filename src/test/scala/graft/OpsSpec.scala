@@ -1419,6 +1419,57 @@ class OpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("interEventGapsStream matches batch gap rows on shuffled events") {
+    implicit val sq = spark.sqlContext
+    val raw = Cohorts.events(spark, "/root/testdata/sf0.001")
+      .filter($"user_id" < 20)
+    val rows = new scala.util.Random(23).shuffle(raw
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)].collect().toSeq)
+    val flushTs = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+    val users = rows.map(_._1).distinct
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = EventOps.interEventGapsStream(stream.toDS().map(identity))
+      .writeStream.format("memory").queryName("gaps_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(rows)
+      stream.addData(users.map(u => (u, flushTs, -1L, "SENTINEL")))
+      q.processAllAvailable()
+      val streamed = spark.table("gaps_out")
+        .select("user_id", "event_id", "event_type", "gap_us")
+        .as[(Long, Long, String, Long)].collect().toSet
+      val batch = EventOps.interEventGapRows(raw)
+        .select($"user_id", $"event_id", $"event_type", $"__gap_us")
+        .as[(Long, Long, String, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("interEventGapsStream: late in-watermark arrival re-segments gaps") {
+    implicit val sq = spark.sqlContext
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // A@10:00 and C@10:10 arrive first; B@10:05 arrives late but inside
+    // the watermark. Event-time gaps must read A→B=300s, B→C=300s — never
+    // the arrival-order A→C=600s.
+    val b1 = Seq((1L, ts("2024-05-01 10:00:00"), 1L, "A"),
+                 (1L, ts("2024-05-01 10:10:00"), 2L, "C"))
+    val b2 = Seq((1L, ts("2024-05-01 10:05:00"), 3L, "B"))
+    val b3 = Seq((1L, ts("2030-01-01 00:00:00"), -1L, "SENTINEL"))
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = EventOps.interEventGapsStream(stream.toDS().map(identity),
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("gaps_ooo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(b1, b2, b3).foreach { b => stream.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("gaps_ooo")
+        .select("event_id", "gap_us").as[(Long, Long)].collect().toSet
+      assert(streamed == Set((3L, 300000000L), (2L, 300000000L)))
+    } finally q.stop()
+  }
+
   test("temperatureSample keeps the smallest stratum whole, others at (nmin/n)^(1-a)") {
     val d = ((1 to 300).map(i => (i.toLong, "big")) ++
       (301 to 375).map(i => (i.toLong, "small"))).toDF("doc_id", "lang")
