@@ -132,7 +132,15 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Cap the failed list: a pathological everything-crashed run would emit
+    // ~103 full names (~2.3 kB) and push the line's head out of the
+    // 2000-char tail — the exact failure mode the JSON-last rule guards.
+    // 12 names + a "+N more" marker keeps worst case < ~300 chars while
+    // the 9999.00 sentinels in "queries" still identify every failure.
+    val failedCapped =
+      if (failed.size <= 12) failed
+      else failed.take(12) :+ s"+${failed.size - 12} more"
+    val failedJson = failedCapped.map("\"" + _ + "\"").mkString("[", ",", "]")
     spark.stop()
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     System.out.flush()

@@ -643,6 +643,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: bpePairCounts equals the local reference on random corpora") {
+    val wordGen = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val docGen = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, docGen))
+    sampled(corpusGen, 6, 77L).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.ops.TextAnalysis.bpePairCounts(df, 1000)
+        .as[(String, Long, Long)].collect().toSeq
+      // local reference: word counts, then per-position char pairs
+      val ref = docs.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+        .flatMap(w => w.sliding(2).filter(_.length == 2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (p, n) => (-n, p) }
+        .zipWithIndex.map { case ((p, n), i) => (p, n, i + 1L) }
+      assert(got == ref, s"corpus=$docs")
+    }
+  }
+
+  test("property: interEventGaps equals the local lag reference") {
+    val evGen = for {
+      u <- Gen.choose(1L, 4L)
+      sec <- Gen.choose(0L, 500L)
+      t <- Gen.oneOf("a", "b")
+    } yield (u, sec, t)
+    val batchGen = Gen.choose(5, 40).flatMap(n => Gen.listOfN(n, evGen))
+    sampled(batchGen, 6, 99L).foreach { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, sec, t), i) =>
+        (i.toLong, new java.sql.Timestamp(1700000000000L + sec * 1000), u, t)
+      }
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type")
+      val got = graft.ops.EventOps.interEventGaps(df)
+        .select("event_type", "n_gaps", "max_gap_us")
+        .as[(String, Long, Long)].collect()
+        .map { case (t, n, m) => t -> (n, m) }.toMap
+      val ref = rows.groupBy(_._3).values.toSeq
+        .flatMap { us =>
+          us.sortBy(r => (r._2.getTime, r._1)).sliding(2).collect {
+            case Seq(a, b) => (b._4, (b._2.getTime - a._2.getTime) * 1000L)
+          }
+        }
+        .groupBy(_._1).view
+        .mapValues(gs => (gs.size.toLong, gs.map(_._2).max)).toMap
+      assert(got == ref, s"events=$rows")
+    }
+  }
+
   test("salted pairs relation equals the plain equi-join pairs relation") {
     val c = encode(List(CRow(1, 1.0, 5.0, "x"), CRow(2, 2.0, 6.0, "y"),
       CRow(3, 3.0, 7.0, "x"), CRow(4, 4.0, 8.0, "z")))
