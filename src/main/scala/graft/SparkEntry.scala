@@ -2034,7 +2034,30 @@ object SparkEntry {
              |    AS n_nulls,
              |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
              |FROM events""".stripMargin)
-        .mkString("\nUNION ALL\n")))
+        .mkString("\nUNION ALL\n"))),
+
+    // Equi-depth decile binning: one exact-percentile pass → broadcast
+    // boundaries → narrow bin projection → (group, bin) rollup.
+    ("q104_value_deciles",
+      (s: SparkSession, dir: String) =>
+        Summary.equiDepthBins(Cohorts.events(s, dir), "value",
+          Seq("event_type"), 10),
+      Some {
+        val fr = (1 until 10).map(i => i.toDouble / 10)
+        val boundsList = fr
+          .map(f => s"ROUND(1e-9 + quantile_cont(value, $f), 4)")
+          .mkString("[", ", ", "]")
+        s"""WITH b AS (SELECT event_type, $boundsList AS bounds
+           |           FROM events GROUP BY event_type),
+           |a AS (SELECT e.event_type, e.value,
+           |             len(list_filter(b.bounds, x -> e.value > x)) AS bin
+           |      FROM events e JOIN b USING (event_type))
+           |SELECT event_type, CAST(bin AS BIGINT) AS bin,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       ROUND(1e-9 + min(value), 6) AS v_min,
+           |       ROUND(1e-9 + max(value), 6) AS v_max
+           |FROM a GROUP BY event_type, bin""".stripMargin
+      })
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

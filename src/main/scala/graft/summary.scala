@@ -293,4 +293,37 @@ object Summary {
         graft.Num.rnd(col("__mn") + (col("bin") + 1) * w, 4).as("bin_hi"),
         col("n")): _*)
   }
+
+  /** Per-group EQUI-DEPTH bins — the equal-frequency counterpart of
+    * [[histogram]]'s equal-width buckets: the feature-quantization pass
+    * (decile binning) a training pipeline runs to turn a skewed numeric
+    * column into a uniform categorical one. `nBins − 1` interior
+    * percentile boundaries per group (ONE sort-based exact-percentile
+    * pass, |groups| rows), broadcast back, then each row's bin is the
+    * count of boundaries strictly below its value — a narrow projection —
+    * and the rollup is one partial-aggregated shuffle on
+    * (group, bin). Boundaries are rounded (4 dp, [[winsorizeBounds]]'
+    * convention) BEFORE any comparison so the bin assignment compares
+    * identical decimals in any engine; v_min/v_max per bin are selections
+    * of input doubles, rounded 6 dp only in the final projection. Groups
+    * with heavy ties produce collapsed (empty) bins — equal-frequency is
+    * best-effort under ties, matching every SQL NTILE-family caveat, but
+    * unlike NTILE the assignment is a pure function of the VALUE (ties
+    * always share a bin — no arbitrary row split). */
+  def equiDepthBins(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                    nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val fr = (1 until nBins).map(i => i.toDouble / nBins)
+    val bounds = df.groupBy(groupCols.map(col(_)): _*)
+      .agg(expr(s"percentile($valueCol, array(${fr.mkString(", ")}))").as("__raw"))
+      .select(groupCols.map(col(_)) :+
+        transform(col("__raw"), b => graft.Num.rnd(b, 4)).as("__bounds"): _*)
+    df.join(broadcast(bounds), groupCols)
+      .withColumn("bin",
+        size(filter(col("__bounds"), b => col(valueCol) > b)).cast("long"))
+      .groupBy(groupCols.map(col(_)) :+ col("bin"): _*)
+      .agg(count(lit(1)).as("n"),
+        graft.Num.rnd(min(col(valueCol)), 6).as("v_min"),
+        graft.Num.rnd(max(col(valueCol)), 6).as("v_max"))
+  }
 }

@@ -1645,6 +1645,21 @@ class OpsSpec extends SparkSpec {
       ("b", 0L, 5.0, 5.0, 2L)))
   }
 
+  test("equiDepthBins: equal counts on distinct values, ties share a bin") {
+    // 20 distinct values → 4 bins of 5 (boundaries fall between values)
+    val d = (1 to 20).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val out = Summary.equiDepthBins(d, "v", Seq("g"), 4)
+      .select("bin", "n", "v_min", "v_max")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._2) == Seq(5L, 5L, 5L, 5L))
+    assert(out.head._3 == 1.0 && out.last._4 == 20.0)
+    // a massive tie cannot be split: all equal values share one bin
+    val ties = (1 to 10).map(_ => ("g", 7.0)).toDF("g", "v")
+    val tout = Summary.equiDepthBins(ties, "v", Seq("g"), 4)
+      .select("bin", "n").as[(Long, Long)].collect().toSeq
+    assert(tout == Seq((0L, 10L)))
+  }
+
   test("bpePairCounts weights char pairs by corpus word frequency") {
     val d = Seq((1L, "aab ab"), (2L, "aab x")).toDF("doc_id", "text")
     // words: aab×2 (pairs aa, ab), ab×1 (pair ab), x×1 (no pair)
