@@ -2057,7 +2057,39 @@ object SparkEntry {
            |       ROUND(1e-9 + min(value), 6) AS v_min,
            |       ROUND(1e-9 + max(value), 6) AS v_max
            |FROM a GROUP BY event_type, bin""".stripMargin
-      })
+      }),
+
+    // Learned-parameter sessionization: gap = 3x the median same-user
+    // inter-event gap (recomputed relationally by the oracle — the
+    // threshold is a deterministic double->floor of exact inputs).
+    ("q105_adaptive_sessions",
+      (s: SparkSession, dir: String) =>
+        EventOps.adaptiveSessionize(Cohorts.events(s, dir))
+          .withColumn("session_no", col("session_no").cast("long")),
+      Some("""WITH g AS (
+             |  SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+             |  FROM events),
+             |th AS (SELECT CAST(floor(3.0 * quantile_cont(gap_us, 0.5) / 1e6)
+             |                AS BIGINT) AS gap_s
+             |       FROM g WHERE gap_us IS NOT NULL),
+             |e AS (SELECT user_id, event_id, value,
+             |             date_trunc('second', ts) AS tsec FROM events),
+             |l AS (SELECT *, lag(tsec) OVER (
+             |        PARTITION BY user_id ORDER BY tsec, event_id) AS prev FROM e),
+             |f AS (SELECT *, CASE WHEN prev IS NULL
+             |                     OR epoch(tsec) - epoch(prev) >
+             |                        (SELECT gap_s FROM th)
+             |                THEN 1 ELSE 0 END AS is_new FROM l),
+             |s AS (SELECT *, SUM(is_new) OVER (
+             |        PARTITION BY user_id ORDER BY tsec, event_id
+             |        ROWS UNBOUNDED PRECEDING) AS session_no FROM f)
+             |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+             |       strftime(min(tsec), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |       CAST(count(*) AS BIGINT) AS n_events,
+             |       ROUND(1e-9 + sum(value), 2) AS sum_value,
+             |       (SELECT gap_s FROM th) AS gap_s
+             |FROM s GROUP BY user_id, session_no""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -131,6 +131,29 @@ object EventOps {
       .select("user_id", "session_no", "session_start", "n_events", "sum_value")
   }
 
+  /** Sessionization with a DATA-LEARNED gap threshold — the
+    * q44-style learned-parameter composition: the session gap is
+    * `factor ×` the corpus's median same-user inter-event gap
+    * ([[interEventGapRows]]) instead of a hand-picked constant, so the
+    * same pipeline adapts across feeds with minute-grain vs day-grain
+    * cadence. The threshold is floored to whole seconds from a
+    * double product of exact inputs — bit-identical in any engine, so the
+    * oracle recomputes it relationally rather than splicing a literal.
+    * The scalar median is a driver-side read BETWEEN two jobs (the q69
+    * two-pass pattern — a percentile can't be both computed and compared
+    * against inside one declarative pass without a cross join; the scalar
+    * is one row). Emitted as a constant `gap_s` column for audit. */
+  def adaptiveSessionize(events: DataFrame, factor: Double = 3.0): DataFrame = {
+    require(factor > 0, s"factor must be > 0, got $factor")
+    val medRow = interEventGapRows(events)
+      .agg(percentile(col("__gap_us"), lit(0.5)).as("m")).head()
+    // no user has two events → no gaps → fall back to the classic 30 min
+    val gapS =
+      if (medRow.isNullAt(0)) 1800L
+      else math.floor(factor * medRow.getDouble(0) / 1e6).toLong
+    sessionize(events, gapS).withColumn("gap_s", lit(gapS))
+  }
+
   /** Streaming wiring for [[hourlyAgg]]: event-time watermark + windowed
     * state. Returns the transformed streaming frame ready for
     * `writeStream.outputMode(Append)`. */

@@ -1645,6 +1645,29 @@ class OpsSpec extends SparkSpec {
       ("b", 0L, 5.0, 5.0, 2L)))
   }
 
+  test("adaptiveSessionize learns the gap from the median inter-event gap") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 10: gaps 10s, 10s, 3600s → median 10s → threshold 30s: the hour
+    // jump starts a new session under the LEARNED gap (a fixed 1800s
+    // default would need the jump to be bigger than 30 min)
+    val d = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L, "a", 1.0),
+      (2L, ts("2024-01-01 00:00:10"), 10L, "a", 1.0),
+      (3L, ts("2024-01-01 00:00:20"), 10L, "a", 1.0),
+      (4L, ts("2024-01-01 01:00:20"), 10L, "a", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.adaptiveSessionize(d)
+      .select("user_id", "session_no", "n_events", "gap_s")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(out.map(_._4).distinct == Seq(30L))
+    assert(out.map(r => (r._2, r._3)) == Seq((1L, 3L), (2L, 1L)))
+    // no user with two events → classic 1800 s fallback
+    val single = Seq((1L, ts("2024-01-01 00:00:00"), 10L, "a", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(EventOps.adaptiveSessionize(single)
+      .select("gap_s").as[Long].head() == 1800L)
+  }
+
   test("equiDepthBins: equal counts on distinct values, ties share a bin") {
     // 20 distinct values → 4 bins of 5 (boundaries fall between values)
     val d = (1 to 20).map(i => ("g", i.toDouble)).toDF("g", "v")
