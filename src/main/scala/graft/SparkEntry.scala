@@ -2089,7 +2089,22 @@ object SparkEntry {
              |       CAST(count(*) AS BIGINT) AS n_events,
              |       ROUND(1e-9 + sum(value), 2) AS sum_value,
              |       (SELECT gap_s FROM th) AS gap_s
-             |FROM s GROUP BY user_id, session_no""".stripMargin))
+             |FROM s GROUP BY user_id, session_no""".stripMargin)),
+
+    // Misra-Gries candidate prune + exact recount; the oracle sees only
+    // the exact relational result.
+    ("q106_heavy_hitters",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.heavyHitters(Cohorts.documents(s, dir), 0.01),
+      Some(s"""WITH ${TextSql.toksCte},
+              |tok AS (SELECT unnest(t) AS token FROM toks),
+              |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok)
+              |SELECT token, CAST(count(*) AS BIGINT) AS n,
+              |       ROUND(1e-9 + count(*) / (SELECT CAST(n AS DOUBLE) FROM tot),
+              |             6) AS share
+              |FROM tok GROUP BY token
+              |HAVING count(*) > CAST(floor(0.01 * (SELECT n FROM tot))
+              |                       AS BIGINT)""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -414,6 +414,64 @@ object TextAnalysis {
       .select(col("pair"), col("n"), col("rank"))
   }
 
+  /** Heavy hitters: every token whose corpus share exceeds `minShare`,
+    * with EXACT counts — via the two-phase sketch-then-verify shape that
+    * keeps the candidate state bounded at any scale:
+    *
+    *  1. Candidate phase — per-partition Misra–Gries summaries
+    *     (capacity ⌈2/minShare⌉, `mapPartitions`: the sanctioned
+    *     genuinely-imperative per-partition kernel) emit each partition's
+    *     surviving counters. Pigeonhole guarantee: a token with global
+    *     share > minShare has share > minShare in ≥ 1 partition, and MG
+    *     with capacity k retains every item of partition share > 1/(k+1) —
+    *     so the union of survivors is a SUPERSET of the true heavy hitters
+    *     (OpsSpec pins this against brute counts on random corpora).
+    *     State per task is O(1/minShare) — independent of vocabulary size.
+    *  2. Verify phase — exact recount of the token stream semi-joined
+    *     (broadcast) to the candidate set, filtered at
+    *     `count > floor(minShare · N)`. Output is exact, so the oracle is
+    *     plain relational SQL with no sketch in sight.
+    *
+    * A direct groupBy-count also scales (Zipf-bounded keys) — the sketch
+    * phase is for the 100 TB regime where shuffling the full vocabulary
+    * (URLs, n-grams, user-ids) to find a handful of heavy keys wastes the
+    * exchange; here only candidate tokens reach a shuffle. */
+  def heavyHitters(docs: org.apache.spark.sql.DataFrame,
+                   minShare: Double): org.apache.spark.sql.DataFrame = {
+    require(minShare > 0 && minShare < 1,
+      s"minShare must be in (0, 1), got $minShare")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // three consumers (candidate pass, total, recount) — pin the tokenize
+    // lineage across them, the q81/q98 inverted-index discipline
+    val toks = docs.select(explode(tokens(col("text"))).as("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cap = math.ceil(2.0 / minShare).toInt
+    val candidates = toks.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        if (counters.contains(t)) counters(t) += 1
+        else if (counters.size < cap) counters(t) = 1
+        else {
+          // decrement-all step; drop zeroed counters
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          counters.keysIterator.foreach { k =>
+            val v = counters(k) - 1
+            if (v == 0) dead += k else counters(k) = v
+          }
+          dead.foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("token").distinct()
+    val total = toks.agg(count(lit(1))).as[Long].head()
+    toks.join(broadcast(candidates), "token")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") > math.floor(minShare * total).toLong)
+      .select(col("token"), col("n"),
+        graft.Num.rnd(col("n") / lit(total.toDouble), 6).as("share"))
+  }
+
   /** PMI collocations per language — statistically-bound word pairs
     * (`"new york"`-style units a tokenizer or phrase-mining pass wants):
     * pmi(w₁,w₂) = ln(p(w₁w₂) / (p(w₁)·p(w₂))) over adjacent-bigram and

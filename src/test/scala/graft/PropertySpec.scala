@@ -692,6 +692,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: heavyHitters equals brute-force share filter on random corpora") {
+    // Zipf-flavored generator: low ids much more likely, so some tokens
+    // genuinely cross the share threshold
+    val tokGen = Gen.frequency(
+      (8, Gen.const("t0")), (4, Gen.const("t1")), (2, Gen.const("t2")),
+      (1, Gen.choose(3, 40).map("t" + _)))
+    val docGen = Gen.choose(3, 12).flatMap(n =>
+      Gen.listOfN(n, tokGen).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(2, 12).flatMap(n => Gen.listOfN(n, docGen))
+    sampled(corpusGen, 6, 1234L).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      for (share <- Seq(0.05, 0.15)) {
+        val got = graft.ops.TextAnalysis.heavyHitters(df, share)
+          .select("token", "n").as[(String, Long)].collect().toSet
+        val all = docs.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+        val thresh = math.floor(share * all.size).toLong
+        val ref = all.groupBy(identity).view.mapValues(_.size.toLong)
+          .filter(_._2 > thresh).toSet
+        assert(got == ref, s"share=$share corpus=$docs")
+      }
+    }
+  }
+
   test("salted pairs relation equals the plain equi-join pairs relation") {
     val c = encode(List(CRow(1, 1.0, 5.0, "x"), CRow(2, 2.0, 6.0, "y"),
       CRow(3, 3.0, 7.0, "x"), CRow(4, 4.0, 8.0, "z")))
