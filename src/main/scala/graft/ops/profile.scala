@@ -40,4 +40,29 @@ object Profile {
       .select(col("column"), col("__rows").as("n_rows"),
         col("n_nulls"), col("n_distinct"))
   }
+
+  /** The 100 TB twin of [[columnProfile]]: HyperLogLog++ distinct counts
+    * (`approx_count_distinct`, relative error `rsd`) instead of exact —
+    * NO Expand replication (each sketch aggregates the original row
+    * stream), one partial-aggregated pass whose state is |cols| fixed-size
+    * HLL registers per task. Same output schema; `n_distinct` is an
+    * estimate (OpsSpec pins it within 3·rsd of exact on a spread of
+    * cardinalities). Exact stays the oracle-gated form; this is the one
+    * you point at a petabyte. */
+  def columnProfileApprox(df: DataFrame, cols: Seq[String],
+                          rsd: Double = 0.02): DataFrame = {
+    require(cols.nonEmpty, "columnProfileApprox needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        approx_count_distinct(col(c), rsd).as(s"__nd_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val stacked = cols.map { c =>
+      s"'$c', __nn_$c, __nd_$c"
+    }.mkString(", ")
+    one.select(col("__rows"),
+      expr(s"stack(${cols.size}, $stacked) AS (column, n_nulls, n_distinct)"))
+      .select(col("column"), col("__rows").as("n_rows"),
+        col("n_nulls"), col("n_distinct"))
+  }
 }

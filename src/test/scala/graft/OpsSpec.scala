@@ -1728,6 +1728,22 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("Expand"))
   }
 
+  test("columnProfileApprox tracks exact distincts within the HLL bound") {
+    val d = (1 to 5000).map(i => (i.toLong, (i % 137).toLong, "s" + (i % 7)))
+      .toDF("id", "k", "s")
+    val exact = Profile.columnProfile(d, Seq("id", "k", "s"))
+      .select("column", "n_distinct").as[(String, Long)].collect().toMap
+    val approx = Profile.columnProfileApprox(d, Seq("id", "k", "s"), 0.02)
+      .select("column", "n_distinct").as[(String, Long)].collect().toMap
+    // no Expand in the approx plan — the sketches ride the original rows
+    assert(!Profile.columnProfileApprox(d, Seq("id", "k", "s"))
+      .queryExecution.optimizedPlan.toString.contains("Expand"))
+    exact.foreach { case (c, n) =>
+      assert(math.abs(approx(c) - n) <= math.max(1.0, 3 * 0.02 * n),
+        s"col $c: approx ${approx(c)} vs exact $n")
+    }
+  }
+
   test("hardNegativesBanded: subset of brute band with identical sims") {
     val rng = new scala.util.Random(7)
     val corpus = Seq.tabulate(60) { i =>
