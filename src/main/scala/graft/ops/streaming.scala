@@ -147,11 +147,17 @@ object EventOps {
     require(factor > 0, s"factor must be > 0, got $factor")
     val medRow = interEventGapRows(events)
       .agg(percentile(col("__gap_us"), lit(0.5)).as("m")).head()
-    // no user has two events → no gaps → fall back to the classic 30 min
-    val gapS =
-      if (medRow.isNullAt(0)) 1800L
-      else math.floor(factor * medRow.getDouble(0) / 1e6).toLong
-    sessionize(events, gapS).withColumn("gap_s", lit(gapS))
+    // No user has two events → no gaps → no learnable threshold. The
+    // session assignment is then threshold-independent (every event is its
+    // user's first), and gap_s reports SQL-null — exactly what the
+    // oracle's empty-aggregate scalar subquery yields, so the edge case
+    // stays hash-verifiable instead of diverging on a made-up default.
+    if (medRow.isNullAt(0))
+      sessionize(events).withColumn("gap_s", lit(null).cast("long"))
+    else {
+      val gapS = math.floor(factor * medRow.getDouble(0) / 1e6).toLong
+      sessionize(events, gapS).withColumn("gap_s", lit(gapS))
+    }
   }
 
   /** Streaming wiring for [[hourlyAgg]]: event-time watermark + windowed
@@ -594,6 +600,19 @@ object EventOps {
     * row-probability window over it. The from/to matrix is O(types²)
     * regardless of data scale, so everything after the lead window is
     * broadcast-sized. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts.select(col("from_type"), col("to_type"), col("n"),
+      graft.Num.rnd(col("n") / sum("n").over(Window.partitionBy("from_type")), 4)
+        .as("p"))
+  }
+
   /** Inter-event gap distribution per event type: for every event with a
     * same-user predecessor (any type), the time since that predecessor,
     * aggregated per the LATER event's type — the arrival-process statistic
@@ -611,7 +630,11 @@ object EventOps {
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n_gaps"),
-        graft.Num.rnd(sum(col("__gap_us")).cast("double") /
+        // decimal(38,0) sum: exact at any scale (DuckDB's BIGINT sum
+        // promotes to HUGEINT; a raw long sum here would ANSI-overflow
+        // first at ~2^63 total micros) — cast to double only at the end,
+        // the same narrowing both engines apply before the division.
+        graft.Num.rnd(sum(col("__gap_us").cast("decimal(38,0)")).cast("double") /
           count(lit(1)) / lit(1e6), 4).as("avg_gap_s"),
         graft.Num.rnd(percentile(col("__gap_us"), lit(0.5)) / lit(1e6), 4)
           .as("median_gap_s"),
@@ -630,19 +653,6 @@ object EventOps {
       .withColumn("__gap_us", col("__us") - lag(col("__us"), 1).over(w))
       .filter(col("__gap_us").isNotNull)
       .drop("__us")
-  }
-
-  def eventTransitions(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val counts = events
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("to_type", lead(col("event_type"), 1).over(w))
-      .filter(col("to_type").isNotNull)
-      .groupBy(col("event_type").as("from_type"), col("to_type"))
-      .agg(count(lit(1)).as("n"))
-    counts.select(col("from_type"), col("to_type"), col("n"),
-      graft.Num.rnd(col("n") / sum("n").over(Window.partitionBy("from_type")), 4)
-        .as("p"))
   }
 
   /** Daily event-type count pivot — long-to-wide: one row per day, one
@@ -763,41 +773,29 @@ object EventOps {
                             buf: Seq[(Long, Long, String)])
   final case class TransOut(user_id: Long, from_type: String, to_type: String)
 
-  /** Streaming twin of [[eventTransitions]]'s per-user transition
-    * extraction: emits each (from_type, to_type) edge exactly when its
-    * LATER endpoint becomes watermark-final. An event at (tsUs, event_id)
-    * is sealed once the watermark passes it — any admissible late arrival
-    * sorts strictly after it in the (ts, event_id) order, so the sealed
-    * prefix's successor chain is immutable (the [[asofJoinStream]]
-    * argument applied to adjacency). State per user is O(1) sealed (just
-    * the last event) + the unsealed horizon. The count/probability
-    * aggregation downstream is an ordinary streaming groupBy over these
-    * edges; tests pin edge-set equality against the batch twin. */
-  final case class GapOut(user_id: Long, event_id: Long,
-                          event_type: String, gap_us: Long)
-
-  /** Streaming twin of [[interEventGaps]]' per-event gap rows — emits each
-    * event's distance to its same-user predecessor exactly when the event
-    * becomes watermark-final. Same O(1) sealed state per user as
-    * [[eventTransitionsStream]] (the last sealed event is the left endpoint
-    * of the next gap — the irreducible tuple), same
-    * finalize-under-the-watermark argument: an admissible arrival has
-    * ts > wm, sorts strictly after every sealed row, and can only START a
-    * new gap, never change an emitted one. The per-type rollup of
-    * [[interEventGaps]] is then a plain streaming aggregation downstream.
-    * Input: (user_id, ts, event_id, event_type). First event per user
-    * emits nothing (no predecessor), exactly like batch's null-lag
-    * filter. */
-  def interEventGapsStream(
+  /** The shared sealed-prefix kernel behind [[eventTransitionsStream]]
+    * and [[interEventGapsStream]]: per user, events become FINAL once the
+    * watermark passes their (tsUs, event_id) position — any admissible
+    * late arrival has ts > wm and sorts strictly after every sealed row,
+    * so a fold over the sealed prefix is immutable (the
+    * [[asofJoinStream]] argument applied to adjacency). State per user is
+    * O(1) sealed (just the last event — the left endpoint of whatever the
+    * fold emits next) plus the unsealed horizon; a timeout just past the
+    * earliest unsealed event flushes it on no-data micro-batches. `emit`
+    * maps each (user, predecessor, event) adjacency to the twin's output
+    * row. */
+  private def sealedAdjacencyStream[T](
       events: Dataset[(Long, java.sql.Timestamp, Long, String)],
-      watermark: String = "2 hours"): Dataset[GapOut] = {
+      watermark: String,
+      emit: (Long, (Long, Long, String), (Long, Long, String)) => T)(
+      implicit te: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
     import events.sparkSession.implicits._
     val tsUs = (t: java.sql.Timestamp) =>
       t.getTime / 1000 * 1000000L + t.getNanos / 1000L
     events
       .withWatermark("_2", watermark)
       .groupByKey(_._1)
-      .flatMapGroupsWithState[TransBuf, GapOut](
+      .flatMapGroupsWithState[TransBuf, T](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (user, rows, state: GroupState[TransBuf]) =>
           val prev = state.getOption.getOrElse(TransBuf(None, Nil))
@@ -807,10 +805,13 @@ object EventOps {
           val ordered = ready.sortBy(r => (r._1, r._2))
           var last = prev.last
           val out = ordered.flatMap { e =>
-            val gap = last.map(l => GapOut(user, e._2, e._3, e._1 - l._1))
+            val row = last.map(l => emit(user, l, e))
             last = Some(e)
-            gap
+            row
           }
+          // `last` alone never expires: it is the left endpoint of the
+          // next adjacency whenever this user speaks again — one tuple
+          // per live user, the irreducible state of the operator.
           state.update(TransBuf(last, pending))
           if (pending.nonEmpty)
             state.setTimeoutTimestamp(pending.map(_._1).min / 1000L + 1000L)
@@ -818,36 +819,35 @@ object EventOps {
       }
   }
 
+  /** Streaming twin of [[eventTransitions]]'s per-user transition
+    * extraction: emits each (from_type, to_type) edge exactly when its
+    * LATER endpoint becomes watermark-final ([[sealedAdjacencyStream]]).
+    * The count/probability aggregation downstream is an ordinary streaming
+    * groupBy over these edges; tests pin edge-set equality against the
+    * batch twin. */
   def eventTransitionsStream(
       events: Dataset[(Long, java.sql.Timestamp, Long, String)],
       watermark: String = "2 hours"): Dataset[TransOut] = {
     import events.sparkSession.implicits._
-    val tsUs = (t: java.sql.Timestamp) =>
-      t.getTime / 1000 * 1000000L + t.getNanos / 1000L
-    events
-      .withWatermark("_2", watermark)
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[TransBuf, TransOut](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (user, rows, state: GroupState[TransBuf]) =>
-          val prev = state.getOption.getOrElse(TransBuf(None, Nil))
-          val buf = prev.buf ++ rows.map(r => (tsUs(r._2), r._3, r._4))
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val (ready, pending) = buf.partition(_._1 <= wmUs)
-          val ordered = ready.sortBy(r => (r._1, r._2))
-          var last = prev.last
-          val out = ordered.flatMap { e =>
-            val edge = last.map(l => TransOut(user, l._3, e._3))
-            last = Some(e)
-            edge
-          }
-          // `last` alone never expires: it is the left endpoint of the
-          // next transition whenever this user speaks again — one tuple
-          // per live user, the irreducible state of the operator.
-          state.update(TransBuf(last, pending))
-          if (pending.nonEmpty)
-            state.setTimeoutTimestamp(pending.map(_._1).min / 1000L + 1000L)
-          out.iterator
-      }
+    sealedAdjacencyStream(events, watermark,
+      (user, l, e) => TransOut(user, l._3, e._3))
+  }
+
+  final case class GapOut(user_id: Long, event_id: Long,
+                          event_type: String, gap_us: Long)
+
+  /** Streaming twin of [[interEventGaps]]' per-event gap rows — emits each
+    * event's distance to its same-user predecessor exactly when the event
+    * becomes watermark-final ([[sealedAdjacencyStream]]: the gap and the
+    * transition edge are the same adjacency read through different
+    * projections). The per-type rollup of [[interEventGaps]] is then a
+    * plain streaming aggregation downstream. First event per user emits
+    * nothing (no predecessor), exactly like batch's null-lag filter. */
+  def interEventGapsStream(
+      events: Dataset[(Long, java.sql.Timestamp, Long, String)],
+      watermark: String = "2 hours"): Dataset[GapOut] = {
+    import events.sparkSession.implicits._
+    sealedAdjacencyStream(events, watermark,
+      (user, l, e) => GapOut(user, e._2, e._3, e._1 - l._1))
   }
 }

@@ -318,9 +318,13 @@ object Summary {
       .agg(expr(s"percentile($valueCol, array(${fr.mkString(", ")}))").as("__raw"))
       .select(groupCols.map(col(_)) :+
         transform(col("__raw"), b => graft.Num.rnd(b, 4)).as("__bounds"): _*)
+    // coalesce: a group whose values are ALL null has a null bounds array
+    // (percentile of nothing) — null rows land in bin 0 on both engines
+    // (DuckDB's list_filter over null-result predicates also yields len 0).
     df.join(broadcast(bounds), groupCols)
       .withColumn("bin",
-        size(filter(col("__bounds"), b => col(valueCol) > b)).cast("long"))
+        coalesce(size(filter(col("__bounds"), b => col(valueCol) > b)), lit(0))
+          .cast("long"))
       .groupBy(groupCols.map(col(_)) :+ col("bin"): _*)
       .agg(count(lit(1)).as("n"),
         graft.Num.rnd(min(col(valueCol)), 6).as("v_min"),

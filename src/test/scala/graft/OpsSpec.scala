@@ -1661,11 +1661,14 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
     assert(out.map(_._4).distinct == Seq(30L))
     assert(out.map(r => (r._2, r._3)) == Seq((1L, 3L), (2L, 1L)))
-    // no user with two events → classic 1800 s fallback
+    // no user with two events → no learnable threshold: assignment is
+    // threshold-independent (all firsts) and gap_s is SQL-null, matching
+    // the oracle's empty-aggregate scalar
     val single = Seq((1L, ts("2024-01-01 00:00:00"), 10L, "a", 1.0))
       .toDF("event_id", "ts", "user_id", "event_type", "value")
-    assert(EventOps.adaptiveSessionize(single)
-      .select("gap_s").as[Long].head() == 1800L)
+    val srow = EventOps.adaptiveSessionize(single)
+      .select("session_no", "gap_s").collect()
+    assert(srow.length == 1 && srow.head.getLong(0) == 1L && srow.head.isNullAt(1))
   }
 
   test("equiDepthBins: equal counts on distinct values, ties share a bin") {
@@ -1681,6 +1684,13 @@ class OpsSpec extends SparkSpec {
     val tout = Summary.equiDepthBins(ties, "v", Seq("g"), 4)
       .select("bin", "n").as[(Long, Long)].collect().toSeq
     assert(tout == Seq((0L, 10L)))
+    // an all-null group has no boundaries: rows land in bin 0 (the DuckDB
+    // list_filter convention), never a null bin
+    val nulls = Seq(("g", Option.empty[Double]), ("g", None))
+      .toDF("g", "v")
+    val nout = Summary.equiDepthBins(nulls, "v", Seq("g"), 4)
+      .select("bin", "n").as[(Long, Long)].collect().toSeq
+    assert(nout == Seq((0L, 2L)))
   }
 
   test("bpePairCounts weights char pairs by corpus word frequency") {
