@@ -311,13 +311,35 @@ object Summary {
     * unlike NTILE the assignment is a pure function of the VALUE (ties
     * always share a bin — no arbitrary row split). */
   def equiDepthBins(df: DataFrame, valueCol: String, groupCols: Seq[String],
-                    nBins: Int = 10): DataFrame = {
+                    nBins: Int = 10): DataFrame =
+    binWithBounds(df, valueCol, groupCols,
+      equiDepthBounds(df, valueCol, groupCols, nBins))
+      .groupBy(groupCols.map(col(_)) :+ col("bin"): _*)
+      .agg(count(lit(1)).as("n"),
+        graft.Num.rnd(min(col(valueCol)), 6).as("v_min"),
+        graft.Num.rnd(max(col(valueCol)), 6).as("v_max"))
+
+  /** The per-group quantile-boundary relation (|groups| rows, `nBins − 1`
+    * rounded interior percentiles each) — compute once on a batch
+    * snapshot, feed [[binWithBounds]] over batch or stream. */
+  def equiDepthBounds(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                      nBins: Int = 10): DataFrame = {
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     val fr = (1 until nBins).map(i => i.toDouble / nBins)
-    val bounds = df.groupBy(groupCols.map(col(_)): _*)
+    df.groupBy(groupCols.map(col(_)): _*)
       .agg(expr(s"percentile($valueCol, array(${fr.mkString(", ")}))").as("__raw"))
       .select(groupCols.map(col(_)) :+
         transform(col("__raw"), b => graft.Num.rnd(b, 4)).as("__bounds"): _*)
+  }
+
+  /** Per-row bin assignment against a PRECOMPUTED per-group `__bounds`
+    * array — a stateless broadcast join + projection, so it runs unchanged
+    * over a STREAM (stream-static join, the [[winsorizeWithBounds]]
+    * pattern): freeze the quantile grid on a batch snapshot, quantize the
+    * live feed against it — the online feature-quantization deployment
+    * shape, where retraining (not the stream) moves the boundaries. */
+  def binWithBounds(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                    bounds: DataFrame): DataFrame =
     // coalesce: a group whose values are ALL null has a null bounds array
     // (percentile of nothing) — null rows land in bin 0 on both engines
     // (DuckDB's list_filter over null-result predicates also yields len 0).
@@ -325,9 +347,4 @@ object Summary {
       .withColumn("bin",
         coalesce(size(filter(col("__bounds"), b => col(valueCol) > b)), lit(0))
           .cast("long"))
-      .groupBy(groupCols.map(col(_)) :+ col("bin"): _*)
-      .agg(count(lit(1)).as("n"),
-        graft.Num.rnd(min(col(valueCol)), 6).as("v_min"),
-        graft.Num.rnd(max(col(valueCol)), 6).as("v_max"))
-  }
 }

@@ -841,6 +841,28 @@ class OpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("binWithBounds quantizes a stream against batch quantile bounds like batch") {
+    implicit val sq = spark.sqlContext
+    val d = (1 to 40).map(i => ("a", i.toDouble))
+    val batchDf = d.toDF("g", "v")
+    val bounds = Summary.equiDepthBounds(batchDf, "v", Seq("g"), 4)
+    val stream = MemoryStream[(String, Double)]
+    val q = Summary.binWithBounds(
+        stream.toDF().toDF("g", "v"), "v", Seq("g"), bounds)
+      .writeStream.format("memory").queryName("bins_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(d)
+      q.processAllAvailable()
+      val streamed = spark.table("bins_out")
+        .select("g", "v", "bin").as[(String, Double, Long)].collect().toSet
+      val batch = Summary.binWithBounds(batchDf, "v", Seq("g"), bounds)
+        .select("g", "v", "bin").as[(String, Double, Long)].collect().toSet
+      assert(streamed == batch && batch.nonEmpty)
+      assert(streamed.map(_._3) == Set(0L, 1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("quantizeInt8 audit row: scale, bounds, and reconstruction error") {
     val d = Seq(
       (1L, Array(1.0f, -2.0f, 0.5f)),
