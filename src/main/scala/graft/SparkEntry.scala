@@ -2104,7 +2104,67 @@ object SparkEntry {
               |             6) AS share
               |FROM tok GROUP BY token
               |HAVING count(*) > CAST(floor(0.01 * (SELECT n FROM tot))
-              |                       AS BIGINT)""".stripMargin))
+              |                       AS BIGINT)""".stripMargin)),
+
+    // Temporal holdout at learned p80/p90 time quantiles (leakage-safe,
+    // unlike a content-addressed split): rollup per split.
+    ("q107_temporal_split",
+      (s: SparkSession, dir: String) =>
+        Sampling.temporalSplit(Cohorts.events(s, dir), "ts",
+            Seq("train", "val", "test"), Seq(0.8, 0.9))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n"),
+            date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("min_ts"),
+            date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("max_ts")),
+      Some("""WITH b AS (SELECT quantile_cont(epoch_us(ts), 0.8) AS b1,
+             |                  quantile_cont(epoch_us(ts), 0.9) AS b2
+             |           FROM events),
+             |a AS (SELECT ts,
+             |        CASE WHEN epoch_us(ts) <= (SELECT b1 FROM b) THEN 'train'
+             |             WHEN epoch_us(ts) <= (SELECT b2 FROM b) THEN 'val'
+             |             ELSE 'test' END AS split
+             |      FROM events)
+             |SELECT split, CAST(count(*) AS BIGINT) AS n,
+             |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+             |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+             |FROM a GROUP BY split""".stripMargin)),
+
+    // Feature-store export: one user-keyed agg pair (Expand for the two
+    // exact distincts).
+    ("q108_user_features",
+      (s: SparkSession, dir: String) =>
+        EventOps.userFeatures(Cohorts.events(s, dir)),
+      Some("""SELECT user_id,
+             |       CAST(count(*) AS BIGINT) AS n_events,
+             |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+             |       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+             |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_seen,
+             |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+             |       ROUND(1e-9 + sum(value), 2) AS total_value,
+             |       ROUND(1e-9 + sum(value) / count(*), 4) AS avg_value
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    // Label rebalance to the LEARNED min class size: content-addressed
+    // smallest-hash-per-class (nested along k), k = min label count — the
+    // oracle computes k relationally, Spark reads the one-row scalar
+    // between jobs (q105 discipline).
+    ("q109_label_rebalance",
+      (s: SparkSession, dir: String) => {
+        val e = Cohorts.embeddings(s, dir)
+        val kmin = e.groupBy("label").count()
+          .agg(min("count")).head().getLong(0).toInt
+        Sampling.stratifiedFixedK(e, "label", "vec_id", kmin, "lb7")
+          .select("vec_id", "label")
+      },
+      Some(s"""WITH c AS (SELECT label, count(*) AS n
+              |           FROM embeddings GROUP BY label),
+              |k AS (SELECT min(n) AS k FROM c)
+              |SELECT vec_id, label FROM (
+              |  SELECT vec_id, label, row_number() OVER (
+              |    PARTITION BY label
+              |    ORDER BY ${Sampling.hashUnitSql("vec_id", "lb7")} ASC,
+              |             vec_id ASC) AS rn
+              |  FROM embeddings) WHERE rn <= (SELECT k FROM k)""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -104,6 +104,34 @@ object Sampling {
     * budget sweeps are nested samples. One shuffle on the stratum key;
     * `WindowGroupLimit` prunes each map partition to k rows before the
     * exchange, so the shuffle carries O(k·|strata|·|maps|), not the corpus. */
+  /** TEMPORAL train/val/test split — the leakage-safe holdout for event
+    * data, where [[splitAssign]]'s content-addressed split would let the
+    * model peek at the future: boundaries are the LEARNED time quantiles
+    * at `fractions` (global exact percentile over epoch micros — ONE
+    * 1-row aggregate, broadcast back), every row before the first boundary
+    * is `names.head`, and so on. The quantile is an interpolated double of
+    * exact integer micros — bit-identical cross-engine, so the oracle
+    * recomputes it relationally (the q105 discipline). Monotone by
+    * construction: train strictly precedes val precedes test in event
+    * time. */
+  def temporalSplit(df: DataFrame, tsCol: String, names: Seq[String],
+                    fractions: Seq[Double],
+                    splitCol: String = "split"): DataFrame = {
+    require(names.size == fractions.size + 1,
+      s"need one more name than fraction, got ${names.size} names / ${fractions.size} fractions")
+    require(fractions == fractions.sorted && fractions.forall(f => f > 0 && f < 1),
+      s"fractions must be increasing in (0,1): $fractions")
+    val b = df.agg(expr(
+      s"percentile(unix_micros($tsCol), array(${fractions.mkString(", ")}))")
+      .as("__bs"))
+    val us = unix_micros(col(tsCol))
+    val label = names.init.zipWithIndex.foldRight(lit(names.last)) {
+      case ((nm, i), acc) =>
+        when(us <= element_at(col("__bs"), i + 1), lit(nm)).otherwise(acc)
+    }
+    df.crossJoin(broadcast(b)).withColumn(splitCol, label).drop("__bs")
+  }
+
   def stratifiedFixedK(df: DataFrame, strataCol: String, keyCol: String,
                        k: Int, seed: String): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

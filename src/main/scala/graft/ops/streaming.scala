@@ -773,6 +773,25 @@ object EventOps {
                             buf: Seq[(Long, Long, String)])
   final case class TransOut(user_id: Long, from_type: String, to_type: String)
 
+  /** Per-user feature export — the feature-store materialization a
+    * CTR-style trainer joins against: activity volume, type and active-day
+    * cardinalities, first/last seen, value totals. ONE groupBy on user_id;
+    * the two exact count-distincts ride Catalyst's Expand (2× map volume,
+    * still one partial-aggregated exchange — the q103 trade, and
+    * `approx_count_distinct` is the documented swap at extreme scale).
+    * avg_value is the explicit sum/count division of the shared rounding
+    * convention. */
+  def userFeatures(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count_distinct(col("event_type")).as("n_types"),
+        count_distinct(to_date(col("ts"))).as("n_days"),
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("first_seen"),
+        date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("last_seen"),
+        graft.Num.rnd(sum("value"), 2).as("total_value"),
+        graft.Num.rnd(sum("value") / count(lit(1)), 4).as("avg_value"))
+
   /** The shared sealed-prefix kernel behind [[eventTransitionsStream]]
     * and [[interEventGapsStream]]: per user, events become FINAL once the
     * watermark passes their (tsUs, event_id) position — any admissible

@@ -1667,6 +1667,49 @@ class OpsSpec extends SparkSpec {
       ("b", 0L, 5.0, 5.0, 2L)))
   }
 
+  test("temporalSplit: monotone time boundaries, all rows labeled") {
+    def ts(i: Int) = new java.sql.Timestamp(1700000000000L + i * 60000L)
+    val d = (1 to 100).map(i => (i.toLong, ts(i))).toDF("event_id", "ts")
+    val out = Sampling.temporalSplit(d, "ts", Seq("train", "val", "test"),
+        Seq(0.8, 0.9))
+      .select($"split", unix_micros($"ts").as("us"))
+      .as[(String, Long)].collect()
+    assert(out.length == 100)
+    val byName = out.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    // strict temporal ordering: max(train) < min(val), max(val) < min(test)
+    assert(byName("train").max < byName("val").min)
+    assert(byName("val").max < byName("test").min)
+    // ~80/10/10 on distinct minutes
+    assert(byName("train").length == 80 && byName("val").length == 10)
+  }
+
+  test("userFeatures: one row per user with exact cardinalities") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val d = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "a", 2.0),
+      (2L, ts("2024-01-02 11:00:00"), 7L, "a", 3.0),
+      (3L, ts("2024-01-02 12:00:00"), 7L, "b", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.userFeatures(d)
+      .as[(Long, Long, Long, Long, String, String, Double, Double)]
+      .collect().toSeq
+    assert(out == Seq((7L, 3L, 2L, 2L,
+      "2024-01-01 10:00:00", "2024-01-02 12:00:00", 10.0, 3.3333)))
+  }
+
+  test("label rebalance: learned k equalizes class sizes deterministically") {
+    val e = ((1 to 30).map(i => (i.toLong, "x")) ++ (31 to 40).map(i => (i.toLong, "y")))
+      .toDF("vec_id", "label")
+    val kmin = e.groupBy("label").count().agg(min("count")).head().getLong(0).toInt
+    val out = Sampling.stratifiedFixedK(e, "label", "vec_id", kmin, "lb7")
+    val sizes = out.groupBy("label").count().as[(String, Long)].collect().toMap
+    assert(sizes == Map("x" -> 10L, "y" -> 10L))
+    // deterministic under the content-addressed hash
+    val again = Sampling.stratifiedFixedK(e, "label", "vec_id", kmin, "lb7")
+    assert(out.collect().map(_.toSeq).toSet == again.collect().map(_.toSeq).toSet)
+  }
+
   test("adaptiveSessionize learns the gap from the median inter-event gap") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // user 10: gaps 10s, 10s, 3600s → median 10s → threshold 30s: the hour
