@@ -2116,8 +2116,10 @@ object SparkEntry {
           .agg(count(lit(1)).as("n"),
             date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("min_ts"),
             date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("max_ts")),
-      Some("""WITH b AS (SELECT quantile_cont(epoch_us(ts), 0.8) AS b1,
-             |                  quantile_cont(epoch_us(ts), 0.9) AS b2
+      Some("""WITH b AS (SELECT CAST(floor(quantile_cont(epoch_us(ts), 0.8))
+             |                    AS BIGINT) AS b1,
+             |                  CAST(floor(quantile_cont(epoch_us(ts), 0.9))
+             |                    AS BIGINT) AS b2
              |           FROM events),
              |a AS (SELECT ts,
              |        CASE WHEN epoch_us(ts) <= (SELECT b1 FROM b) THEN 'train'
@@ -2151,9 +2153,12 @@ object SparkEntry {
     ("q109_label_rebalance",
       (s: SparkSession, dir: String) => {
         val e = Cohorts.embeddings(s, dir)
-        val kmin = e.groupBy("label").count()
-          .agg(min("count")).head().getLong(0).toInt
-        Sampling.stratifiedFixedK(e, "label", "vec_id", kmin, "lb7")
+        val kRow = e.groupBy("label").count().agg(min("count")).head()
+        // empty corpus → min over zero groups is null → empty result,
+        // mirroring the oracle's empty relation (not a driver NPE)
+        if (kRow.isNullAt(0)) e.select("vec_id", "label").limit(0)
+        else Sampling.stratifiedFixedK(e, "label", "vec_id",
+            kRow.getLong(0).toInt, "lb7")
           .select("vec_id", "label")
       },
       Some(s"""WITH c AS (SELECT label, count(*) AS n

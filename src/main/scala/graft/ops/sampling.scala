@@ -104,34 +104,6 @@ object Sampling {
     * budget sweeps are nested samples. One shuffle on the stratum key;
     * `WindowGroupLimit` prunes each map partition to k rows before the
     * exchange, so the shuffle carries O(k·|strata|·|maps|), not the corpus. */
-  /** TEMPORAL train/val/test split — the leakage-safe holdout for event
-    * data, where [[splitAssign]]'s content-addressed split would let the
-    * model peek at the future: boundaries are the LEARNED time quantiles
-    * at `fractions` (global exact percentile over epoch micros — ONE
-    * 1-row aggregate, broadcast back), every row before the first boundary
-    * is `names.head`, and so on. The quantile is an interpolated double of
-    * exact integer micros — bit-identical cross-engine, so the oracle
-    * recomputes it relationally (the q105 discipline). Monotone by
-    * construction: train strictly precedes val precedes test in event
-    * time. */
-  def temporalSplit(df: DataFrame, tsCol: String, names: Seq[String],
-                    fractions: Seq[Double],
-                    splitCol: String = "split"): DataFrame = {
-    require(names.size == fractions.size + 1,
-      s"need one more name than fraction, got ${names.size} names / ${fractions.size} fractions")
-    require(fractions == fractions.sorted && fractions.forall(f => f > 0 && f < 1),
-      s"fractions must be increasing in (0,1): $fractions")
-    val b = df.agg(expr(
-      s"percentile(unix_micros($tsCol), array(${fractions.mkString(", ")}))")
-      .as("__bs"))
-    val us = unix_micros(col(tsCol))
-    val label = names.init.zipWithIndex.foldRight(lit(names.last)) {
-      case ((nm, i), acc) =>
-        when(us <= element_at(col("__bs"), i + 1), lit(nm)).otherwise(acc)
-    }
-    df.crossJoin(broadcast(b)).withColumn(splitCol, label).drop("__bs")
-  }
-
   def stratifiedFixedK(df: DataFrame, strataCol: String, keyCol: String,
                        k: Int, seed: String): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -141,6 +113,44 @@ object Sampling {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select(df.columns.map(col): _*)
+  }
+
+  /** TEMPORAL train/val/test split — the leakage-safe holdout for event
+    * data, where [[splitAssign]]'s content-addressed split would let the
+    * model peek at the future: boundaries are the LEARNED time quantiles
+    * at `fractions` (global exact percentile over epoch micros — ONE
+    * 1-row aggregate, broadcast back), every row at or before the first
+    * boundary is `names.head`, and so on. Boundaries are FLOORED to whole
+    * micros before any comparison (the [[graft.ops.EventOps.adaptiveSessionize]]
+    * exact-threshold discipline — a raw interpolated double at epoch-micros
+    * magnitude has 0.25 µs ulps, enough for the two engines' different
+    * interpolation orders to flip a boundary row), and the oracle floors
+    * identically. A null timestamp raises — the module's null-key
+    * invariant; silently falling through every `when` into the LAST split
+    * would contaminate the test set (checkedUnit's documented failure
+    * mode). Monotone by construction: train strictly precedes val precedes
+    * test in event time. */
+  def temporalSplit(df: DataFrame, tsCol: String, names: Seq[String],
+                    fractions: Seq[Double],
+                    splitCol: String = "split"): DataFrame = {
+    require(names.size == fractions.size + 1,
+      s"need one more name than fraction, got ${names.size} names / ${fractions.size} fractions")
+    require(fractions.sliding(2).forall(w => w.size < 2 || w(0) < w(1)) &&
+      fractions.forall(f => f > 0 && f < 1),
+      s"fractions must be strictly increasing in (0,1): $fractions")
+    val b = df.agg(expr(
+      s"transform(percentile(unix_micros($tsCol), array(${fractions.mkString(", ")})), " +
+        "x -> CAST(floor(x) AS BIGINT))")
+      .as("__bs"))
+    val us = when(col(tsCol).isNull,
+        raise_error(lit(s"temporalSplit: null timestamp '$tsCol' — a null " +
+          "would silently land in the last split; clean the input")))
+      .otherwise(unix_micros(col(tsCol)))
+    val label = names.init.zipWithIndex.foldRight(lit(names.last)) {
+      case ((nm, i), acc) =>
+        when(us <= element_at(col("__bs"), i + 1), lit(nm)).otherwise(acc)
+    }
+    df.crossJoin(broadcast(b)).withColumn(splitCol, label).drop("__bs")
   }
 
   /** Deterministic train/valid/test assignment: the key hash lands in one

@@ -340,11 +340,14 @@ object Summary {
     * shape, where retraining (not the stream) moves the boundaries. */
   def binWithBounds(df: DataFrame, valueCol: String, groupCols: Seq[String],
                     bounds: DataFrame): DataFrame =
-    // coalesce: a group whose values are ALL null has a null bounds array
-    // (percentile of nothing) — null rows land in bin 0 on both engines
-    // (DuckDB's list_filter over null-result predicates also yields len 0).
-    df.join(broadcast(bounds), groupCols)
+    // LEFT join: in the stream-static deployment a live row may carry a
+    // group the frozen snapshot never saw — it must land in bin 0 (no
+    // boundaries below it), not silently vanish. The same coalesce covers
+    // a group whose values were ALL null at fit time (null bounds array —
+    // DuckDB's list_filter over null-result predicates also yields len 0).
+    df.join(broadcast(bounds), groupCols, "left")
       .withColumn("bin",
         coalesce(size(filter(col("__bounds"), b => col(valueCol) > b)), lit(0))
           .cast("long"))
+      .drop("__bounds")
 }

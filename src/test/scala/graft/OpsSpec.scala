@@ -860,7 +860,15 @@ class OpsSpec extends SparkSpec {
         .select("g", "v", "bin").as[(String, Double, Long)].collect().toSet
       assert(streamed == batch && batch.nonEmpty)
       assert(streamed.map(_._3) == Set(0L, 1L, 2L, 3L))
+      // no scratch columns leak into the public output
+      assert(!Summary.binWithBounds(batchDf, "v", Seq("g"), bounds)
+        .columns.contains("__bounds"))
     } finally q.stop()
+    // a group the frozen snapshot never saw lands in bin 0, never dropped
+    val unseen = Summary.binWithBounds(
+        Seq(("z", 5.0)).toDF("g", "v"), "v", Seq("g"), bounds)
+      .select("g", "bin").as[(String, Long)].collect().toSeq
+    assert(unseen == Seq(("z", 0L)))
   }
 
   test("quantizeInt8 audit row: scale, bounds, and reconstruction error") {
@@ -1682,6 +1690,16 @@ class OpsSpec extends SparkSpec {
     assert(byName("val").max < byName("test").min)
     // ~80/10/10 on distinct minutes
     assert(byName("train").length == 80 && byName("val").length == 10)
+    // a null timestamp must raise, not silently contaminate the test set
+    val withNull = d.unionByName(
+      Seq((0L, Option.empty[java.sql.Timestamp])).toDF("event_id", "ts"))
+    intercept[Exception] {
+      Sampling.temporalSplit(withNull, "ts", Seq("a", "b"), Seq(0.5)).collect()
+    }
+    // duplicate fractions are a misconfiguration (middle split always empty)
+    intercept[IllegalArgumentException] {
+      Sampling.temporalSplit(d, "ts", Seq("a", "b", "c"), Seq(0.8, 0.8))
+    }
   }
 
   test("userFeatures: one row per user with exact cardinalities") {
