@@ -2169,7 +2169,41 @@ object SparkEntry {
               |    PARTITION BY label
               |    ORDER BY ${Sampling.hashUnitSql("vec_id", "lb7")} ASC,
               |             vec_id ASC) AS rn
-              |  FROM embeddings) WHERE rn <= (SELECT k FROM k)""".stripMargin))
+              |  FROM embeddings) WHERE rn <= (SELECT k FROM k)""".stripMargin)),
+
+    // SemDeDup: embedding-cosine components (q54's cluster oracle) x
+    // quality ranking — keep the best doc per semantic cluster.
+    ("q110_semantic_dedup",
+      (s: SparkSession, dir: String) =>
+        Similarity.semanticDedup(Cohorts.documents(s, dir),
+          Cohorts.embeddings(s, dir), 0.4),
+      Some(s"""WITH RECURSIVE
+              |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |prs AS (
+              |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+              |  FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+              |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+              |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+              |          UNION ALL SELECT doc_b, doc_a FROM prs),
+              |reach AS (
+              |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+              |  UNION
+              |  SELECT e2.u, reach.r FROM edges e2 JOIN reach ON e2.v = reach.u),
+              |cl AS (SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+              |       FROM reach GROUP BY u),
+              |${TextSql.toksCte},
+              |${TextSql.qualitySignalsCte()},
+              |q AS (SELECT doc_id, ${TextSql.qualityScoreFromM} AS quality FROM m),
+              |j AS (SELECT q.doc_id,
+              |             COALESCE(cl.cluster_id, q.doc_id) AS cluster_id,
+              |             q.quality
+              |      FROM q LEFT JOIN cl USING (doc_id))
+              |SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id, quality,
+              |       CAST(CASE WHEN row_number() OVER (
+              |              PARTITION BY cluster_id
+              |              ORDER BY quality DESC, doc_id ASC) = 1
+              |            THEN 1 ELSE 0 END AS BIGINT) AS keep
+              |FROM j""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

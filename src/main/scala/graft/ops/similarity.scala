@@ -115,6 +115,40 @@ object Similarity {
     ranked(joined, k)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster the
+    * corpus by embedding-cosine near-duplicate connected components, keep
+    * the BEST-QUALITY document per cluster, drop the rest — the curation
+    * pass that removes paraphrase/template duplicates lexical MinHash can't
+    * see. Output: one row per document with its cluster, 4-dp quality and
+    * the keep/drop decision (rank 1 by rounded quality desc, doc_id
+    * tie-break — fully deterministic).
+    *
+    * Documents outside any near-dup pair (or without an embedding) are
+    * their own singleton cluster, kept by definition; the synthetic
+    * cluster id = own doc id cannot collide with a real cluster's id
+    * because a cluster's id IS the min member id and membership is
+    * disjoint. Plan: the pairs→components consolidation is
+    * [[graft.ops.Dedup.dedupClusters]] (driver union-find under its 4M-edge
+    * `require`, label propagation above); the cluster relation is
+    * pair-member-sized — broadcast — so the corpus itself sees one quality
+    * projection and one per-cluster rank window. At 100 TB the pair
+    * generation swaps to [[embedClustersLsh]]'s banded candidates, same
+    * downstream. */
+  def semanticDedup(docs: DataFrame, embeddings: DataFrame,
+                    threshold: Double): DataFrame = {
+    val clusters = graft.ops.Dedup.dedupClusters(
+      nearDupPairs(embeddings, threshold)
+        .select(col("a_id").as("doc_a"), col("b_id").as("doc_b")))
+    val q = docs.select(col("doc_id"),
+      graft.Num.rnd(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+    val member = q.join(broadcast(clusters), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("quality").desc, col("doc_id").asc)
+    member.withColumn("keep", (row_number().over(w) === 1).cast("long"))
+      .select("doc_id", "cluster_id", "quality", "keep")
+  }
+
   /** Embedding-cosine near-duplicate pairs: exact all-pairs self-join with
     * the dot-product kernel, `a < b` dedupe, cosine ≥ threshold. The
     * brute-force baseline — at corpus scale the candidate set shrinks via

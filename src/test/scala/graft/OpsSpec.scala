@@ -1837,6 +1837,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup keeps the best-quality doc per embedding cluster") {
+    // vecs 1,2 near-identical (one cluster); vec 3 orthogonal (singleton);
+    // doc 4 has NO embedding (singleton by definition)
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.999f, 0.01f)),
+      (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val docs = Seq(
+      (1L, "short"),                                     // low quality
+      (2L, (1 to 60).map("tok" + _).mkString(" ")),      // higher quality
+      (3L, "lone doc"),
+      (4L, "no embedding here"))
+      .toDF("doc_id", "text")
+    val out = Similarity.semanticDedup(docs, emb, 0.9)
+      .select("doc_id", "cluster_id", "keep")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out.map(r => (r._1, r._2)) ==
+      Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L)))
+    // cluster {1,2}: doc 2 wins on quality; singletons always kept
+    assert(out.map(_._3) == Seq(0L, 1L, 1L, 1L))
+  }
+
   test("hardNegativesBanded: subset of brute band with identical sims") {
     val rng = new scala.util.Random(7)
     val corpus = Seq.tabulate(60) { i =>
