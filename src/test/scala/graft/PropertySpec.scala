@@ -716,6 +716,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: semanticDedup equals local union-find + quality argmax") {
+    val rng = new scala.util.Random(31)
+    for (trial <- 1 to 4) {
+      val n = 12 + trial * 4
+      val vecs = Seq.tabulate(n) { i =>
+        // a few shared directions force non-trivial clusters
+        val base = Array.fill(4)(0.0f); base(i % 3) = 1.0f
+        (i.toLong, base.map(v => v + rng.nextGaussian().toFloat * 0.05f))
+      }
+      val emb = vecs.toDF("vec_id", "embedding")
+      val docs = Seq.tabulate(n) { i =>
+        (i.toLong, (1 to (i % 7 + 1)).map("w" + _).mkString(" "))
+      }.toDF("doc_id", "text")
+      val got = graft.ops.Similarity.semanticDedup(docs, emb, 0.9)
+        .select("doc_id", "cluster_id", "keep")
+        .as[(Long, Long, Long)].collect().toSet
+      // local reference: brute cosine pairs -> union-find -> quality argmax
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+        d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+             math.sqrt(b.map(x => x.toDouble * x).sum))
+      }
+      val parent = scala.collection.mutable.Map((0 until n).map(i => i -> i): _*)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      for (i <- 0 until n; j <- i + 1 until n
+           if cos(vecs(i)._2, vecs(j)._2) >= 0.9) {
+        val (a, b) = (find(i), find(j)); if (a != b) parent(math.max(a, b)) = math.min(a, b)
+      }
+      val quality = docs.select($"doc_id",
+          graft.Num.rnd(graft.ops.TextAnalysis.qualityScore($"text"), 4))
+        .as[(Long, Double)].collect().toMap
+      val byCluster = (0 until n).groupBy(find)
+      val ref = byCluster.flatMap { case (root, members) =>
+        val best = members.minBy(m => (-quality(m.toLong), m))
+        members.map(m => (m.toLong, members.min.toLong,
+          if (m == best) 1L else 0L))
+      }.toSet
+      assert(got == ref, s"trial $trial")
+    }
+  }
+
   test("salted pairs relation equals the plain equi-join pairs relation") {
     val c = encode(List(CRow(1, 1.0, 5.0, "x"), CRow(2, 2.0, 6.0, "y"),
       CRow(3, 3.0, 7.0, "x"), CRow(4, 4.0, 8.0, "z")))
