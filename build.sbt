@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness tails captured stdout and parses the LAST line
+// as JSON. Two sbt behaviors break that when Bench runs via `sbt runMain`:
+// the forked process's output is re-logged with an "[info] " prefix, and a
+// "[success] Total time: …" epilogue trails the JSON line. Inherit stdout
+// directly and drop the epilogue so the report line is the genuine last
+// output of the captured stream.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -580,10 +580,11 @@ object SparkEntry {
               |WHERE r.rank <= ck.k
               |GROUP BY r.month, r.nc_idx""".stripMargin)),
 
-    // Cosine metric — scale-invariant in the numeric feature, so every
-    // pruned path reports no-bound and the join runs the dense pairs
-    // relation by DEFINED FALLBACK (DistanceMetric.bandBound = None); this
-    // gate pins both the metric arithmetic and that fallback route.
+    // Cosine metric — scale-invariant in the numeric feature, so the
+    // manhattan/euclidean band bound doesn't apply; topKBanded routes
+    // cosine to its own per-probe prune (topKCosineBandedImpl,
+    // knn.scala: per-probe admissible x-interval + wildcard tier, exact
+    // verification). This gate pins the metric arithmetic and that route.
     ("q61_knn_topk_cosine",
       (s: SparkSession, dir: String) => {
         val (c, nc) = cohortPair(s, dir)
@@ -2050,8 +2051,9 @@ object SparkEntry {
         s"""WITH b AS (SELECT event_type, $boundsList AS bounds
            |           FROM events GROUP BY event_type),
            |a AS (SELECT e.event_type, e.value,
-           |             len(list_filter(b.bounds, x -> e.value > x)) AS bin
-           |      FROM events e JOIN b USING (event_type))
+           |             COALESCE(len(list_filter(b.bounds, x -> e.value > x)),
+           |                      0) AS bin
+           |      FROM events e LEFT JOIN b USING (event_type))
            |SELECT event_type, CAST(bin AS BIGINT) AS bin,
            |       CAST(count(*) AS BIGINT) AS n,
            |       ROUND(1e-9 + min(value), 6) AS v_min,
@@ -2158,7 +2160,7 @@ object SparkEntry {
         // mirroring the oracle's empty relation (not a driver NPE)
         if (kRow.isNullAt(0)) e.select("vec_id", "label").limit(0)
         else Sampling.stratifiedFixedK(e, "label", "vec_id",
-            kRow.getLong(0).toInt, "lb7")
+            kRow.getLong(0), "lb7")
           .select("vec_id", "label")
       },
       Some(s"""WITH c AS (SELECT label, count(*) AS n
@@ -2192,6 +2194,65 @@ object SparkEntry {
               |cl AS (SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
               |       FROM reach GROUP BY u),
               |${TextSql.toksCte},
+              |${TextSql.qualitySignalsCte()},
+              |q AS (SELECT doc_id, ${TextSql.qualityScoreFromM} AS quality FROM m),
+              |j AS (SELECT q.doc_id,
+              |             COALESCE(cl.cluster_id, q.doc_id) AS cluster_id,
+              |             q.quality
+              |      FROM q LEFT JOIN cl USING (doc_id))
+              |SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id, quality,
+              |       CAST(CASE WHEN row_number() OVER (
+              |              PARTITION BY cluster_id
+              |              ORDER BY quality DESC, doc_id ASC) = 1
+              |            THEN 1 ELSE 0 END AS BIGINT) AS keep
+              |FROM j""".stripMargin)),
+
+    // SemDeDup over the LSH pair path — the 100 TB composition, gated with
+    // q60's planted-clone discipline: clone every 10th doc+embedding at
+    // id + 1e6 and dedup at threshold 0.9. Real-data cosine < 0.5 at every
+    // SF, so the exact answer is precisely the clone clusters; identical
+    // vectors share every SRP band (admission prob. 1 under the fixed
+    // seed), hub-verify at sim = 1.0, and the full-signature star clusters
+    // them deterministically — so semanticDedupLsh equals the exact
+    // recursive-closure SemDeDup and the gate is a FULL hash gate whose
+    // plan NEVER enumerates the |corpus|² pair relation (q110's admitted
+    // quadratic). Clones share the original's text ⇒ equal quality; the
+    // doc_id tie-break keeps the original, drops the clone.
+    ("q111_semantic_dedup_lsh",
+      (s: SparkSession, dir: String) => {
+        val d0 = Cohorts.documents(s, dir)
+        val e0 = Cohorts.embeddings(s, dir)
+        val docs = d0.unionByName(d0.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+        val emb = e0.unionByName(e0.filter(col("vec_id") % 10 === 0)
+          .withColumn("vec_id", col("vec_id") + lit(1000000L)))
+        Similarity.semanticDedupLsh(docs, emb, 0.9)
+      },
+      Some(s"""WITH RECURSIVE
+              |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |ev AS (SELECT * FROM e0
+              |       UNION ALL
+              |       SELECT vec_id + 1000000, v FROM e0 WHERE vec_id % 10 = 0),
+              |prs AS (
+              |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+              |  FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+              |  WHERE list_cosine_similarity(a.v, b.v) >= 0.9),
+              |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+              |          UNION ALL SELECT doc_b, doc_a FROM prs),
+              |reach AS (
+              |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+              |  UNION
+              |  SELECT e2.u, reach.r FROM edges e2 JOIN reach ON e2.v = reach.u),
+              |cl AS (SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+              |       FROM reach GROUP BY u),
+              |d0 AS (SELECT doc_id, text FROM documents),
+              |d AS (SELECT * FROM d0
+              |      UNION ALL
+              |      SELECT doc_id + 1000000, text FROM d0 WHERE doc_id % 10 = 0),
+              |toks AS (
+              |  SELECT doc_id, text,
+              |         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+              |  FROM d),
               |${TextSql.qualitySignalsCte()},
               |q AS (SELECT doc_id, ${TextSql.qualityScoreFromM} AS quality FROM m),
               |j AS (SELECT q.doc_id,

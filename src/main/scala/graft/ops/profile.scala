@@ -11,23 +11,33 @@ object Profile {
 
   /** Shared one-pass profile plan: per column a null-count aggregate plus
     * `distinctAgg(column)` — the only thing the exact and approx forms
-    * disagree on — then a driver-sized stack unpivot of the single
+    * disagree on — then an array-of-structs explode unpivot of the single
     * aggregated row. */
+  /** Reference to a TOP-LEVEL column whatever its name: backtick-quoted
+    * (with `` ` `` doubled) so dots aren't read as struct access and
+    * embedded backticks can't escape the quoting. */
+  private def raw(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
   private def profileWith(df: DataFrame, cols: Seq[String],
-                          distinctAgg: String => Column): DataFrame = {
+                          distinctAgg: Column => Column): DataFrame = {
     require(cols.nonEmpty, "columnProfile needs at least one column")
-    val aggs = cols.flatMap { c =>
-      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
-        distinctAgg(c).as(s"__nd_$c"))
+    // Internal aliases are INDEX-based and the label is a Column literal:
+    // no profiled column name is ever spliced into parsed SQL text, so
+    // names with spaces/dots/quotes/backticks profile fine. (The previous
+    // stack() string form misparsed exactly those.)
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(sum(when(raw(c).isNull, 1L).otherwise(0L)).as(s"__nn_$i"),
+        distinctAgg(raw(c)).as(s"__nd_$i"))
     }
     val one = df.agg(count(lit(1)).as("__rows"), aggs: _*)
-    val stacked = cols.map { c =>
-      s"'$c', __nn_$c, __nd_$c"
-    }.mkString(", ")
-    one.select(col("__rows"),
-      expr(s"stack(${cols.size}, $stacked) AS (column, n_nulls, n_distinct)"))
-      .select(col("column"), col("__rows").as("n_rows"),
-        col("n_nulls"), col("n_distinct"))
+    val stacked = array(cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("column"), col(s"__nn_$i").as("n_nulls"),
+        col(s"__nd_$i").as("n_distinct"))
+    }: _*)
+    one.select(col("__rows"), explode(stacked).as("kv"))
+      .select(col("kv.column").as("column"), col("__rows").as("n_rows"),
+        col("kv.n_nulls").as("n_nulls"), col("kv.n_distinct").as("n_distinct"))
   }
 
   /** Per-column profile of `df` restricted to `cols`: total rows, null
@@ -44,7 +54,7 @@ object Profile {
     * [[columnProfileApprox]] — the exact form is kept here because the
     * oracle hashes it. */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame =
-    profileWith(df, cols, c => count_distinct(col(c)))
+    profileWith(df, cols, count_distinct(_))
 
   /** The 100 TB twin of [[columnProfile]]: HyperLogLog++ distinct counts
     * (`approx_count_distinct`, relative error `rsd`) instead of exact —
@@ -56,5 +66,5 @@ object Profile {
     * you point at a petabyte. */
   def columnProfileApprox(df: DataFrame, cols: Seq[String],
                           rsd: Double = 0.02): DataFrame =
-    profileWith(df, cols, c => approx_count_distinct(col(c), rsd))
+    profileWith(df, cols, approx_count_distinct(_, rsd))
 }

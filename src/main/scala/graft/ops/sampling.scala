@@ -105,7 +105,9 @@ object Sampling {
     * `WindowGroupLimit` prunes each map partition to k rows before the
     * exchange, so the shuffle carries O(k·|strata|·|maps|), not the corpus. */
   def stratifiedFixedK(df: DataFrame, strataCol: String, keyCol: String,
-                       k: Int, seed: String): DataFrame = {
+                       k: Long, seed: String): DataFrame = {
+    // Long, not Int: callers feed LEARNED per-class counts (q109) — a
+    // count() is a BIGINT and must not silently truncate on the way in.
     require(k >= 1, s"k must be >= 1, got $k")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(strataCol).orderBy(col("__u").asc, col(keyCol).asc)

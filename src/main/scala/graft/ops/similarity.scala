@@ -131,14 +131,35 @@ object Similarity {
     * [[graft.ops.Dedup.dedupClusters]] (driver union-find under its 4M-edge
     * `require`, label propagation above); the cluster relation is
     * pair-member-sized — broadcast — so the corpus itself sees one quality
-    * projection and one per-cluster rank window. At 100 TB the pair
-    * generation swaps to [[embedClustersLsh]]'s banded candidates, same
-    * downstream. */
+    * projection and one per-cluster rank window. At 100 TB use
+    * [[semanticDedupLsh]], which swaps only the pair generation for
+    * [[embedClustersLsh]]'s banded candidates — same downstream, never the
+    * |corpus|² pair relation. */
   def semanticDedup(docs: DataFrame, embeddings: DataFrame,
-                    threshold: Double): DataFrame = {
-    val clusters = graft.ops.Dedup.dedupClusters(
+                    threshold: Double): DataFrame =
+    semanticDedupBy(docs, graft.ops.Dedup.dedupClusters(
       nearDupPairs(embeddings, threshold)
-        .select(col("a_id").as("doc_a"), col("b_id").as("doc_b")))
+        .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"))))
+
+  /** The 100 TB twin of [[semanticDedup]]: identical cluster→quality→keep
+    * semantics, but the cluster relation comes from [[embedClustersLsh]] —
+    * SRP band/full-signature star edges with exact cosine verification,
+    * O(corpus × bands) edges — so no plan stage ever enumerates the
+    * |corpus|² pair relation. Recall follows the SRP curve documented on
+    * [[nearDupPairsLsh]]: bit-identical embeddings cluster
+    * DETERMINISTICALLY through the full-signature star (the q111 gate pins
+    * this against the exact recursive-closure oracle on a planted-clone
+    * corpus); diffuse near-duplicates remain probabilistic, with the exact
+    * form as the oracle baseline. */
+  def semanticDedupLsh(docs: DataFrame, embeddings: DataFrame,
+                       threshold: Double, bands: Int = 16,
+                       seed: Long = 42L): DataFrame =
+    semanticDedupBy(docs, embedClustersLsh(embeddings, threshold, bands, seed))
+
+  /** Shared SemDeDup tail over a precomputed (doc_id, cluster_id) relation:
+    * quality projection, broadcast cluster attach (singletons ⇒ own id),
+    * per-cluster best-quality rank. */
+  private def semanticDedupBy(docs: DataFrame, clusters: DataFrame): DataFrame = {
     val q = docs.select(col("doc_id"),
       graft.Num.rnd(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
     val member = q.join(broadcast(clusters), Seq("doc_id"), "left")

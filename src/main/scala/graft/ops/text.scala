@@ -442,30 +442,40 @@ object TextAnalysis {
       s"minShare must be in (0, 1), got $minShare")
     val spark = docs.sparkSession
     import spark.implicits._
-    // three consumers (candidate pass, total, recount) — pin the tokenize
-    // lineage across them, the q81/q98 inverted-index discipline
+    // The sketch phase's two consumers (candidate pass, total) share one
+    // cached tokenize — the q81/q98 inverted-index discipline — and the
+    // cache is RELEASED before returning (try/finally, the dedup.scala
+    // contract): both are driver actions, and the candidate set is
+    // driver-small BY THE SKETCH BOUND (≤ ⌈2/minShare⌉ survivors per task),
+    // so collecting it here costs O(tasks/minShare) strings, not a cache
+    // entry pinned past the call. The returned verify plan re-tokenizes
+    // once — one extra scan, zero caller-owned cache state.
     val toks = docs.select(explode(tokens(col("text"))).as("token"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cap = math.ceil(2.0 / minShare).toInt
-    val candidates = toks.as[String].mapPartitions { it =>
-      val counters = scala.collection.mutable.HashMap.empty[String, Long]
-      it.foreach { t =>
-        if (counters.contains(t)) counters(t) += 1
-        else if (counters.size < cap) counters(t) = 1
-        else {
-          // decrement-all step; drop zeroed counters
-          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
-          counters.keysIterator.foreach { k =>
-            val v = counters(k) - 1
-            if (v == 0) dead += k else counters(k) = v
+    val (candidateTokens, total) =
+      try {
+        val cands = toks.as[String].mapPartitions { it =>
+          val counters = scala.collection.mutable.HashMap.empty[String, Long]
+          it.foreach { t =>
+            if (counters.contains(t)) counters(t) += 1
+            else if (counters.size < cap) counters(t) = 1
+            else {
+              // decrement-all step; drop zeroed counters
+              val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+              counters.keysIterator.foreach { k =>
+                val v = counters(k) - 1
+                if (v == 0) dead += k else counters(k) = v
+              }
+              dead.foreach(counters.remove)
+            }
           }
-          dead.foreach(counters.remove)
-        }
-      }
-      counters.keysIterator
-    }.toDF("token").distinct()
-    val total = toks.agg(count(lit(1))).as[Long].head()
-    toks.join(broadcast(candidates), "token")
+          counters.keysIterator
+        }.distinct().collect()
+        (cands, toks.agg(count(lit(1))).as[Long].head())
+      } finally toks.unpersist()
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .join(broadcast(candidateTokens.toSeq.toDF("token")), "token")
       .groupBy("token").agg(count(lit(1)).as("n"))
       .filter(col("n") > math.floor(minShare * total).toLong)
       .select(col("token"), col("n"),

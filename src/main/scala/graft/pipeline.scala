@@ -74,6 +74,18 @@ object CocoaPipeline {
         // exists (banded top-1, per-cohort-width bucket radius join) — the
         // dense pairs relation is never materialized; equivalence pinned by
         // PropertySpec.
+        // Both passes (and the finish re-attach/summary) re-derive the
+        // cohort prep — scan → clean → union-encode → prefixed projection —
+        // from source. Persist the cohort frames once: pass 2's radius join
+        // and the final consumers then project the columnar cache instead
+        // of replaying the source lineage twice (r7 plan audit: cohort prep
+        // run twice was q18's remaining cost). The frames are the NARROW
+        // post-encode projections (id, value, token set, numeric feature,
+        // cohort key), so the cache is small and spills cleanly at scale;
+        // callers free it via clearCache/ContextCleaner like every other
+        // internal persist in this engine.
+        consent.persist(StorageLevel.MEMORY_AND_DISK)
+        noconsent.persist(StorageLevel.MEMORY_AND_DISK)
         val pass1 =
           if (spec.numCols.size == 1)
             NeighborJoin.topKBanded(consent, noconsent, spec, 1, broadcastConsent)

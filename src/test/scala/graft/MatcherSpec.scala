@@ -224,4 +224,92 @@ class MatcherSpec extends SparkSpec {
     assert(spark.read.option("header", "true")
       .csv(s"$dir/out/*/adjustments_data.csv").count() == 4)
   }
+
+  /** Launch a CLI main in its OWN JVM — the real deployment entry, not the
+    * session-injected library path: fresh SparkSession from main's builder,
+    * arg parsing, exit code. Classpath and JDK17 add-opens mirror the test
+    * JVM's. */
+  private def runCliMain(mainClass: String, args: Seq[String]): Int = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val addOpens = Seq(
+      "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+      "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+      "sun.security.action", "sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", System.getProperty("java.class.path"), mainClass) ++ args
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    // drain the child's output so a full pipe can't deadlock it
+    val sb = new StringBuilder
+    val rd = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    var line = rd.readLine()
+    while (line != null) { sb.append(line).append('\n'); line = rd.readLine() }
+    val code = proc.waitFor()
+    if (code != 0) System.err.println(s"[$mainClass] exit $code:\n${sb.takeRight(4000)}")
+    code
+  }
+
+  test("RunPipelineStream CLI main() e2e: drain, byte-equal to batch CLI, restart no-op") {
+    val dir = Files.createTempDirectory("graft-cli-e2e").toString
+    val consent = Seq(
+      ("1", "2021-11-20 12:00:00 UTC", 10.0, "2021-11-20", "dress"),
+      ("2", "2021-11-20 13:00:00 UTC", 10.0, "2021-11-20", "shoe"),
+      ("3", "2021-11-21 12:00:00 UTC", 5.0, "2021-11-21", "dress"),
+      ("4", "2021-11-21 13:00:00 UTC", 5.0, "2021-11-21", "shoe"))
+      .toDF("gclid", "conversion_timestamp", "conversion_value",
+        "conversion_date", "conversion_item")
+      .withColumn("conversion_date", to_date(col("conversion_date")))
+    val noconsent = Seq(
+      ("10", "2021-11-20 14:00:00 UTC", 20.0, "2021-11-20", "dress"),
+      ("11", "2021-11-21 14:00:00 UTC", 8.0, "2021-11-21", "dress"))
+      .toDF("gclid", "conversion_timestamp", "conversion_value",
+        "conversion_date", "conversion_item")
+      .withColumn("conversion_date", to_date(col("conversion_date")))
+    consent.write.parquet(s"$dir/consent")
+    noconsent.write.parquet(s"$dir/noconsent")
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/dates"))
+    Files.write(java.nio.file.Paths.get(s"$dir/dates/f1.txt"),
+      "2021-11-20\n".getBytes)
+    Files.write(java.nio.file.Paths.get(s"$dir/dates/f2.txt"),
+      "2021-11-21\n".getBytes)
+
+    // batch CLI main in its own JVM = the reference artifacts
+    assert(runCliMain("graft.RunPipeline",
+      Seq(s"$dir/consent", s"$dir/noconsent", s"$dir/outBatch", "k=2",
+        s"$dir/dates/f1.txt")) == 0)
+    assert(runCliMain("graft.RunPipeline",
+      Seq(s"$dir/consent", s"$dir/noconsent", s"$dir/outBatch", "k=2",
+        s"$dir/dates/f2.txt")) == 0)
+    // streaming CLI main: AvailableNow drains both pending dates files
+    assert(runCliMain("graft.RunPipelineStream",
+      Seq(s"$dir/consent", s"$dir/noconsent", s"$dir/outStream",
+        s"$dir/dates", "k=2")) == 0)
+
+    val artifacts = Seq("2021-11-20/adjustments_data.csv",
+      "2021-11-21/adjustments_data.csv", "2021-11-20/adjustments_summary.csv",
+      "2021-11-21/adjustments_summary.csv")
+    def bytes(p: String) = Files.readAllBytes(java.nio.file.Paths.get(p))
+    artifacts.foreach { a =>
+      assert(new java.io.File(s"$dir/outStream/$a").isFile, a)
+      assert(java.util.Arrays.equals(bytes(s"$dir/outStream/$a"),
+        bytes(s"$dir/outBatch/$a")), s"stream artifact differs from batch: $a")
+    }
+
+    // checkpoint restart across JVMs: both dates committed — nothing may
+    // be re-processed (artifact mtimes untouched) and content is stable
+    val before = artifacts.map(a =>
+      a -> new java.io.File(s"$dir/outStream/$a").lastModified).toMap
+    assert(runCliMain("graft.RunPipelineStream",
+      Seq(s"$dir/consent", s"$dir/noconsent", s"$dir/outStream",
+        s"$dir/dates", "k=2")) == 0)
+    artifacts.foreach { a =>
+      assert(new java.io.File(s"$dir/outStream/$a").lastModified == before(a),
+        s"restart re-processed $a")
+    }
+  }
 }

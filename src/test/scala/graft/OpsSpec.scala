@@ -1859,6 +1859,30 @@ class OpsSpec extends SparkSpec {
     assert(out.map(_._3) == Seq(0L, 1L, 1L, 1L))
   }
 
+  test("semanticDedupLsh equals exact semanticDedup on clone groups") {
+    // exact-clone embedding groups (the deterministic SRP regime) + a
+    // no-embedding doc: the LSH composition must reproduce the exact
+    // SemDeDup decision row-for-row, without the all-pairs stage.
+    val bases = Seq(
+      Array(1.0f, 0.0f, 0.0f, 0.5f), Array(0.0f, 1.0f, 0.0f, -0.5f),
+      Array(0.0f, 0.0f, 1.0f, 0.25f))
+    val emb = bases.zipWithIndex.flatMap { case (b, g) =>
+      (0 until 3).map(c => ((g * 16 + c).toLong, b))
+    }.toDF("vec_id", "embedding")
+    val docs = (Seq(100L -> "doc with no embedding at all") ++
+      bases.indices.flatMap { g =>
+        (0 until 3).map(c => (g * 16 + c).toLong ->
+          (1 to 20 + g * 16 + c).map("tok" + _).mkString(" "))
+      }).toDF("doc_id", "text")
+    val exact = Similarity.semanticDedup(docs, emb, 0.99)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val lsh = Similarity.semanticDedupLsh(docs, emb, 0.99)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(lsh == exact)
+    // 3 clone clusters + the embedding-less singleton = 4 keepers
+    assert(exact.count(_._4 == 1L) == 4)
+  }
+
   test("hardNegativesBanded: subset of brute band with identical sims") {
     val rng = new scala.util.Random(7)
     val corpus = Seq.tabulate(60) { i =>

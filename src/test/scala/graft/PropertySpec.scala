@@ -692,6 +692,134 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: adaptiveSessionize learns exactly the local median threshold") {
+    val evGen = for {
+      u <- Gen.choose(1L, 4L)
+      sec <- Gen.choose(0L, 2000L)
+      ms <- Gen.choose(0L, 999L)
+    } yield (u, sec * 1000 + ms)
+    val batchGen = Gen.choose(4, 30).flatMap(n => Gen.listOfN(n, evGen))
+    sampled(batchGen, 6, 4242L).foreach { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, millis), i) =>
+        (i.toLong, new java.sql.Timestamp(1700000000000L + millis), u, "e", 1.0)
+      }
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      // local reference for the LEARNED threshold: per-user raw-µs gaps,
+      // interpolated exact median, floor(3 · median / 1e6) seconds
+      val gaps = rows.groupBy(_._3).values.toSeq.flatMap { us =>
+        us.sortBy(r => (r._2.getTime, r._1)).sliding(2).collect {
+          case Seq(a, b) => (b._2.getTime - a._2.getTime) * 1000L
+        }
+      }.sorted
+      val got = graft.ops.EventOps.adaptiveSessionize(df)
+        .collect().map(_.toSeq).toSet
+      val want =
+        if (gaps.isEmpty)
+          graft.ops.EventOps.sessionize(df)
+            .withColumn("gap_s", lit(null).cast("long"))
+            .collect().map(_.toSeq).toSet
+        else {
+          val pos = 0.5 * (gaps.size - 1)
+          val (lo, hi) = (math.floor(pos).toInt, math.ceil(pos).toInt)
+          val med = gaps(lo) + (gaps(hi) - gaps(lo)) * (pos - lo)
+          val gapS = math.floor(3.0 * med / 1e6).toLong
+          graft.ops.EventOps.sessionize(df, gapS)
+            .withColumn("gap_s", lit(gapS))
+            .collect().map(_.toSeq).toSet
+        }
+      assert(got == want, s"events=$rows gaps=$gaps")
+    }
+    // no-gap edge: every user has one event → null threshold, one session
+    // per user (the engine must not NPE on the driver scalar)
+    val solo = Seq((1L, new java.sql.Timestamp(1700000000000L), 7L, "e", 1.0),
+      (2L, new java.sql.Timestamp(1700000900000L), 8L, "e", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = graft.ops.EventOps.adaptiveSessionize(solo).collect()
+    assert(out.length == 2 && out.forall(_.isNullAt(out.head.fieldIndex("gap_s"))))
+  }
+
+  test("property: temporalSplit is exhaustive, leakage-free and nested") {
+    val evGen = for {
+      sec <- Gen.choose(0L, 5000L)
+    } yield sec
+    val batchGen = Gen.choose(3, 40).flatMap(n => Gen.listOfN(n, evGen))
+    sampled(batchGen, 6, 515L).foreach { secs =>
+      val rows = secs.zipWithIndex.map { case (sec, i) =>
+        (i.toLong, new java.sql.Timestamp(1700000000000L + sec * 1000))
+      }
+      val df = rows.toDF("event_id", "ts")
+      val names = Seq("train", "val", "test")
+      val got = graft.ops.Sampling.temporalSplit(df, "ts", names, Seq(0.8, 0.9))
+        .select("event_id", "ts", "split")
+        .as[(Long, java.sql.Timestamp, String)].collect().toSeq
+      // exhaustive: every input row labeled, labels drawn from names
+      assert(got.size == rows.size)
+      assert(got.map(_._3).toSet.subsetOf(names.toSet))
+      // leakage-free: consecutive splits are strictly ordered in event
+      // time (same-ts rows always share a label — label is a pure
+      // function of ts)
+      val byName = got.groupBy(_._3).view.mapValues(_.map(_._2.getTime)).toMap
+      names.sliding(2).foreach { case Seq(a, b) =>
+        for (ta <- byName.get(a).map(_.max); tb <- byName.get(b).map(_.min))
+          assert(ta < tb, s"$a max $ta !< $b min $tb secs=$secs")
+      }
+      val sameTs = got.groupBy(_._2.getTime).values
+      sameTs.foreach(g => assert(g.map(_._3).distinct.size == 1))
+      // nested: an earlier boundary's train set is a subset of a later's
+      val trainLo = graft.ops.Sampling
+        .temporalSplit(df, "ts", Seq("train", "rest"), Seq(0.5))
+        .filter(col("split") === "train").select("event_id")
+        .as[Long].collect().toSet
+      val trainHi = got.filter(_._3 == "train").map(_._1).toSet
+      assert(trainLo.subsetOf(trainHi), s"secs=$secs")
+    }
+    // a null timestamp must raise, not land silently in the last split
+    val withNull = Seq((1L, new java.sql.Timestamp(1700000000000L)),
+      (2L, null.asInstanceOf[java.sql.Timestamp])).toDF("event_id", "ts")
+    val ex = intercept[Exception] {
+      graft.ops.Sampling.temporalSplit(withNull, "ts",
+        Seq("train", "test"), Seq(0.8)).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("property: stratifiedFixedK rebalance is exact-k, nested and stable") {
+    val rowGen = for {
+      id <- Gen.choose(0L, 500L)
+      lab <- Gen.oneOf("a", "b", "c")
+    } yield (id, lab)
+    val batchGen = Gen.choose(4, 40).flatMap(n =>
+      Gen.listOfN(n, rowGen).map(_.distinctBy(_._1)))
+    sampled(batchGen, 6, 616L).foreach { rows =>
+      val df = rows.toDF("vec_id", "label")
+      val classes = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val kMin = classes.values.min
+      val got = graft.ops.Sampling.stratifiedFixedK(df, "label", "vec_id", kMin, "lb7")
+        .as[(Long, String)].collect().toSeq
+      // exact-k: every class contributes exactly min-class-count rows
+      assert(got.groupBy(_._2).view.mapValues(_.size.toLong).toMap ==
+        classes.view.mapValues(_ => kMin).toMap, s"rows=$rows")
+      assert(got.toSet.subsetOf(rows.toSet))
+      // local reference: the kMin smallest (hashUnit, id) per class —
+      // hash evaluated through the engine's own expression
+      val hashed = df.withColumn("__u",
+        graft.ops.Sampling.hashUnit(col("vec_id"), "lb7"))
+        .as[(Long, String, Double)].collect()
+      val want = hashed.groupBy(_._2).values.flatMap(
+        _.sortBy(r => (r._3, r._1)).take(kMin.toInt).map(r => (r._1, r._2))).toSet
+      assert(got.toSet == want, s"rows=$rows")
+      // nested along k and stable under repartitioning
+      val gotK1 = graft.ops.Sampling
+        .stratifiedFixedK(df, "label", "vec_id", kMin + 1, "lb7")
+        .as[(Long, String)].collect().toSet
+      assert(got.toSet.subsetOf(gotK1))
+      val reshuffled = graft.ops.Sampling
+        .stratifiedFixedK(df.repartition(7), "label", "vec_id", kMin, "lb7")
+        .as[(Long, String)].collect().toSet
+      assert(reshuffled == got.toSet)
+    }
+  }
+
   test("property: heavyHitters equals brute-force share filter on random corpora") {
     // Zipf-flavored generator: low ids much more likely, so some tokens
     // genuinely cross the share threshold
