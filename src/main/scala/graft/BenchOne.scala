@@ -48,6 +48,12 @@ object BenchOne {
         }
         s.range(1).toDF()
       }),
+      // containment: full posting join vs prefix-filtered, at the sparse
+      // (high-threshold) operating point where prefix filtering prunes
+      "x_contain_full" -> ((s, dir) =>
+        graft.ops.Dedup.containmentPairs(Cohorts.documents(s, dir), 0.9)),
+      "x_contain_prefix" -> ((s, dir) =>
+        graft.ops.Dedup.containmentPairsPrefix(Cohorts.documents(s, dir), 0.9)),
       "x_decon_bloom" -> ((s, dir) => {
         val d = Cohorts.documents(s, dir)
         graft.ops.Dedup.contaminated(

@@ -2264,7 +2264,165 @@ object SparkEntry {
               |              PARTITION BY cluster_id
               |              ORDER BY quality DESC, doc_id ASC) = 1
               |            THEN 1 ELSE 0 END AS BIGINT) AS keep
-              |FROM j""".stripMargin))
+              |FROM j""".stripMargin)),
+
+    // DSIR-style importance weights: per-doc mean log-likelihood ratio of
+    // the target-domain (source src0) unigram LM vs the corpus LM, Laplace
+    // +1 smoothed over the shared vocabulary — one frequency shuffle, one
+    // 1-row broadcast of the three scalars, one scoring join.
+    ("q112_importance_weights",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.importanceWeights(Cohorts.documents(s, dir),
+            col("source") === "src0")
+          .select(col("doc_id"), col("n_tokens"),
+            rnd(col("avg_llr"), 4).as("avg_llr")),
+      Some(s"""WITH ${TextSql.toksCte},
+              |tok AS (SELECT doc_id,
+              |               CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS isT,
+              |               unnest(t) AS t
+              |        FROM toks),
+              |freq AS (SELECT t, CAST(count(*) AS DOUBLE) AS cc,
+              |                CAST(sum(isT) AS DOUBLE) AS ct
+              |         FROM tok GROUP BY t),
+              |tot AS (SELECT sum(cc) AS Tc, sum(ct) AS Tt,
+              |               CAST(count(*) AS DOUBLE) AS V
+              |        FROM freq)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              |       ROUND(1e-9 + avg(ln((ct + 1) / (Tt + V)) -
+              |                        ln((cc + 1) / (Tc + V))), 4) AS avg_llr
+              |FROM tok JOIN freq USING (t) CROSS JOIN tot
+              |GROUP BY doc_id""".stripMargin)),
+
+    // Asymmetric shingle containment (excerpt-in-superset detection):
+    // ordered pairs with |Sa ∩ Sb| / |Sa| >= 0.3 via the inverted-index
+    // join; the oracle is the exact all-pairs list_intersect.
+    ("q113_containment_pairs",
+      (s: SparkSession, dir: String) =>
+        Dedup.containmentPairs(Cohorts.documents(s, dir), 0.3),
+      Some(s"""WITH ${TextSql.toksCte},
+              |sh AS (SELECT doc_id, ${TextSql.shingleHashes("t", 3)} AS s
+              |       FROM toks),
+              |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS inter,
+              |             CAST(len(a.s) AS DOUBLE) AS na
+              |      FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+              |      WHERE len(a.s) > 0 AND len(b.s) > 0)
+              |SELECT doc_a, doc_b, ROUND(1e-9 + inter / na, 6) AS containment
+              |FROM p WHERE inter / na >= 0.3""".stripMargin)),
+
+    // Domain-mixture audit + uniform-target resampling weights: one
+    // map-side-combining groupBy(source) + a 1-row broadcast total.
+    ("q114_domain_mixture",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.domainMixture(Cohorts.documents(s, dir)),
+      Some(s"""WITH ${TextSql.toksCte},
+              |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |               CAST(sum(len(t)) AS BIGINT) AS n_tokens
+              |        FROM toks GROUP BY source),
+              |tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot,
+              |               CAST(count(*) AS DOUBLE) AS ns
+              |        FROM per)
+              |SELECT source, n_docs, n_tokens,
+              |       ROUND(1e-9 + n_tokens / tot, 6) AS token_share,
+              |       ROUND(1e-9 + (1.0 / ns) / (n_tokens / tot), 6)
+              |         AS uniform_weight
+              |FROM per CROSS JOIN tot""".stripMargin)),
+
+    // Tokenizer-vocabulary coverage / OOV-rate audit at a learned top-20
+    // vocab (count desc, token tie-break): TakeOrderedAndProject vocab,
+    // broadcast left join, per-doc fold.
+    ("q115_vocab_coverage",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.vocabCoverage(Cohorts.documents(s, dir), 20),
+      Some(s"""WITH ${TextSql.toksCte},
+              |tok AS (SELECT doc_id, unnest(t) AS t FROM toks),
+              |vc AS (SELECT t, count(*) AS n FROM tok GROUP BY t),
+              |vocab AS (SELECT t, 1 AS inv FROM (
+              |  SELECT t, row_number() OVER (ORDER BY n DESC, t ASC) AS rn
+              |  FROM vc) WHERE rn <= 20)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              |       CAST(sum(COALESCE(inv, 0)) AS BIGINT) AS n_in_vocab,
+              |       ROUND(1e-9 + CAST(sum(COALESCE(inv, 0)) AS DOUBLE)
+              |             / count(*), 4) AS coverage
+              |FROM tok LEFT JOIN vocab USING (t)
+              |GROUP BY doc_id""".stripMargin)),
+
+    // Dedup audit: cluster-size histogram over the q46 MinHash components,
+    // singletons included via the SemDeDup left-join + own-id coalesce.
+    ("q116_cluster_sizes",
+      (s: SparkSession, dir: String) => {
+        val d = Cohorts.documents(s, dir)
+        Dedup.clusterSizeReport(d,
+          Dedup.dedupClusters(Dedup.minHashPairs(d, 0.5)))
+      },
+      Some(s"""$dedupClustersCtes,
+              |m AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cid
+              |      FROM documents d LEFT JOIN cl USING (doc_id)),
+              |sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS sz
+              |       FROM m GROUP BY cid)
+              |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+              |       CAST(sum(sz) AS BIGINT) AS n_docs
+              |FROM sz GROUP BY sz""".stripMargin)),
+
+    // Containment via PPJoin-style prefix filtering — EXACT by pigeonhole
+    // (rarity-ordered prefixes must share a shingle with any true pair),
+    // so it shares q113's all-pairs oracle while probing the inverted
+    // index with only the rarest ⌊(1−t)·|Sa|⌋+1 shingles per doc — the
+    // scale path where the full posting join grows on hot shingles.
+    ("q117_containment_prefix",
+      (s: SparkSession, dir: String) =>
+        Dedup.containmentPairsPrefix(Cohorts.documents(s, dir), 0.3),
+      Some(s"""WITH ${TextSql.toksCte},
+              |sh AS (SELECT doc_id, ${TextSql.shingleHashes("t", 3)} AS s
+              |       FROM toks),
+              |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS inter,
+              |             CAST(len(a.s) AS DOUBLE) AS na
+              |      FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+              |      WHERE len(a.s) > 0 AND len(b.s) > 0)
+              |SELECT doc_a, doc_b, ROUND(1e-9 + inter / na, 6) AS containment
+              |FROM p WHERE inter / na >= 0.3""".stripMargin)),
+
+    // Excerpt detection at the SPARSE operating point (t = 0.9 — where the
+    // prefix filter prunes 6.1× over the full join, DESIGN §10): plant a
+    // 40%-prefix excerpt of every 10th doc at id + 1e6; every planted
+    // excerpt's shingles are a subset of its source's, so containment
+    // excerpt→source = 1.0 and the gate has guaranteed non-vacuous rows.
+    // Exactness at this threshold is pinned by the shared all-pairs oracle.
+    ("q118_excerpt_detection",
+      (s: SparkSession, dir: String) => {
+        val d0 = Cohorts.documents(s, dir)
+        val toks = TextAnalysis.tokens(col("text"))
+        val excerpts = d0.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L))
+          .withColumn("text", array_join(
+            slice(toks, lit(1), ceil(size(toks) * 0.4).cast("int")), " "))
+        Dedup.containmentPairsPrefix(d0.unionByName(excerpts), 0.9)
+      },
+      Some(s"""WITH d0 AS (SELECT doc_id, text FROM documents),
+              |t0 AS (SELECT doc_id,
+              |         list_filter(string_split_regex(text, '\\s+'),
+              |                     x -> x <> '') AS t
+              |       FROM d0),
+              |ex AS (SELECT doc_id + 1000000 AS doc_id,
+              |              array_to_string(list_slice(t, 1,
+              |                CAST(ceil(0.4 * len(t)) AS BIGINT)), ' ') AS text
+              |       FROM t0 WHERE doc_id % 10 = 0),
+              |u AS (SELECT doc_id, text FROM d0
+              |      UNION ALL SELECT doc_id, text FROM ex),
+              |ut AS (SELECT doc_id,
+              |         list_filter(string_split_regex(text, '\\s+'),
+              |                     x -> x <> '') AS t
+              |       FROM u),
+              |sh AS (SELECT doc_id, ${TextSql.shingleHashes("t", 3)} AS s
+              |       FROM ut),
+              |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS inter,
+              |             CAST(len(a.s) AS DOUBLE) AS na
+              |      FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+              |      WHERE len(a.s) > 0 AND len(b.s) > 0)
+              |SELECT doc_a, doc_b, ROUND(1e-9 + inter / na, 6) AS containment
+              |FROM p WHERE inter / na >= 0.9""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

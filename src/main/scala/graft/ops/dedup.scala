@@ -99,6 +99,117 @@ object Dedup {
     docs.select(col("doc_id"),
       TextAnalysis.shingleHashes(col("text"), k).as("shingles"))
 
+  /** Shingle-containment pairs — the ASYMMETRIC near-duplicate relation
+    * Jaccard can't express: containment(a→b) = |S_a ∩ S_b| / |S_a|, high
+    * when document a is (mostly) CONTAINED in document b even if b is much
+    * larger — the quote/excerpt/page-wrapper case corpus dedup misses at a
+    * symmetric threshold. Output: ordered (doc_a, doc_b, containment) for
+    * a ≠ b with containment ≥ threshold (both directions scored
+    * independently; a superset document does not reach its excerpt's
+    * containment).
+    *
+    * Plan shape: the inverted-index (posting-list) join — explode each
+    * doc's DISTINCT shingle hashes, equi-join on the hash, count matches
+    * per ordered pair, divide by |S_a| (broadcast-joined size relation).
+    * Shuffle is Σ df(shingle)² over SHARED shingles, the q81/q28 shape: at
+    * corpus scale a document-frequency cut or MinHash-LSH prefilter bounds
+    * the hot postings (boilerplate shingles shared by everything carry no
+    * containment signal), with this exact join as the verify stage. */
+  def containmentPairs(docs: DataFrame, threshold: Double,
+                       k: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val sh = shingleSets(docs, k).filter(size(col("shingles")) > 0)
+    val sizes = sh.select(col("doc_id").as("doc_a"),
+      size(col("shingles")).cast("double").as("__na"))
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("h"))
+    ex.as("a").join(ex.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).cast("double").as("__inter"))
+      .join(broadcast(sizes), "doc_a")
+      .filter(col("__inter") / col("__na") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        graft.Num.rnd(col("__inter") / col("__na"), 6).as("containment"))
+  }
+
+  /** The corpus-scale twin of [[containmentPairs]] — PPJoin-style PREFIX
+    * FILTERING (Xiao et al. 2008), EXACT by pigeonhole rather than
+    * probabilistic like MinHash banding: order each document's shingles by
+    * global rarity (document frequency asc, hash tie-break) and probe the
+    * inverted index with only the first ⌊(1−t)·|S_a|⌋+1 of them. Any pair
+    * with containment(a→b) ≥ t has at most (1−t)·|S_a| a-shingles missing
+    * from b, and the prefix is strictly longer than that — so at least one
+    * prefix shingle IS shared and the equi-join surfaces the pair:
+    * candidates are a SUPERSET of the true answer, then exact
+    * `array_intersect` verification reproduces [[containmentPairs]]
+    * row-for-row (OpsSpec pins equality; q117 shares q113's oracle).
+    *
+    * Why it scales where the full posting join doesn't: probe volume is
+    * Σ_docs prefixLen postings drawn from the RAREST shingles — boilerplate
+    * shingles shared by everything (the df² hot keys that made the full
+    * join grow ~19× at the 10× clone replica) are exactly the ones the
+    * rarity order pushes OUT of the prefix. The index side stays the full
+    * posting list, but each hot posting is hit only by probes that
+    * genuinely need it. The df relation, rank window, and candidate join
+    * all key on shingle hash / doc_id — plain shuffle equi-joins, no
+    * driver state, no broadcast requirement beyond the verify arrays. */
+  def containmentPairsPrefix(docs: DataFrame, threshold: Double,
+                             k: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val sh = shingleSets(docs, k).filter(size(col("shingles")) > 0)
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("h"))
+    val dfRel = ex.groupBy("h").agg(count(lit(1)).as("__df"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val prefix = ex.join(dfRel, "h")
+      .withColumn("__rn", row_number().over(
+        wDoc.orderBy(col("__df").asc, col("h").asc)))
+      .withColumn("__na", count(lit(1)).over(wDoc))
+      // Pigeonhole bound in INTEGERS: containment ≥ t ⟹ |Sa ∩ Sb| ≥
+      // ⌈t·na⌉ ⟹ missing ≤ na − ⌈t·na⌉, so a prefix of that + 1 must
+      // intersect. The naive ⌊(1−t)·na⌋+1 under IEEE loses the exact-
+      // threshold row: (1 − 0.9)·30 = 2.999…8 floors to 2, one short of
+      // the 3 missing shingles a containment-exactly-0.9 pair may have
+      // (caught by the q118 gate). The 1e-9 nudge keeps ⌈·⌉ exact when
+      // t·na is a true integer arriving as x.000…004.
+      .filter(col("__rn") <= col("__na") -
+        ceil(lit(threshold) * col("__na") - lit(1e-9)).cast("long") + 1)
+      .select(col("doc_id").as("doc_a"), col("h"))
+    val cand = prefix
+      .join(ex.select(col("doc_id").as("doc_b"), col("h")), "h")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("__sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("__sb")), "doc_b")
+      .withColumn("containment",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+          size(col("__sa")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        graft.Num.rnd(col("containment"), 6).as("containment"))
+  }
+
+  /** Dedup audit report: the cluster-SIZE histogram of a corpus's near-dup
+    * components — the one-page answer to "how duplicated is this drop?"
+    * (mass in big clusters ⇒ template/boilerplate infestation; a long
+    * singleton tail ⇒ healthy). Composes over any (doc_id, cluster_id)
+    * relation ([[dedupClusters]], [[clustersLsh]], the embedding twins);
+    * documents outside every pair count as singletons via the same
+    * left-join + own-id coalesce as SemDeDup. Output:
+    * (cluster_size, n_clusters, n_docs) — dimension-sized.
+    * Plan: broadcast cluster attach (pair-member-sized), two
+    * partial-aggregated shuffles on shrinking keys. */
+  def clusterSizeReport(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .groupBy("cluster_id").agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum("__sz").as("n_docs"))
+
   /** Reference-shaped per-seed MinHash signature column (each slot an
     * interpreted `transform`+`array_min` — kept for the q25 signature-parity
     * gate; the hot path below uses the fused [[graft.expr.MinHashSig]]

@@ -347,6 +347,92 @@ object TextAnalysis {
         avg(log(col("__c2") / col("__c1"))).as("avg_logprob"))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, data selection via
+    * importance resampling): per-document mean log-likelihood RATIO between
+    * a TARGET domain's unigram LM and the full-corpus unigram LM —
+    * documents whose token distribution looks like the target score high
+    * and get upsampled when assembling a domain-focused training mix.
+    * `isTarget` is any boolean expression over the doc columns (e.g.
+    * `col("source") === "src0"`). Both LMs are Laplace-smoothed over the
+    * SHARED corpus vocabulary (add-one over |V|), so out-of-target tokens
+    * contribute a finite penalty instead of −∞ and the score is a total
+    * function — and fully relational, hence oracle-hashable.
+    *
+    * Plan shape: ONE token-frequency shuffle builds both count columns
+    * (corpus count + conditional target count per token); the three
+    * scalars (target total, corpus total, |V|) ride a 1-row broadcast
+    * cross join — no driver action; one token→frequency equi-join scores
+    * documents. Same Zipf-bounded build side as [[unigramLogProb]]. */
+  def importanceWeights(docs: org.apache.spark.sql.DataFrame,
+                        isTarget: Column): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), isTarget.cast("int").as("__isT"),
+        explode(tokens(col("text"))).as("t"))
+    val freq = toks.groupBy("t").agg(
+      count(lit(1)).cast("double").as("__cc"),
+      sum(col("__isT")).cast("double").as("__ct"))
+    val totals = freq.agg(sum("__cc").as("__Tc"), sum("__ct").as("__Tt"),
+      count(lit(1)).cast("double").as("__V"))
+    toks.join(freq, "t")
+      .crossJoin(broadcast(totals))
+      .withColumn("__llr",
+        log((col("__ct") + 1) / (col("__Tt") + col("__V"))) -
+          log((col("__cc") + 1) / (col("__Tc") + col("__V"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), avg(col("__llr")).as("avg_llr"))
+  }
+
+  /** Domain-mixture report — the "data mixing" audit before assembling a
+    * training run (what share of tokens does each source contribute, and
+    * what per-source resampling weight hits a UNIFORM target mix): one row
+    * per source with doc/token counts, the source's token share, and
+    * weight = (1/|sources|) / share (> 1 ⇒ upsample). Everything is
+    * relational — |sources| and the token total come from a 1-row
+    * broadcast aggregate, no driver scalar — and the whole plan is one
+    * map-side-combining groupBy on the source key plus that broadcast:
+    * the shape survives any corpus size (|sources| rows out). */
+  def domainMixture(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val per = docs
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("__n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("__n").as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").cast("double").as("__tot"),
+      count(lit(1)).cast("double").as("__ns"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("token_share", col("n_tokens") / col("__tot"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        graft.Num.rnd(col("token_share"), 6).as("token_share"),
+        graft.Num.rnd((lit(1.0) / col("__ns")) / (col("n_tokens") / col("__tot")), 6)
+          .as("uniform_weight"))
+  }
+
+  /** Tokenizer-vocabulary coverage audit: per document, the share of its
+    * token OCCURRENCES covered by the corpus's top-`topK` vocabulary (by
+    * total occurrences, token-string tie-break) — the OOV-rate check run
+    * before committing a fixed vocab/tokenizer to a corpus. Output:
+    * (doc_id, n_tokens, n_in_vocab, coverage).
+    *
+    * Plan shape: the vocab is a global top-k via orderBy+limit —
+    * TakeOrderedAndProject (per-partition bounded heaps, k-row driver
+    * merge), never a one-partition window sort — then a broadcast LEFT
+    * join marks each token occurrence and one groupBy(doc) folds the
+    * flags. The vocab relation is k rows by construction — broadcast at
+    * any corpus size. */
+  def vocabCoverage(docs: org.apache.spark.sql.DataFrame,
+                    topK: Int): org.apache.spark.sql.DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val vocab = toks.groupBy("t").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("t").asc).limit(topK)
+      .select(col("t"), lit(1).as("__inv"))
+    toks.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__inv"), lit(0))).cast("long").as("n_in_vocab"))
+      .withColumn("coverage",
+        graft.Num.rnd(col("n_in_vocab") / col("n_tokens").cast("double"), 4))
+  }
+
   /** Fixed-length token chunks with stride — the pre-training chunker
     * (documents → max-`maxTokens` sequences, consecutive chunks
     * overlapping by `maxTokens − stride` tokens so no span is lost at a

@@ -1281,6 +1281,97 @@ class OpsSpec extends SparkSpec {
       ("de", "q r", 2L, 1L), ("de", "r q", 1L, 2L)))
   }
 
+  test("importanceWeights scores target-looking docs above off-target docs") {
+    // target (src0) speaks {aa bb}, the rest speak {xx yy}; doc 5 mixes
+    val d = Seq(
+      (1L, "aa bb aa", "src0"), (2L, "bb aa bb", "src0"),
+      (3L, "xx yy xx", "srcZ"), (4L, "yy xx yy", "srcZ"),
+      (5L, "aa xx", "srcZ")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.importanceWeights(d, col("source") === "src0")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(out(1L)._1 == 3L)
+    // local reference: Laplace(+1) over V=4, Tt=6 target tokens, Tc=14
+    val cc = Map("aa" -> 4.0, "bb" -> 3.0, "xx" -> 4.0, "yy" -> 3.0)
+    val ct = Map("aa" -> 3.0, "bb" -> 3.0, "xx" -> 0.0, "yy" -> 0.0)
+    def llr(t: String) =
+      math.log((ct(t) + 1) / (6 + 4.0)) - math.log((cc(t) + 1) / (14 + 4.0))
+    def score(ts: String*) = ts.map(llr).sum / ts.size
+    assert(math.abs(out(1L)._2 - score("aa", "bb", "aa")) < 1e-9)
+    assert(math.abs(out(5L)._2 - score("aa", "xx")) < 1e-9)
+    // ordering: pure-target > mixed > pure-off-target
+    assert(out(1L)._2 > out(5L)._2 && out(5L)._2 > out(3L)._2)
+  }
+
+  test("containmentPairs is asymmetric: excerpt hits, superset doesn't") {
+    // doc 2 = doc 1 plus a long unique tail: every 3-shingle of doc 1 is
+    // in doc 2 (containment 1->2 = 1.0) but not vice versa
+    val base = (1 to 10).map("w" + _).mkString(" ")
+    val d = docs(
+      (1L, base),
+      (2L, base + " " + (20 to 40).map("z" + _).mkString(" ")),
+      (3L, (100 to 110).map("q" + _).mkString(" ")))
+    val out = Dedup.containmentPairs(d, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out.map(r => (r._1, r._2)) == Set((1L, 2L)))
+    assert(out.head._3 == 1.0)
+  }
+
+  test("containmentPairsPrefix equals the full posting join on random corpora") {
+    val rng = new scala.util.Random(19)
+    val vocab = (1 to 12).map("v" + _)
+    val rows = (0 until 40).map { i =>
+      val n = 4 + rng.nextInt(20)
+      (i.toLong, Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    } :+ (100L, "v1 v2") // shorter than k=3 tokens -> empty shingle set
+    val d = docs(rows: _*)
+    for (t <- Seq(0.3, 0.6, 1.0)) {
+      val full = Dedup.containmentPairs(d, t)
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = Dedup.containmentPairsPrefix(d, t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pref == full, s"threshold=$t")
+      if (t == 0.3) assert(full.nonEmpty) // non-vacuous
+    }
+  }
+
+  test("domainMixture computes shares and uniform resampling weights") {
+    val d = Seq(
+      (1L, "a b c d", "s1"), (2L, "a b c d", "s1"),    // 8 tokens
+      (3L, "a b", "s2")).toDF("doc_id", "text", "source") // 2 tokens
+    val out = TextAnalysis.domainMixture(d)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("s1") == ("s1", 2L, 8L, 0.8, 0.625))   // (1/2)/0.8
+    assert(out("s2") == ("s2", 1L, 2L, 0.2, 2.5))     // (1/2)/0.2
+  }
+
+  test("vocabCoverage counts occurrences inside the learned top-k vocab") {
+    val d = docs(
+      (1L, "a a a b b c"),   // a:3 b:2 c:1
+      (2L, "a b x"),
+      (3L, "x x y"))
+    // top-2 vocab by count (a:5? -> a:4? compute: a appears 3+1=4, b 2+1=3,
+    // x 1+2=3, c 1, y 1) -> top2 = a(4), then b vs x tie at 3 -> 'b' by
+    // token tie-break
+    val out = TextAnalysis.vocabCoverage(d, 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((6L, 5L, 0.8333)))  // a,a,a,b,b in vocab; c out
+    assert(out(2L) == ((3L, 2L, 0.6667)))  // a,b in; x out
+    assert(out(3L) == ((3L, 0L, 0.0)))
+  }
+
+  test("clusterSizeReport histograms components with singleton fill-in") {
+    val d = docs((1L, "x"), (2L, "x"), (3L, "x"), (4L, "x"), (5L, "x"))
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("doc_id", "cluster_id")
+    val out = Dedup.clusterSizeReport(d, clusters)
+      .as[(Long, Long, Long)].collect().toSet
+    // two 2-clusters {1,2} {3,4} and singleton {5}
+    assert(out == Set((2L, 2L, 4L), (1L, 1L, 1L)))
+  }
+
   test("vocabulary counts document frequency and total occurrences") {
     val d = Seq(
       (1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")

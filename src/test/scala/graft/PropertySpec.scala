@@ -820,6 +820,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: importanceWeights equals the local Laplace-LLR reference") {
+    val tokGen = Gen.frequency(
+      (4, Gen.oneOf("aa", "bb", "cc")), (2, Gen.oneOf("xx", "yy")),
+      (1, Gen.choose(1, 15).map("t" + _)))
+    val docGen = for {
+      n <- Gen.choose(1, 10)
+      ts <- Gen.listOfN(n, tokGen)
+      src <- Gen.oneOf("s0", "s1", "s2")
+    } yield (ts, src)
+    val corpusGen = Gen.choose(2, 12).flatMap(n => Gen.listOfN(n, docGen))
+    sampled(corpusGen, 6, 2718L).foreach { corpus =>
+      val rows = corpus.zipWithIndex.map { case ((ts, src), i) =>
+        (i.toLong, ts.mkString(" "), src)
+      }
+      val df = rows.toDF("doc_id", "text", "source")
+      val got = graft.ops.TextAnalysis
+        .importanceWeights(df, col("source") === "s0")
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      // local reference
+      val all = rows.flatMap { case (id, t, src) =>
+        t.split("\\s+").filter(_.nonEmpty).map(tok => (id, tok, src == "s0")) }
+      val cc = all.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+      val ct = all.groupBy(_._2).view
+        .mapValues(_.count(_._3).toDouble).toMap
+      val (tc, tt, v) = (all.size.toDouble,
+        all.count(_._3).toDouble, cc.size.toDouble)
+      def llr(t: String) = math.log((ct(t) + 1) / (tt + v)) -
+        math.log((cc(t) + 1) / (tc + v))
+      rows.foreach { case (id, t, _) =>
+        val ts = t.split("\\s+").filter(_.nonEmpty)
+        assert(got(id)._1 == ts.length.toLong, s"doc $id corpus=$rows")
+        assert(math.abs(got(id)._2 - ts.map(llr).sum / ts.length) < 1e-9,
+          s"doc $id corpus=$rows")
+      }
+    }
+  }
+
   test("property: heavyHitters equals brute-force share filter on random corpora") {
     // Zipf-flavored generator: low ids much more likely, so some tokens
     // genuinely cross the share threshold
