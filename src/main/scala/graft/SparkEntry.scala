@@ -2422,7 +2422,60 @@ object SparkEntry {
               |      FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
               |      WHERE len(a.s) > 0 AND len(b.s) > 0)
               |SELECT doc_a, doc_b, ROUND(1e-9 + inter / na, 6) AS containment
-              |FROM p WHERE inter / na >= 0.9""".stripMargin))
+              |FROM p WHERE inter / na >= 0.9""".stripMargin)),
+
+    // Shingle-novelty score: share of a doc's distinct 3-shingles with
+    // corpus df = 1 — the uniqueness/boilerplate signal; Zipf-bounded
+    // posting relations, no quadratic stage.
+    ("q119_novelty_scores",
+      (s: SparkSession, dir: String) =>
+        Dedup.noveltyScores(Cohorts.documents(s, dir)),
+      Some(s"""WITH ${TextSql.toksCte},
+              |sh AS (SELECT doc_id, ${TextSql.shingleHashes("t", 3)} AS s
+              |       FROM toks),
+              |ex AS (SELECT doc_id, unnest(s) AS h FROM sh WHERE len(s) > 0),
+              |dfr AS (SELECT h, count(*) AS df FROM ex GROUP BY h)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+              |       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |         AS n_unique,
+              |       ROUND(1e-9 + CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+              |               AS DOUBLE) / count(*), 4) AS novelty
+              |FROM ex JOIN dfr USING (h)
+              |GROUP BY doc_id""".stripMargin)),
+
+    // Global exact-k sample by smallest key hash — TakeOrderedAndProject
+    // (bounded per-partition heaps + k-row driver merge), never a global
+    // sort or one-task window.
+    ("q120_global_sample",
+      (s: SparkSession, dir: String) =>
+        Sampling.fixedK(Cohorts.embeddings(s, dir), "vec_id", 100, "gs8")
+          .select("vec_id", "label"),
+      Some(s"""SELECT vec_id, label FROM (
+              |  SELECT vec_id, label,
+              |         ${Sampling.hashUnitSql("vec_id", "gs8")} AS u
+              |  FROM embeddings ORDER BY u ASC, vec_id ASC LIMIT 100)""".stripMargin)),
+
+    // Token-budget selection: best-quality docs while the inclusive
+    // running token total stays within budget — the distributed
+    // running-sum primitive vs the oracle's one-task window form.
+    ("q121_token_budget",
+      (s: SparkSession, dir: String) =>
+        Sampling.tokenBudgetSelect(Cohorts.documents(s, dir), 5000),
+      Some(s"""WITH ${TextSql.toksCte},
+              |${TextSql.qualitySignalsCte()},
+              |q AS (SELECT doc_id, ${TextSql.qualityScoreFromM} AS quality
+              |      FROM m),
+              |n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens
+              |      FROM toks WHERE len(t) > 0),
+              |c AS (SELECT q.doc_id, quality, n_tokens,
+              |             sum(n_tokens) OVER (
+              |               ORDER BY quality DESC, q.doc_id ASC
+              |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |               AS cum_tokens
+              |      FROM q JOIN n ON q.doc_id = n.doc_id)
+              |SELECT doc_id, quality, n_tokens,
+              |       CAST(cum_tokens AS BIGINT) AS cum_tokens
+              |FROM c WHERE cum_tokens <= 5000""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -191,6 +191,26 @@ object Dedup {
         graft.Num.rnd(col("containment"), 6).as("containment"))
   }
 
+  /** Shingle-novelty score — the uniqueness signal of corpus curation
+    * (high novelty ⇒ content the corpus hasn't seen; low ⇒ boilerplate /
+    * template mass): per document, the share of its DISTINCT k-shingles
+    * whose corpus-wide document frequency is exactly 1. Output:
+    * (doc_id, n_shingles, n_unique, novelty); shingle-less docs excluded.
+    * Plan: one shingle-keyed df aggregate, one join back, one doc-keyed
+    * fold — the same Zipf-bounded posting relations as the containment
+    * family, no quadratic stage anywhere. */
+  def noveltyScores(docs: DataFrame, k: Int = 3): DataFrame = {
+    val ex = shingleSets(docs, k).filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), explode(col("shingles")).as("h"))
+    val dfRel = ex.groupBy("h").agg(count(lit(1)).as("__df"))
+    ex.join(dfRel, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        graft.Num.rnd(col("n_unique") / col("n_shingles").cast("double"), 4))
+  }
+
   /** Dedup audit report: the cluster-SIZE histogram of a corpus's near-dup
     * components — the one-page answer to "how duplicated is this drop?"
     * (mass in big clusters ⇒ template/boilerplate infestation; a long

@@ -117,6 +117,51 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** Deterministic GLOBAL fixed-size sample: exactly min(k, |df|) rows —
+    * the k smallest key hashes corpus-wide (the single-stratum form of
+    * [[stratifiedFixedK]], same nesting-along-k property). Planned as
+    * orderBy+limit = TakeOrderedAndProject: per-partition bounded heaps
+    * and a k-row driver merge — no global sort, no one-task window — so
+    * "give me exactly 100k docs" costs one scan at any corpus size. */
+  def fixedK(df: DataFrame, keyCol: String, k: Long, seed: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k <= Int.MaxValue, s"limit(k) is Int-bounded, got $k")
+    df.withColumn("__u", checkedUnit(col(keyCol), seed))
+      .orderBy(col("__u").asc, col(keyCol).asc)
+      .limit(k.toInt)
+      .select(df.columns.map(col): _*)
+  }
+
+  /** Token-budget corpus selection — "the best `budgetTokens` worth of
+    * documents": rank the corpus by quality (4-dp rounded
+    * [[TextAnalysis.qualityScore]], doc_id tie-break — fully
+    * deterministic), take documents in rank order while the INCLUSIVE
+    * running token total stays ≤ the budget. The data-budget step of
+    * curation, where the training run is sized in tokens, not documents.
+    * Output: (doc_id, quality, n_tokens, cum_tokens), token-less docs
+    * excluded.
+    *
+    * Scale shape: the global running sum is
+    * [[graft.Preprocess.withRunningSum]] — range-partition on the rank
+    * key, per-partition sums, broadcast offsets, streaming pass — never
+    * `sum().over(Window.orderBy(…))`'s one-task global window. The budget
+    * cut is a narrow filter on the summed column. Exact integer
+    * arithmetic end-to-end (rounded quality + BIGINT token counts), so
+    * the oracle's window form matches row-for-row. */
+  def tokenBudgetSelect(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
+    val scored = docs.select(col("doc_id"),
+        graft.Num.rnd(TextAnalysis.qualityScore(col("text")), 4).as("quality"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      // range-partition keys must sort ASC: negate the rounded quality
+      .withColumn("__negq", -col("quality"))
+    graft.Preprocess
+      .withRunningSum(scored, Seq("__negq", "doc_id"), "n_tokens", "cum_tokens")
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select("doc_id", "quality", "n_tokens", "cum_tokens")
+  }
+
   /** TEMPORAL train/val/test split — the leakage-safe holdout for event
     * data, where [[splitAssign]]'s content-addressed split would let the
     * model peek at the future: boundaries are the LEARNED time quantiles

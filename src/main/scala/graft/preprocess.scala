@@ -184,6 +184,39 @@ object Preprocess {
     df.sparkSession.createDataFrame(withIds, schema)
   }
 
+  /** Distributed INCLUSIVE running SUM of `valueCol` (integral) in the
+    * total order of `orderCols` — [[withRunningFlagCount]] generalized from
+    * a 0/1 flag to an arbitrary long-valued column: the scale twin of
+    * `sum(value).over(Window.orderBy(orderCols…).rowsBetween(
+    * unboundedPreceding, currentRow))` without the one-task global window.
+    * Same two-job shape (range-partition + sort, per-partition sums →
+    * cumulative offsets, streaming pass); order keys must form a total
+    * order. Used by the token-budget corpus selection. */
+  def withRunningSum(df: DataFrame, orderCols: Seq[String],
+                     valueCol: String, outCol: String): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = df
+      .repartitionByRange(n, orderCols.map(col(_)): _*)
+      .sortWithinPartitions(orderCols.map(col(_)): _*)
+    val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    def v(r: org.apache.spark.sql.Row): Long = r.getAs[Number](vIdx).longValue()
+    val sums = rdd.mapPartitionsWithIndex { case (i, it) =>
+      Iterator((i, it.foldLeft(0L)(_ + v(_))))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val schema = sorted.schema.add(outCol, org.apache.spark.sql.types.LongType,
+      nullable = false)
+    val out = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var acc = offsets(pid)
+      it.map { r =>
+        acc += v(r)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+      }
+    }
+    df.sparkSession.createDataFrame(out, schema)
+  }
+
   /** Distributed INCLUSIVE running count of rows with `flagCol` != 0 in the
     * total order of `orderCols` — the zipWithIndex-shaped scale twin of
     * `sum(flag).over(Window.orderBy(orderCols…).rowsBetween(

@@ -1335,6 +1335,65 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("noveltyScores counts corpus-unique shingles per doc") {
+    val d = docs(
+      (1L, "a b c d e"),     // shingles abc bcd cde
+      (2L, "a b c x y"),     // abc shared with doc 1; bcx cxy unique
+      (3L, "p q"))           // < 3 tokens -> excluded
+    val out = Dedup.noveltyScores(d)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((3L, 2L, 0.6667))) // bcd cde unique; abc df=2
+    assert(out(2L) == ((3L, 2L, 0.6667)))
+  }
+
+  test("fixedK global sample: exact k, nested along k, repartition-stable") {
+    val d = (0L until 57L).map(i => (i, s"t$i")).toDF("vec_id", "label")
+    val s5 = Sampling.fixedK(d, "vec_id", 5, "gs8")
+      .as[(Long, String)].collect().toSet
+    assert(s5.size == 5)
+    val s9 = Sampling.fixedK(d, "vec_id", 9, "gs8")
+      .as[(Long, String)].collect().toSet
+    assert(s9.size == 9 && s5.subsetOf(s9))
+    val re = Sampling.fixedK(d.repartition(7), "vec_id", 5, "gs8")
+      .as[(Long, String)].collect().toSet
+    assert(re == s5)
+    // k >= |df| returns everything
+    assert(Sampling.fixedK(d, "vec_id", 100, "gs8").count() == 57)
+    // single-stratum stratifiedFixedK agrees (same hash order)
+    val strat = Sampling.stratifiedFixedK(
+        d.withColumn("one", lit(1)), "one", "vec_id", 5, "gs8")
+      .select("vec_id", "label").as[(Long, String)].collect().toSet
+    assert(strat == s5)
+  }
+
+  test("tokenBudgetSelect takes best-quality docs within the budget") {
+    // quality is driven by token count (length term) — long docs rank first
+    val mk = (n: Int) => (1 to n).map("tok" + _).mkString(" ")
+    val d = docs((1L, mk(40)), (2L, mk(30)), (3L, mk(20)), (4L, mk(10)))
+    val out = Sampling.tokenBudgetSelect(d, 75)
+      .as[(Long, Double, Long, Long)].collect().sortBy(_._4)
+    // rank: doc1 (40) cum 40, doc2 (30) cum 70, doc3 would hit 90 > 75
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    assert(out.map(_._4).toSeq == Seq(40L, 70L))
+    // budget below the best doc -> empty
+    assert(Sampling.tokenBudgetSelect(d, 39).count() == 0)
+  }
+
+  test("withRunningSum equals the one-task window running sum") {
+    val rng = new scala.util.Random(11)
+    val d = (0 until 200).map(i => (i.toLong, rng.nextInt(50).toLong))
+      .toDF("id", "v").repartition(13)
+    val got = Preprocess.withRunningSum(d, Seq("id"), "v", "cum")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val want = d.withColumn("cum", sum("v").over(w))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got == want)
+  }
+
   test("domainMixture computes shares and uniform resampling weights") {
     val d = Seq(
       (1L, "a b c d", "s1"), (2L, "a b c d", "s1"),    // 8 tokens
