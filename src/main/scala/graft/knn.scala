@@ -532,10 +532,15 @@ object NeighborJoin {
         raise_error(lit(s"topKBanded: null/NaN numeric feature '$x' — " +
           "clean the cohort or use the validated matcher route")))
         .otherwise(col(s"$p$x")))
-    val c0 = guardX("c_", prefixed(consent, spec, "c_"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nc0 = guardX("nc_", prefixed(noconsent, spec, "nc_"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The persist sits UNDER the guard: the cached relation is the plain
+    // prefixed projection, so the percentile pipeline's pass-2 radius join
+    // (which builds the identical unguarded projection) hits this cache by
+    // plan equality instead of re-deriving cohort prep from source. The
+    // guard itself is a per-row branch over the cached scan — free.
+    val c0 = guardX("c_", prefixed(consent, spec, "c_")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nc0 = guardX("nc_", prefixed(noconsent, spec, "nc_")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // consent rows ranked by x within each cohort (0-based zipWithIndex in
     // the global form, hence the +1)

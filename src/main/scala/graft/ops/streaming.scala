@@ -869,4 +869,66 @@ object EventOps {
     sealedAdjacencyStream(events, watermark,
       (user, l, e) => GapOut(user, e._2, e._3, e._1 - l._1))
   }
+
+  final case class HHBuf(counts: Map[String, Long], total: Long)
+  final case class HeavyOut(window_start: java.sql.Timestamp, token: String,
+                            n: Long, share: Double)
+
+  /** Streaming heavy hitters: per event-time TUMBLING window, every token
+    * whose share of that window's token stream exceeds `minShare` — the
+    * feed-monitoring twin of [[TextAnalysis.heavyHitters]] (which stays
+    * the corpus/batch path with its Misra–Gries candidate sketch; a single
+    * window's vocabulary is Zipf-bounded, so exact per-window counts are
+    * the right state here, and the output is exact like the batch twin).
+    *
+    * State per LIVE window: one token→count map + the running total,
+    * keyed by window start. A window is sealed and emitted EXACTLY ONCE
+    * when the watermark passes its end (EventTimeTimeout just past the
+    * window end flushes on no-data micro-batches), then its state is
+    * removed — live state is O(windows inside the watermark horizon ×
+    * window vocabulary), never history. Tokenization and the > ⌊minShare·N⌋
+    * threshold replicate the batch operator; `share` is rounded with the
+    * same +1e-9 HALF_UP convention so stream rows are byte-comparable to a
+    * batch recomputation (stream-vs-batch pinned by OpsSpec). */
+  def heavyHittersStream(docs: Dataset[(java.sql.Timestamp, String)],
+                         minShare: Double, windowSeconds: Long = 3600,
+                         watermark: String = "2 hours"): Dataset[HeavyOut] = {
+    require(minShare > 0 && minShare < 1,
+      s"minShare must be in (0, 1), got $minShare")
+    require(windowSeconds >= 1, s"windowSeconds must be >= 1, got $windowSeconds")
+    import docs.sparkSession.implicits._
+    val toks = docs.flatMap { case (ts, text) =>
+      text.split("\\s+").iterator.filter(_.nonEmpty).map(t => (ts, t))
+    }
+    toks
+      .withWatermark("_1", watermark)
+      .groupByKey { case (ts, _) => ts.getTime / 1000L / windowSeconds * windowSeconds }
+      .flatMapGroupsWithState[HHBuf, HeavyOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (winStartSec, rows, state: GroupState[HHBuf]) =>
+          val prev = state.getOption.getOrElse(HHBuf(Map.empty, 0L))
+          var counts = prev.counts
+          var total = prev.total
+          rows.foreach { case (_, t) =>
+            counts = counts.updated(t, counts.getOrElse(t, 0L) + 1L)
+            total += 1L
+          }
+          val endMs = (winStartSec + windowSeconds) * 1000L
+          if (state.getCurrentWatermarkMs() >= endMs) {
+            val thresh = math.floor(minShare * total).toLong
+            val out = counts.toSeq.filter(_._2 > thresh).sortBy(_._1)
+              .map { case (t, n) =>
+                HeavyOut(new java.sql.Timestamp(winStartSec * 1000L), t, n,
+                  BigDecimal(1e-9 + n.toDouble / total)
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              }
+            state.remove()
+            out.iterator
+          } else {
+            state.update(HHBuf(counts, total))
+            state.setTimeoutTimestamp(endMs + 1000L)
+            Iterator.empty
+          }
+      }
+  }
 }

@@ -1599,6 +1599,53 @@ class OpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("heavyHittersStream seals windows exactly once, equal to batch per-window") {
+    implicit val sq = spark.sqlContext
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // two 1-hour windows; 'hot' crosses 20% in both, 'warm' only in w2;
+    // the late-but-in-watermark doc must land in w1 before it seals
+    val w1 = Seq(
+      (ts("2024-05-01 10:00:10"), "hot hot hot cold1 cold2"),
+      (ts("2024-05-01 10:20:00"), "hot warm cold3 cold4"))
+    val w1late = Seq((ts("2024-05-01 10:40:00"), "hot hot cold5"))
+    val w2 = Seq(
+      (ts("2024-05-01 11:05:00"), "warm warm hot cold6"),
+      (ts("2024-05-01 11:30:00"), "warm hot cold7"))
+    val flush = Seq((ts("2030-01-01 00:00:00"), "sentinel"))
+    val all = w1 ++ w1late ++ w2
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val q = EventOps.heavyHittersStream(stream.toDS().map(identity), 0.2,
+        windowSeconds = 3600, watermark = "1 hour")
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(w1, w2, w1late, flush).foreach { b =>
+        stream.addData(b); q.processAllAvailable()
+      }
+      val streamed = spark.table("hh_out")
+        .select(col("window_start").cast("long"), col("token"), col("n"),
+          col("share"))
+        .as[(Long, String, Long, Double)].collect().toSeq
+      // exactly-once: no window emitted twice
+      assert(streamed.map(r => (r._1, r._2)).distinct.size == streamed.size)
+      // batch reference over the same docs, same window grain
+      val tok = all.toDF("ts", "text")
+        .select((floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("w"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val cnt = tok.groupBy("w", "token").agg(count(lit(1)).as("n"))
+      val tot = tok.groupBy("w").agg(count(lit(1)).as("tot"))
+      val batch = cnt.join(tot, "w")
+        .filter(col("n") > floor(lit(0.2) * col("tot")))
+        .select(col("w"), col("token"), col("n"),
+          graft.Num.rnd(col("n") / col("tot"), 6).as("share"))
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(streamed.toSet == batch, s"streamed=$streamed batch=$batch")
+      // the late w1 doc was counted: 'hot' share in w1 reflects all 6 hots
+      assert(streamed.exists { case (_, t, n, _) => t == "hot" && n == 6L })
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("interEventGapsStream matches batch gap rows on shuffled events") {
     implicit val sq = spark.sqlContext
     val raw = Cohorts.events(spark, "/root/testdata/sf0.001")
