@@ -2475,7 +2475,77 @@ object SparkEntry {
               |      FROM q JOIN n ON q.doc_id = n.doc_id)
               |SELECT doc_id, quality, n_tokens,
               |       CAST(cum_tokens AS BIGINT) AS cum_tokens
-              |FROM c WHERE cum_tokens <= 5000""".stripMargin))
+              |FROM c WHERE cum_tokens <= 5000""".stripMargin)),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the LEXICAL ranking
+    // (sparse TF-IDF cosine neighbors, q81's inverted index, both
+    // directions, top-10 per query) with the SEMANTIC ranking (embedding
+    // cosine top-10, q33) for query docs (id % 50 = 0) — rank-based
+    // fusion, no score calibration across systems.
+    ("q122_hybrid_rrf",
+      (s: SparkSession, dir: String) => {
+        val d = Cohorts.documents(s, dir)
+        val e = Cohorts.embeddings(s, dir)
+        val sym = TextAnalysis.sparseCosinePairs(d, 0.1, 50)
+        val wl = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
+        val lex = sym.select(col("doc_a").as("q_id"), col("doc_b").as("c_id"), col("sim"))
+          .unionByName(sym.select(col("doc_b").as("q_id"), col("doc_a").as("c_id"), col("sim")))
+          .filter(col("q_id") % 50 === 0)
+          .withColumn("rank", row_number().over(wl).cast("long"))
+          .filter(col("rank") <= 10)
+          .select("q_id", "c_id", "rank")
+        val sem = Similarity.cosineTopK(e, e.filter(col("vec_id") % 50 === 0), 10)
+          .select("q_id", "c_id", "rank")
+        Similarity.rrfFuse(Seq(lex, sem), 60, 10)
+      },
+      Some(s"""WITH ${TextSql.toksCte},
+              |tk AS (SELECT doc_id, unnest(t) AS token FROM toks),
+              |tfc AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+              |        FROM tk GROUP BY doc_id, token),
+              |dfc AS (SELECT token, count(*) AS doc_freq FROM tfc
+              |        GROUP BY token HAVING count(*) <= 50),
+              |w AS (SELECT doc_id, token,
+              |             tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+              |                     / doc_freq) AS w
+              |      FROM tfc JOIN dfc USING (token)),
+              |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY doc_id),
+              |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |                sum(a.w * b.w) AS dot
+              |         FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+              |         GROUP BY a.doc_id, b.doc_id),
+              |sm AS (SELECT doc_a, doc_b, dot / (na.norm * nb.norm) AS sim
+              |       FROM dots JOIN nrm na ON doc_a = na.doc_id
+              |                 JOIN nrm nb ON doc_b = nb.doc_id
+              |       WHERE ROUND(1e-9 + dot / (na.norm * nb.norm), 9) >= 0.1),
+              |lex0 AS (SELECT doc_a AS q_id, doc_b AS c_id,
+              |                ROUND(1e-9 + sim, 6) AS sim FROM sm
+              |         UNION ALL
+              |         SELECT doc_b, doc_a, ROUND(1e-9 + sim, 6) FROM sm),
+              |lex AS (SELECT q_id, c_id, CAST(row_number() OVER (
+              |          PARTITION BY q_id ORDER BY sim DESC, c_id ASC)
+              |          AS BIGINT) AS rank
+              |        FROM lex0 WHERE q_id % 50 = 0),
+              |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |p AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+              |             list_cosine_similarity(q.v, c.v) AS sim
+              |      FROM ev q JOIN ev c ON q.vec_id <> c.vec_id
+              |      WHERE q.vec_id % 50 = 0),
+              |sem AS (SELECT q_id, c_id, CAST(row_number() OVER (
+              |          PARTITION BY q_id ORDER BY round(1e-9 + sim, 9) DESC,
+              |          c_id ASC) AS BIGINT) AS rank
+              |        FROM p),
+              |u AS (SELECT q_id, c_id, rank FROM lex WHERE rank <= 10
+              |      UNION ALL
+              |      SELECT q_id, c_id, rank FROM sem WHERE rank <= 10),
+              |f AS (SELECT q_id, c_id, sum(1.0 / (60 + rank)) AS rrf
+              |      FROM u GROUP BY q_id, c_id),
+              |rr AS (SELECT *, CAST(row_number() OVER (
+              |         PARTITION BY q_id ORDER BY round(1e-9 + rrf, 9) DESC,
+              |         c_id ASC) AS BIGINT) AS rank
+              |       FROM f)
+              |SELECT q_id, c_id, ROUND(1e-9 + rrf, 6) AS rrf, rank
+              |FROM rr WHERE rank <= 10""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

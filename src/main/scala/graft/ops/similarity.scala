@@ -170,6 +170,40 @@ object Similarity {
       .select("doc_id", "cluster_id", "quality", "keep")
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid-
+    * retrieval combiner: given N per-query rankings (each a relation with
+    * `q_id, c_id, rank`), score every candidate
+    * Σ_rankings 1/(k0 + rank) and re-rank per query. Rank-based (not
+    * score-based) fusion needs no cross-system score calibration — the
+    * reason it's the default for fusing lexical (BM25/TF-IDF) with
+    * semantic (embedding-cosine) retrieval in RAG stacks. Candidates
+    * missing from a ranking simply contribute nothing (the sum has one
+    * term). Ordering is engine-stable: rrf rounded to 9 dp, c_id
+    * tie-break; per-(q,c) term count is ≤ N, and IEEE addition of the
+    * grouped terms is order-insensitive for N ≤ 2 (commutativity) and
+    * rounded before every comparison beyond that.
+    *
+    * Plan shape: one union, one (q_id, c_id) partial-aggregated shuffle,
+    * one per-query rank window over relations already truncated to their
+    * own top-k — input is O(queries × k × N) however big the corpus. */
+  def rrfFuse(rankings: Seq[DataFrame], k0: Int = 60,
+              topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k0 >= 1 && topK >= 1, s"k0/topK must be >= 1, got $k0/$topK")
+    val u = rankings
+      .map(_.select(col("q_id"), col("c_id"), col("rank")))
+      .reduce(_ unionByName _)
+    val scored = u.groupBy("q_id", "c_id")
+      .agg(sum(lit(1.0) / (lit(k0) + col("rank"))).as("rrf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id")
+      .orderBy(graft.Num.rnd(col("rrf"), 9).desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("c_id"),
+        graft.Num.rnd(col("rrf"), 6).as("rrf"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: exact all-pairs self-join with
     * the dot-product kernel, `a < b` dedupe, cosine ≥ threshold. The
     * brute-force baseline — at corpus scale the candidate set shrinks via

@@ -1317,6 +1317,25 @@ class OpsSpec extends SparkSpec {
     assert(out.head._3 == 1.0)
   }
 
+  test("containment at EXACTLY the threshold survives both paths") {
+    // |Sa| = 30 shingles, 27 shared: containment = 27/30 = 0.9 exactly —
+    // the boundary where the naive IEEE prefix bound (⌊(1−0.9)·30⌋+1 = 3)
+    // ran one short of the 3 missing shingles and dropped the pair
+    // (caught by q118; pinned here as a deterministic fixture).
+    val a = (1 to 32).map("w" + _).mkString(" ")            // shingles t1..t30
+    val b = ((1 to 29).map("w" + _) ++ Seq("x", "y", "z")).mkString(" ")
+    val d = docs((1L, a), (2L, b))
+    val full = Dedup.containmentPairs(d, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    val pref = Dedup.containmentPairsPrefix(d, 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    // symmetric fixture: b also has 30 shingles with the same 27 shared,
+    // so BOTH ordered directions sit exactly on the boundary
+    assert(full.map(r => (r._1, r._2)) == Set((1L, 2L), (2L, 1L)))
+    assert(full.forall(_._3 == 0.9))
+    assert(pref == full)
+  }
+
   test("containmentPairsPrefix equals the full posting join on random corpora") {
     val rng = new scala.util.Random(19)
     val vocab = (1 to 12).map("v" + _)
