@@ -2545,7 +2545,35 @@ object SparkEntry {
               |         c_id ASC) AS BIGINT) AS rank
               |       FROM f)
               |SELECT q_id, c_id, ROUND(1e-9 + rrf, 6) AS rrf, rank
-              |FROM rr WHERE rank <= 10""".stripMargin))
+              |FROM rr WHERE rank <= 10""".stripMargin)),
+
+    // Incremental-ingest dedup: the src0 "daily drop" against the rest of
+    // the corpus as the index — cross-side LSH candidates only, exact
+    // Jaccard verify, anti-join survivors. The oracle is the exact
+    // all-cross-pairs Jaccard (banding recall covers the threshold, q26's
+    // guarantee).
+    ("q123_ingest_dedup",
+      (s: SparkSession, dir: String) => {
+        val d = Cohorts.documents(s, dir)
+        Dedup.newAgainstIndex(d.filter(col("source") === "src0"),
+            d.filter(col("source") =!= "src0"), 0.5)
+          .select("doc_id")
+      },
+      Some(s"""WITH ${TextSql.toksCte},
+              |sh AS (SELECT doc_id, source, ${TextSql.shingleHashes("t", 3)} AS s
+              |       FROM toks),
+              |nw AS (SELECT doc_id, s FROM sh
+              |       WHERE source = 'src0' AND len(s) > 0),
+              |ix AS (SELECT doc_id, s FROM sh
+              |       WHERE source <> 'src0' AND len(s) > 0),
+              |m AS (SELECT DISTINCT n.doc_id
+              |      FROM nw n JOIN ix i
+              |      ON CAST(len(list_intersect(n.s, i.s)) AS DOUBLE) /
+              |         (len(n.s) + len(i.s) - len(list_intersect(n.s, i.s)))
+              |         >= 0.5)
+              |SELECT doc_id FROM documents
+              |WHERE source = 'src0'
+              |  AND doc_id NOT IN (SELECT doc_id FROM m)""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -261,6 +261,45 @@ object Dedup {
     verifyJaccard(candidates, sets, threshold)
   }
 
+  /** Incremental-ingest dedup: the NEW batch against the existing INDEX
+    * only — the daily-drop shape of corpus maintenance, where the index is
+    * already internally deduped and re-pairing it against itself (the full
+    * [[minHashPairs]] over new ∪ index) would redo work proportional to
+    * the whole corpus every day. Returns the SURVIVING new rows: those
+    * with no index near-duplicate at `threshold` (Jaccard over k-shingle
+    * sets; shingle-less new docs trivially survive). Ids must be unique
+    * across both inputs (the corpus-wide doc_id contract).
+    *
+    * Plan shape: MinHash band buckets on BOTH sides (threshold-derived
+    * banding, recall ≥ 1−1e-9 at the admission threshold — q26's
+    * guarantee), candidates = cross-side (band, key) equi-join ONLY (never
+    * new×new or index×index), exact-Jaccard verification, one anti-join.
+    * Shuffle is O((|new| + |index|)·bands) + verified candidates — the
+    * index side is touched once per ingest, not re-paired. */
+  def newAgainstIndex(newDocs: DataFrame, indexDocs: DataFrame,
+                      threshold: Double, k: Int = 3): DataFrame = {
+    val setsN = shingleSets(newDocs, k).filter(size(col("shingles")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val setsI = shingleSets(indexDocs, k).filter(size(col("shingles")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = minHashBuckets(setsN, threshold).as("x")
+      .join(minHashBuckets(setsI, threshold).as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val matched = candidates
+      .join(setsN.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(setsI.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      .withColumn("inter", org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.expr.LongIntersectSize(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("sa")),
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("sb")))).cast("double"))
+      .filter(col("inter") /
+        (size(col("sa")) + size(col("sb")) - col("inter")) >= threshold)
+      .select(col("doc_a").as("doc_id")).distinct()
+    newDocs.join(matched, Seq("doc_id"), "left_anti")
+  }
+
   /** (doc_id, band, key) LSH band buckets over a shingle-set frame, banding
     * derived from the threshold — shared by [[minHashPairs]] and
     * [[clustersLsh]]. The band key folds the band's signature slots through

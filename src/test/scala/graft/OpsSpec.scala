@@ -1317,6 +1317,26 @@ class OpsSpec extends SparkSpec {
     assert(out.head._3 == 1.0)
   }
 
+  test("newAgainstIndex drops index near-dups, keeps novel and tiny docs") {
+    val base = (1 to 30).map("w" + _).mkString(" ")
+    val index = docs((100L, base), (101L, (50 to 80).map("v" + _).mkString(" ")))
+    val batch = Seq(
+      (1L, "cp " + base),                             // near-dup of 100
+      (2L, (200 to 230).map("q" + _).mkString(" ")),  // novel
+      (3L, "a b"))                                    // shingle-less
+      .toDF("doc_id", "text")
+    val out = graft.ops.Dedup.newAgainstIndex(batch, index, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(2L, 3L))
+    // intra-batch duplicates are NOT this operator's concern: two copies
+    // of the same novel text both survive (the index is the only filter)
+    val batch2 = batch.unionByName(Seq((4L, (200 to 230).map("q" + _)
+      .mkString(" "))).toDF("doc_id", "text"))
+    val out2 = graft.ops.Dedup.newAgainstIndex(batch2, index, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out2 == Set(2L, 3L, 4L))
+  }
+
   test("containment at EXACTLY the threshold survives both paths") {
     // |Sa| = 30 shingles, 27 shared: containment = 27/30 = 0.9 exactly —
     // the boundary where the naive IEEE prefix bound (⌊(1−0.9)·30⌋+1 = 3)
