@@ -2573,7 +2573,26 @@ object SparkEntry {
               |         >= 0.5)
               |SELECT doc_id FROM documents
               |WHERE source = 'src0'
-              |  AND doc_id NOT IN (SELECT doc_id FROM m)""".stripMargin))
+              |  AND doc_id NOT IN (SELECT doc_id FROM m)""".stripMargin)),
+
+    // Key-skew audit over the join/agg key candidates of the events table:
+    // per-key count distribution shape (heaviest key share, p50/p99) — the
+    // pre-flight check that decides salting/broadcast/AQE-skew strategy.
+    ("q124_key_skew",
+      (s: SparkSession, dir: String) =>
+        Profile.keySkewReport(Cohorts.events(s, dir),
+          Seq("user_id", "event_type")),
+      Some(Seq("user_id", "event_type").map(c =>
+        s"""SELECT '$c' AS column,
+           |  CAST(count(*) AS BIGINT) AS n_keys,
+           |  CAST(sum(n) AS BIGINT) AS n_rows,
+           |  CAST(max(n) AS BIGINT) AS max_count,
+           |  ROUND(1e-9 + CAST(max(n) AS DOUBLE) / sum(n), 6) AS max_share,
+           |  ROUND(1e-9 + quantile_cont(n, 0.5), 4) AS p50_count,
+           |  ROUND(1e-9 + quantile_cont(n, 0.99), 4) AS p99_count
+           |FROM (SELECT $c, CAST(count(*) AS BIGINT) AS n
+           |      FROM events GROUP BY $c)""".stripMargin)
+        .mkString("\nUNION ALL\n")))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

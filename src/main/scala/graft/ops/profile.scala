@@ -56,6 +56,39 @@ object Profile {
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame =
     profileWith(df, cols, count_distinct(_))
 
+  /** Key-skew audit — the diagnostic run BEFORE choosing a join/agg
+    * strategy at scale (salt or not, broadcast or shuffle, AQE skew-join
+    * thresholds): for each audited key column, the per-key count
+    * distribution's shape — distinct key count, total rows, the heaviest
+    * key's count and share, and the p50/p99 per-key counts. A max_share
+    * near 1 or a p99/p50 ratio in the hundreds is exactly the relation
+    * that serializes one reducer at 100 TB.
+    *
+    * Plan shape: one map-side-combining groupBy per audited column over
+    * the per-key counts (key-cardinality-sized, not corpus-sized), then a
+    * 1-row exact-percentile fold each; columns are unioned into one
+    * dimension-sized report. NULL keys count as a key of their own (they
+    * hash to one reducer like any other value — the skew report must see
+    * them). */
+  def keySkewReport(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "keySkewReport needs at least one column")
+    cols.map { c =>
+      val counts = df.groupBy(raw(c).as("__k"))
+        .agg(count(lit(1)).as("__n"))
+      counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum("__n").as("n_rows"),
+        max("__n").as("max_count"),
+        graft.Num.rnd(expr("percentile(__n, 0.5)"), 4).as("p50_count"),
+        graft.Num.rnd(expr("percentile(__n, 0.99)"), 4).as("p99_count"))
+        .select(lit(c).as("column"), col("n_keys"), col("n_rows"),
+          col("max_count"),
+          graft.Num.rnd(col("max_count") / col("n_rows").cast("double"), 6)
+            .as("max_share"),
+          col("p50_count"), col("p99_count"))
+    }.reduce(_ unionByName _)
+  }
+
   /** The 100 TB twin of [[columnProfile]]: HyperLogLog++ distinct counts
     * (`approx_count_distinct`, relative error `rsd`) instead of exact —
     * NO Expand replication (each sketch aggregates the original row

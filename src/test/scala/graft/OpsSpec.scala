@@ -1317,6 +1317,42 @@ class OpsSpec extends SparkSpec {
     assert(out.head._3 == 1.0)
   }
 
+  test("keySkewReport flags the hot key and counts nulls as a key") {
+    val rows = (Seq.fill(8)("hot") ++ Seq("a", "b", null)).zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }
+    val d = rows.toDF("id", "k")
+    val out = graft.ops.Profile.keySkewReport(d, Seq("k", "id")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    // 4 keys (hot, a, b, NULL), 11 rows, hottest 8 → share 8/11
+    assert(k.getLong(1) == 4L && k.getLong(2) == 11L && k.getLong(3) == 8L)
+    assert(math.abs(k.getDouble(4) - 0.727273) < 1e-9)
+    // unique key column: every count is 1, share = 1/11
+    val id = out("id")
+    assert(id.getLong(1) == 11L && id.getLong(3) == 1L &&
+      id.getDouble(5) == 1.0 && id.getDouble(6) == 1.0)
+  }
+
+  test("rrfFuse combines rankings by reciprocal rank with c_id tie-break") {
+    val r1 = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 20L, 1L))
+      .toDF("q_id", "c_id", "rank")
+    val r2 = Seq((1L, 11L, 1L), (1L, 12L, 2L)).toDF("q_id", "c_id", "rank")
+    val out = graft.ops.Similarity.rrfFuse(Seq(r1, r2), 60, 10)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._4) -> (r._2, r._3)).toMap
+    // q1: c11 = 1/62 + 1/61 ≈ 0.032525 beats c10 = 1/61 ≈ 0.016393
+    assert(out((1L, 1L))._1 == 11L)
+    assert(out((1L, 2L))._1 == 10L)
+    assert(out((1L, 3L))._1 == 12L)
+    assert(math.abs(out((1L, 1L))._2 - (1.0 / 62 + 1.0 / 61 + 1e-9)) < 1e-6)
+    assert(out((2L, 1L))._1 == 20L)
+    // ties (same rrf) break by c_id ascending
+    val tied = graft.ops.Similarity.rrfFuse(
+      Seq(Seq((1L, 7L, 1L), (1L, 3L, 1L)).toDF("q_id", "c_id", "rank")), 60, 10)
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4).map(_._2).toSeq
+    assert(tied == Seq(3L, 7L))
+  }
+
   test("newAgainstIndex drops index near-dups, keeps novel and tiny docs") {
     val base = (1 to 30).map("w" + _).mkString(" ")
     val index = docs((100L, base), (101L, (50 to 80).map("v" + _).mkString(" ")))
