@@ -58,9 +58,16 @@ object Cohorts {
 
   /** Base cohort frame: month, idx, value, features, c_acctbal, consent. */
   def base(spark: SparkSession, dir: String, lo: String = Lo, hi: String = Hi): DataFrame = {
+    // Spread after the pushed-down date filter: orders arrives as ONE
+    // parquet file (= one scan task), which serialized the broadcast
+    // join + token encode + every banded-prep cache build onto a single
+    // core (measured 1.8 s of q61's 4.4 s as one 1-task stage). Same
+    // single-file rationale as [[documents]]/[[embeddings]].
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val o = table(spark, dir, "orders")
       .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
               col("o_orderdate") < lit(hi).cast("timestamp"))
+      .repartition(n)
     val c = table(spark, dir, "customer")
     // customer is the small dimension: broadcast — no shuffle of orders.
     o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
