@@ -2592,7 +2592,45 @@ object SparkEntry {
            |  ROUND(1e-9 + quantile_cont(n, 0.99), 4) AS p99_count
            |FROM (SELECT $c, CAST(count(*) AS BIGINT) AS n
            |      FROM events GROUP BY $c)""".stripMargin)
-        .mkString("\nUNION ALL\n")))
+        .mkString("\nUNION ALL\n"))),
+
+    // ANN quality audit: recall@5 of the label-cell IVF ranking (q34)
+    // against the exact brute-force top-5 (q33) per query — the number an
+    // IVF deployment tunes against; cell-missed queries report recall 0.
+    ("q125_ann_recall",
+      (s: SparkSession, dir: String) => {
+        val e = Cohorts.embeddings(s, dir)
+        val q = e.filter(col("vec_id") % 50 === 0)
+        Similarity.annRecall(
+          Similarity.cosineTopK(e, q, 5),
+          Similarity.partitionedTopK(e, q, "label", 5))
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             |           FROM embeddings),
+             |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+             |px AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             |              list_cosine_similarity(q.v, c.v) AS sim
+             |       FROM q JOIN e c ON q.vec_id <> c.vec_id),
+             |ex AS (SELECT q_id, c_id FROM (
+             |         SELECT *, row_number() OVER (
+             |           PARTITION BY q_id ORDER BY round(1e-9 + sim, 9) DESC,
+             |           c_id) AS rank FROM px) WHERE rank <= 5),
+             |pa AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             |              list_cosine_similarity(q.v, c.v) AS sim
+             |       FROM q JOIN e c ON q.label = c.label AND q.vec_id <> c.vec_id),
+             |ap AS (SELECT q_id, c_id FROM (
+             |         SELECT *, row_number() OVER (
+             |           PARTITION BY q_id ORDER BY round(1e-9 + sim, 9) DESC,
+             |           c_id) AS rank FROM pa) WHERE rank <= 5),
+             |h AS (SELECT ex.q_id, CAST(count(*) AS BIGINT) AS n_hits
+             |      FROM ex JOIN ap ON ex.q_id = ap.q_id AND ex.c_id = ap.c_id
+             |      GROUP BY ex.q_id),
+             |t AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact
+             |      FROM ex GROUP BY q_id)
+             |SELECT t.q_id, t.n_exact, COALESCE(h.n_hits, 0) AS n_hits,
+             |       ROUND(1e-9 + CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+             |             / t.n_exact, 4) AS recall
+             |FROM t LEFT JOIN h ON t.q_id = h.q_id""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -204,6 +204,27 @@ object Similarity {
         graft.Num.rnd(col("rrf"), 6).as("rrf"), col("rank"))
   }
 
+  /** ANN quality audit — recall@k of an approximate ranking against the
+    * exact one: per query, |approx ∩ exact| / |exact| over the (q_id,
+    * c_id) pairs. THE number an IVF/LSH deployment tunes nlist/nprobe/
+    * bands against before trading exactness for throughput; queries the
+    * approximate index missed entirely still report (recall 0), via the
+    * left join. Inputs are any two rankings truncated to their k
+    * (`q_id, c_id` columns); plan is one equi-join + two dimension-sized
+    * aggregates over O(|Q|·k) rows — free at any corpus size. */
+  def annRecall(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val hits = exact.select("q_id", "c_id")
+      .join(approx.select("q_id", "c_id"), Seq("q_id", "c_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        graft.Num.rnd(
+          coalesce(col("n_hits"), lit(0L)) / col("n_exact").cast("double"), 4)
+          .as("recall"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: exact all-pairs self-join with
     * the dot-product kernel, `a < b` dedupe, cosine ≥ threshold. The
     * brute-force baseline — at corpus scale the candidate set shrinks via

@@ -1333,6 +1333,19 @@ class OpsSpec extends SparkSpec {
       id.getDouble(5) == 1.0 && id.getDouble(6) == 1.0)
   }
 
+  test("annRecall measures overlap and reports cell-missed queries as 0") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("q_id", "c_id")
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L), (3L, 30L))
+      .toDF("q_id", "c_id")
+    val out = graft.ops.Similarity.annRecall(exact, approx)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((3L, 2L, 0.6667)))
+    assert(out(2L) == ((2L, 0L, 0.0)))   // approx missed q2 entirely
+    assert(!out.contains(3L))            // approx-only queries don't score
+  }
+
   test("rrfFuse combines rankings by reciprocal rank with c_id tie-break") {
     val r1 = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 20L, 1L))
       .toDF("q_id", "c_id", "rank")
