@@ -820,6 +820,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: tokenBudgetSelect equals the local ranked prefix-sum reference") {
+    val docGen = for {
+      n <- Gen.choose(1, 40)
+      ts <- Gen.listOfN(n, Gen.frequency(
+        (5, Gen.oneOf("the", "and", "of")), (3, Gen.choose(1, 30).map("t" + _))))
+    } yield ts.mkString(" ")
+    val corpusGen = Gen.choose(2, 15).flatMap(n => Gen.listOfN(n, docGen))
+    sampled(corpusGen, 6, 909L).foreach { corpus =>
+      val rows = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = rows.toDF("doc_id", "text")
+      for (budget <- Seq(20L, 100L)) {
+        val got = graft.ops.Sampling.tokenBudgetSelect(df, budget)
+          .as[(Long, Double, Long, Long)].collect().toSet
+        // local reference: engine-evaluated quality (rounding parity),
+        // local rank + prefix sum + cut
+        val scored = df.select(col("doc_id"),
+            graft.Num.rnd(graft.ops.TextAnalysis.qualityScore(col("text")), 4),
+            size(graft.ops.TextAnalysis.tokens(col("text"))).cast("long"))
+          .as[(Long, Double, Long)].collect().filter(_._3 > 0)
+        var cum = 0L
+        val want = scored.sortBy(r => (-r._2, r._1)).flatMap { case (id, q, n) =>
+          cum += n
+          if (cum <= budget) Some((id, q, n, cum)) else None
+        }.toSet
+        // the reference keeps scanning after the first overflow — but so
+        // does the operator (the filter is on the inclusive prefix sum,
+        // which is monotone, so both cut at the same prefix)
+        assert(got == want, s"budget=$budget corpus=$rows")
+      }
+    }
+  }
+
   test("property: importanceWeights equals the local Laplace-LLR reference") {
     val tokGen = Gen.frequency(
       (4, Gen.oneOf("aa", "bb", "cc")), (2, Gen.oneOf("xx", "yy")),
