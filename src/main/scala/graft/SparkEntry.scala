@@ -2630,7 +2630,88 @@ object SparkEntry {
              |SELECT t.q_id, t.n_exact, COALESCE(h.n_hits, 0) AS n_hits,
              |       ROUND(1e-9 + CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
              |             / t.n_exact, 4) AS recall
-             |FROM t LEFT JOIN h ON t.q_id = h.q_id""".stripMargin))
+             |FROM t LEFT JOIN h ON t.q_id = h.q_id""".stripMargin)),
+
+    // Curation v2 — the full modern pipeline as ONE declarative plan:
+    // q67's lexical pass (MinHash dedup keepers ∩ benchmark
+    // decontamination ∩ quality floor) → SemDeDup keepers on the
+    // embedding modality WITHIN the survivors (q110's exact path; the LSH
+    // twin is the gated scale swap) → the best-quality token-budget cut
+    // (q121's distributed running sum). Every stage reuses a separately
+    // gated operator; the oracle is the conjunction of their oracles.
+    ("q126_curate_v2",
+      (s: SparkSession, dir: String) => {
+        val docs = Cohorts.documents(s, dir)
+        val emb = Cohorts.embeddings(s, dir)
+        val deduped = Dedup.deduplicated(docs, Dedup.minHashPairs(docs, 0.5))
+        val contaminatedIds = Dedup.contaminated(
+            docs.filter(col("source") =!= "src0"),
+            docs.filter(col("source") === "src0"), 8)
+          .select("doc_id")
+        // three consumers (induced pair graph, quality projection, budget
+        // input) — pin the expensive lexical-curation lineage once
+        val stage1 = deduped.filter(col("source") =!= "src0")
+          .join(contaminatedIds, Seq("doc_id"), "left_anti")
+          .filter(TextAnalysis.qualityScore(col("text")) >= 0.4)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // SemDeDup over the SURVIVORS' embeddings only (the induced pair
+        // graph): dedupe among the docs being kept — the correct curation
+        // semantics, and the pair kernel shrinks to |survivors|² instead
+        // of the whole embedding table's
+        val survEmb = emb.join(
+          stage1.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+        val semKeepers = Similarity.semanticDedup(stage1, survEmb, 0.4)
+          .filter(col("keep") === 1).select("doc_id")
+        Sampling.tokenBudgetSelect(stage1.join(semKeepers, "doc_id"), 4000)
+      },
+      Some(s"""$dedupClustersCtes,
+              |${TextSql.qualitySignalsCte()},
+              |sh8 AS (SELECT doc_id, source, ${TextSql.shingleHashes("t", 8)} AS s8
+              |        FROM toks),
+              |bm AS (SELECT DISTINCT unnest(s8) AS h FROM sh8 WHERE source = 'src0'),
+              |contam AS (SELECT DISTINCT doc_id FROM
+              |             (SELECT doc_id, unnest(s8) AS h FROM sh8 WHERE source <> 'src0')
+              |           JOIN bm USING (h)),
+              |s1 AS (SELECT d.doc_id FROM documents d JOIN m USING (doc_id)
+              |       WHERE d.source <> 'src0'
+              |         AND d.doc_id NOT IN (SELECT doc_id FROM cl
+              |                              WHERE doc_id <> cluster_id)
+              |         AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+              |         AND least(1.0, n / 100) * 0.4 + (stop / n) * 0.3
+              |             + ttr * 0.3 >= 0.4),
+              |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              |       FROM embeddings JOIN s1 ON vec_id = s1.doc_id),
+              |eprs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+              |         FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+              |         WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+              |eedges AS (SELECT doc_a AS u, doc_b AS v FROM eprs
+              |           UNION ALL SELECT doc_b, doc_a FROM eprs),
+              |ereach AS (
+              |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM eedges)
+              |  UNION
+              |  SELECT e2.u, ereach.r FROM eedges e2 JOIN ereach ON e2.v = ereach.u),
+              |ecl AS (SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+              |        FROM ereach GROUP BY u),
+              |qv AS (SELECT doc_id, ${TextSql.qualityScoreFromM} AS quality FROM m),
+              |mem AS (SELECT s1.doc_id,
+              |               COALESCE(ecl.cluster_id, s1.doc_id) AS cluster_id,
+              |               qv.quality
+              |        FROM s1 JOIN qv USING (doc_id) LEFT JOIN ecl USING (doc_id)),
+              |keepers AS (SELECT doc_id, quality FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+              |    ORDER BY quality DESC, doc_id ASC) AS rn FROM mem)
+              |  WHERE rn = 1),
+              |nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens
+              |       FROM toks WHERE len(t) > 0),
+              |cum AS (SELECT k.doc_id, k.quality, nt.n_tokens,
+              |               sum(nt.n_tokens) OVER (
+              |                 ORDER BY k.quality DESC, k.doc_id ASC
+              |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |                 AS cum_tokens
+              |        FROM keepers k JOIN nt USING (doc_id))
+              |SELECT doc_id, quality, n_tokens,
+              |       CAST(cum_tokens AS BIGINT) AS cum_tokens
+              |FROM cum WHERE cum_tokens <= 4000""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
