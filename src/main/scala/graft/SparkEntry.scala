@@ -2672,7 +2672,13 @@ object SparkEntry {
               |contam AS (SELECT DISTINCT doc_id FROM
               |             (SELECT doc_id, unnest(s8) AS h FROM sh8 WHERE source <> 'src0')
               |           JOIN bm USING (h)),
-              |s1 AS (SELECT d.doc_id FROM documents d JOIN m USING (doc_id)
+              |-- MATERIALIZED: s1 closes over the whole lexical-curation
+              |-- chain (recursive closure + contamination + quality) and is
+              |-- referenced from BOTH the induced pair graph and the member
+              |-- relation — without the hint DuckDB re-inlines that chain
+              |-- per reference (measured 80+ min vs 10 min at sf0.1)
+              |s1 AS MATERIALIZED (
+              |       SELECT d.doc_id FROM documents d JOIN m USING (doc_id)
               |       WHERE d.source <> 'src0'
               |         AND d.doc_id NOT IN (SELECT doc_id FROM cl
               |                              WHERE doc_id <> cluster_id)
