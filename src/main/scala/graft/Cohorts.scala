@@ -19,6 +19,38 @@ object Cohorts {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Bytes under a table's parquet path (file or directory) — the size
+    * signal for [[spreadIfLarge]]. Driver-side FS metadata only. */
+  private def tableBytes(spark: SparkSession, dir: String, name: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
+  /** Below this input size a scan's work is too cheap to justify a full
+    * exchange: the round-8 unconditional repartition fixed the 1-task
+    * 100×-replica scan but charged every bench-SF cohort query ~0.4-1.4 s
+    * of shuffle (q13 1.92→3.23 s, q18 3.71→5.13 s isolated — VERDICT r8
+    * item 1). 64 MB ≈ half a default parquet row group: anything smaller
+    * decodes in well under the cost of shuffling it. */
+  private val SpreadBytes: Long = 64L << 20
+
+  /** Spread `df` across the cluster ONLY when both (a) its source files are
+    * big enough that serialized downstream work dominates the exchange and
+    * (b) the pushed-down scan actually yields too few tasks (a big but
+    * multi-row-group file already splits — no exchange needed then).
+    * `force` opts a CPU-heavy consumer in regardless of size (the exchange
+    * must sit right after the SCAN — before the join+encode — or the heavy
+    * build still serializes; measured: post-join spread left q61 at 4.8 s
+    * where this placement gives 3.9 s on the same host). */
+  private def spreadIfLarge(spark: SparkSession, df: DataFrame, bytes: Long,
+                            force: Boolean): DataFrame = {
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    if (force || bytes >= SpreadBytes) {
+      if (df.rdd.getNumPartitions < n / 2) df.repartition(n) else df
+    } else df
+  }
+
   /** documents, spread across the cluster: the table arrives as one parquet
     * file (= one partition), which would serialize the CPU-heavy
     * shingle/hash pipelines onto a single core. */
@@ -57,17 +89,22 @@ object Cohorts {
   }
 
   /** Base cohort frame: month, idx, value, features, c_acctbal, consent. */
-  def base(spark: SparkSession, dir: String, lo: String = Lo, hi: String = Hi): DataFrame = {
-    // Spread after the pushed-down date filter: orders arrives as ONE
-    // parquet file (= one scan task), which serialized the broadcast
-    // join + token encode + every banded-prep cache build onto a single
-    // core (measured 1.8 s of q61's 4.4 s as one 1-task stage). Same
-    // single-file rationale as [[documents]]/[[embeddings]].
-    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val o = table(spark, dir, "orders")
-      .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
-              col("o_orderdate") < lit(hi).cast("timestamp"))
-      .repartition(n)
+  def base(spark: SparkSession, dir: String, lo: String = Lo, hi: String = Hi,
+           spread: Boolean = false): DataFrame = {
+    // Spread after the pushed-down date filter, but only when the scan is
+    // LARGE and under-partitioned ([[spreadIfLarge]]): a big single parquet
+    // file (one row group ⇒ one scan task regardless of byte splits) would
+    // serialize the broadcast join + token encode + every banded-prep cache
+    // build onto a single core — measured at the 100× replica. At bench SF
+    // the same exchange is pure overhead (VERDICT r8 item 1), so the cheap
+    // narrow plan is kept there. CPU-heavy consumers that win from the
+    // spread even on small inputs (the cosine banded route's exact scoring,
+    // q61) opt in with `spread = true`.
+    val o = spreadIfLarge(spark,
+      table(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+                col("o_orderdate") < lit(hi).cast("timestamp")),
+      tableBytes(spark, dir, "orders"), force = spread)
     val c = table(spark, dir, "customer")
     // customer is the small dimension: broadcast — no shuffle of orders.
     o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
@@ -84,8 +121,9 @@ object Cohorts {
   }
 
   /** (consent, noconsent) split of [[base]]. */
-  def cohorts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val b = base(spark, dir)
+  def cohorts(spark: SparkSession, dir: String,
+              spread: Boolean = false): (DataFrame, DataFrame) = {
+    val b = base(spark, dir, spread = spread)
     (b.filter(col("consent") === 1).drop("consent"),
      b.filter(col("consent") === 0).drop("consent"))
   }

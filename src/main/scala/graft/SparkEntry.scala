@@ -587,7 +587,10 @@ object SparkEntry {
     // verification). This gate pins the metric arithmetic and that route.
     ("q61_knn_topk_cosine",
       (s: SparkSession, dir: String) => {
-        val (c, nc) = cohortPair(s, dir)
+        // spread = true: the cosine route scores every candidate exactly in
+        // both phases — CPU-heavy enough that the post-scan exchange pays
+        // for itself even on a small single-file scan (r8: 3.44 → 3.05 s).
+        val (c, nc) = Cohorts.cohorts(s, dir, spread = true)
         val spec = Cohorts.spec.copy(metric = Cosine)
         NeighborJoin.topKBanded(c, nc, spec, 3, broadcastConsent = true)
           .select(col("month"), col("nc_idx"), col("c_idx"),
