@@ -2489,12 +2489,15 @@ object SparkEntry {
       (s: SparkSession, dir: String) => {
         val d = Cohorts.documents(s, dir)
         val e = Cohorts.embeddings(s, dir)
-        val sym = TextAnalysis.sparseCosinePairs(d, 0.1, 50)
+        // queryPred pushes the query restriction INTO the posting join:
+        // candidates are O(query postings × df-cut postings), matching the
+        // semantic side's query-filtered shape (ADVICE r8) — identical
+        // rows to symmetrize-then-filter, pinned by OpsSpec.
         val wl = org.apache.spark.sql.expressions.Window
           .partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
-        val lex = sym.select(col("doc_a").as("q_id"), col("doc_b").as("c_id"), col("sim"))
-          .unionByName(sym.select(col("doc_b").as("q_id"), col("doc_a").as("c_id"), col("sim")))
-          .filter(col("q_id") % 50 === 0)
+        val lex = TextAnalysis.sparseCosinePairs(d, 0.1, 50,
+            queryPred = Some(col("doc_id") % 50 === 0))
+          .select(col("doc_a").as("q_id"), col("doc_b").as("c_id"), col("sim"))
           .withColumn("rank", row_number().over(wl).cast("long"))
           .filter(col("rank") <= 10)
           .select("q_id", "c_id", "rank")

@@ -64,29 +64,42 @@ object Profile {
     * near 1 or a p99/p50 ratio in the hundreds is exactly the relation
     * that serializes one reducer at 100 TB.
     *
-    * Plan shape: one map-side-combining groupBy per audited column over
-    * the per-key counts (key-cardinality-sized, not corpus-sized), then a
-    * 1-row exact-percentile fold each; columns are unioned into one
-    * dimension-sized report. NULL keys count as a key of their own (they
-    * hash to one reducer like any other value — the skew report must see
-    * them). */
+    * Plan shape: ONE scan. The per-column per-key counts all come out of a
+    * single GROUPING SETS aggregate — Catalyst's Expand replicates each row
+    * once per audited column map-side (the same |cols|× map-volume trade
+    * [[columnProfile]] documents), keyed (grouping_id, key), partial-
+    * aggregated — then one key-cardinality-sized fold per grouping id
+    * yields the report rows. N audited columns no longer cost N full scans
+    * of the input (VERDICT r8 item 4). NULL keys count as a key of their
+    * own (they hash to one reducer like any other value — the skew report
+    * must see them); grouping_id keeps a column's real NULL group distinct
+    * from the rows where that column simply isn't the one being grouped. */
   def keySkewReport(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "keySkewReport needs at least one column")
-    cols.map { c =>
-      val counts = df.groupBy(raw(c).as("__k"))
-        .agg(count(lit(1)).as("__n"))
-      counts.agg(
+    val k = cols.size
+    // grouping_id bit semantics: MSB = first grouping column, bit SET when
+    // the column is NOT part of the grouping set — the set {col i} alone
+    // has every bit set except bit (k-1-i).
+    val gidOf = cols.indices.map(i => ((1L << k) - 1) ^ (1L << (k - 1 - i)))
+    val counts = df
+      .groupingSets(cols.map(c => Seq(raw(c))), cols.map(raw): _*)
+      .agg(count(lit(1)).as("__n"), grouping_id().as("__gid"))
+      .select(col("__gid"), col("__n"))
+    val nameOf = map(gidOf.zip(cols).flatMap {
+      case (g, c) => Seq(lit(g), lit(c)) }: _*)
+    counts.groupBy("__gid")
+      .agg(
         count(lit(1)).as("n_keys"),
         sum("__n").as("n_rows"),
         max("__n").as("max_count"),
         graft.Num.rnd(expr("percentile(__n, 0.5)"), 4).as("p50_count"),
         graft.Num.rnd(expr("percentile(__n, 0.99)"), 4).as("p99_count"))
-        .select(lit(c).as("column"), col("n_keys"), col("n_rows"),
-          col("max_count"),
-          graft.Num.rnd(col("max_count") / col("n_rows").cast("double"), 6)
-            .as("max_share"),
-          col("p50_count"), col("p99_count"))
-    }.reduce(_ unionByName _)
+      .select(element_at(nameOf, col("__gid")).as("column"),
+        col("n_keys"), col("n_rows"),
+        col("max_count"),
+        graft.Num.rnd(col("max_count") / col("n_rows").cast("double"), 6)
+          .as("max_share"),
+        col("p50_count"), col("p99_count"))
   }
 
   /** The 100 TB twin of [[columnProfile]]: HyperLogLog++ distinct counts

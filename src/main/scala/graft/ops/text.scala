@@ -173,9 +173,20 @@ object TextAnalysis {
     * O(N²/4) pairs and carries ~zero idf weight). The df-cut is part of the
     * operator's SEMANTICS (weights, norms and sims are all over the pruned
     * vocabulary), so results stay exact vs the oracle, which prunes
-    * identically. Similarity is cosine over tf·ln(N/df) weights. */
+    * identically. Similarity is cosine over tf·ln(N/df) weights.
+    *
+    * `queryPred` (a predicate over `doc_id`) restricts the LEFT side of the
+    * posting self-join to a query subset: output rows are then the ORDERED
+    * (doc_a = query, doc_b = any other doc) pairs — exactly the
+    * symmetrized-then-filtered relation of the default form, but the
+    * candidate volume is O(query postings × df-cut posting length) instead
+    * of corpus², so a retrieval pass over a small query set never mines
+    * pairs it will discard (ADVICE r8: q122 computed full-corpus pairs and
+    * kept 2%). Weights/norms/df are still corpus-wide — scores identical. */
   def sparseCosinePairs(docs: org.apache.spark.sql.DataFrame, minSim: Double,
-                        maxDocFreq: Long = 1000): org.apache.spark.sql.DataFrame = {
+                        maxDocFreq: Long = 1000,
+                        queryPred: Option[org.apache.spark.sql.Column] = None)
+      : org.apache.spark.sql.DataFrame = {
     val n = docs.count()
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
@@ -190,10 +201,15 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val norms = w.groupBy("doc_id")
       .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
-    val contrib = w.select(col("token"), col("doc_id").as("doc_a"), col("w").as("wa"))
+    // Query form: filter the cached postings BEFORE the token join (the
+    // pruned side drives candidate volume) and emit ordered pairs — the
+    // a<b dedup only applies to the symmetric form.
+    val left = queryPred.fold(w)(p => w.filter(p))
+    val contrib = left.select(col("token"), col("doc_id").as("doc_a"), col("w").as("wa"))
       .join(w.select(col("token"), col("doc_id").as("doc_b"), col("w").as("wb")),
         "token")
-      .filter(col("doc_a") < col("doc_b"))
+      .filter(if (queryPred.isDefined) col("doc_a") =!= col("doc_b")
+              else col("doc_a") < col("doc_b"))
     contrib.groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
       .join(norms.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("norm", "norm_a"), "doc_a")

@@ -1095,6 +1095,24 @@ class OpsSpec extends SparkSpec {
     assert(TextAnalysis.sparseCosinePairs(d, expect + 0.01, 1000).count() == 0)
   }
 
+  test("sparseCosinePairs queryPred == symmetrize-then-filter (q122 shape)") {
+    // Enough docs with overlapping vocab that the query subset has real
+    // neighbors on both sides of the a<b order.
+    val d = docs((0L to 40L).map(i =>
+      (i, s"tok${i % 7} tok${(i + 1) % 7} tok${i % 3} extra$i")): _*)
+    val pred = col("doc_id") % 4 === 0
+    val sym = TextAnalysis.sparseCosinePairs(d, 0.05, 100)
+    val expected = sym.select(col("doc_a").as("q"), col("doc_b").as("c"), col("sim"))
+      .unionByName(sym.select(col("doc_b").as("q"), col("doc_a").as("c"), col("sim")))
+      .filter(col("q") % 4 === 0)
+      .as[(Long, Long, Double)].collect().toSet
+    val got = TextAnalysis.sparseCosinePairs(d, 0.05, 100, queryPred = Some(pred))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected.nonEmpty && got == expected)
+    // the pruned side really is pruned: no non-query doc appears as doc_a
+    assert(got.forall(_._1 % 4 == 0))
+  }
+
   test("weightedBernoulli is weight-monotone and content-addressed") {
     val d = (1L to 500L).toDF("doc_id")
       .withColumn("w", (col("doc_id") % 10) / 10.0)
@@ -1331,6 +1349,13 @@ class OpsSpec extends SparkSpec {
     val id = out("id")
     assert(id.getLong(1) == 11L && id.getLong(3) == 1L &&
       id.getDouble(5) == 1.0 && id.getDouble(6) == 1.0)
+    // ONE scan for N audited columns: a single Expand (grouping sets), the
+    // input relation appearing once, and no per-column Union of subplans.
+    val plan = graft.ops.Profile.keySkewReport(d, Seq("k", "id"))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("Expand"))
+    assert(plan.sliding("LocalRelation".length).count(_ == "LocalRelation") == 1)
+    assert(!plan.contains("Union"))
   }
 
   test("annRecall measures overlap and reports cell-missed queries as 0") {
