@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, EventOps, Multimodal, Packing, Profile, Sampling, Similarity, TextAnalysis, TextSql}
+import graft.ops.{Curation, Dedup, EventOps, Multimodal, Packing, Profile, Sampling, Similarity, TextAnalysis, TextSql}
 
 /** Driver contract — one entry per operator from SURVEY.md §2, each with a
   * DuckDB-equivalent oracle SQL over the same parquet tables. Column names
@@ -2646,30 +2646,14 @@ object SparkEntry {
     // (q121's distributed running sum). Every stage reuses a separately
     // gated operator; the oracle is the conjunction of their oracles.
     ("q126_curate_v2",
-      (s: SparkSession, dir: String) => {
-        val docs = Cohorts.documents(s, dir)
-        val emb = Cohorts.embeddings(s, dir)
-        val deduped = Dedup.deduplicated(docs, Dedup.minHashPairs(docs, 0.5))
-        val contaminatedIds = Dedup.contaminated(
-            docs.filter(col("source") =!= "src0"),
-            docs.filter(col("source") === "src0"), 8)
-          .select("doc_id")
-        // three consumers (induced pair graph, quality projection, budget
-        // input) — pin the expensive lexical-curation lineage once
-        val stage1 = deduped.filter(col("source") =!= "src0")
-          .join(contaminatedIds, Seq("doc_id"), "left_anti")
-          .filter(TextAnalysis.qualityScore(col("text")) >= 0.4)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // SemDeDup over the SURVIVORS' embeddings only (the induced pair
-        // graph): dedupe among the docs being kept — the correct curation
-        // semantics, and the pair kernel shrinks to |survivors|² instead
-        // of the whole embedding table's
-        val survEmb = emb.join(
-          stage1.select(col("doc_id").as("vec_id")), Seq("vec_id"))
-        val semKeepers = Similarity.semanticDedup(stage1, survEmb, 0.4)
-          .filter(col("keep") === 1).select("doc_id")
-        Sampling.tokenBudgetSelect(stage1.join(semKeepers, "doc_id"), 4000)
-      },
+      (s: SparkSession, dir: String) =>
+        // exactSemantic: the brute-force pair kernel is the ORACLE BASELINE
+        // form (recall guaranteed at threshold 0.4, where real near-dups
+        // exist); the production default composition — LSH semantic stage —
+        // is gated separately by q127 on a planted-clone corpus.
+        Curation.curateV2(Cohorts.documents(s, dir),
+          Cohorts.embeddings(s, dir), tokenBudget = 4000,
+          semanticThreshold = 0.4, exactSemantic = true),
       Some(s"""$dedupClustersCtes,
               |${TextSql.qualitySignalsCte()},
               |sh8 AS (SELECT doc_id, source, ${TextSql.shingleHashes("t", 8)} AS s8
@@ -2696,6 +2680,117 @@ object SparkEntry {
               |eprs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
               |         FROM ev a JOIN ev b ON a.vec_id < b.vec_id
               |         WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+              |eedges AS (SELECT doc_a AS u, doc_b AS v FROM eprs
+              |           UNION ALL SELECT doc_b, doc_a FROM eprs),
+              |ereach AS (
+              |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM eedges)
+              |  UNION
+              |  SELECT e2.u, ereach.r FROM eedges e2 JOIN ereach ON e2.v = ereach.u),
+              |ecl AS (SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+              |        FROM ereach GROUP BY u),
+              |qv AS (SELECT doc_id, ${TextSql.qualityScoreFromM} AS quality FROM m),
+              |mem AS (SELECT s1.doc_id,
+              |               COALESCE(ecl.cluster_id, s1.doc_id) AS cluster_id,
+              |               qv.quality
+              |        FROM s1 JOIN qv USING (doc_id) LEFT JOIN ecl USING (doc_id)),
+              |keepers AS (SELECT doc_id, quality FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+              |    ORDER BY quality DESC, doc_id ASC) AS rn FROM mem)
+              |  WHERE rn = 1),
+              |nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens
+              |       FROM toks WHERE len(t) > 0),
+              |cum AS (SELECT k.doc_id, k.quality, nt.n_tokens,
+              |               sum(nt.n_tokens) OVER (
+              |                 ORDER BY k.quality DESC, k.doc_id ASC
+              |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |                 AS cum_tokens
+              |        FROM keepers k JOIN nt USING (doc_id))
+              |SELECT doc_id, quality, n_tokens,
+              |       CAST(cum_tokens AS BIGINT) AS cum_tokens
+              |FROM cum WHERE cum_tokens <= 4000""".stripMargin)),
+
+    // Curation v2 over the LSH semantic path — the PRODUCTION default
+    // composition of [[Curation.curateV2]], gated with the q111 planted-
+    // clone discipline: every doc_id % 10 == 0 doc gets a clone at
+    // id + 1e6 with fresh unique text (100 distinct tokens ⇒ passes the
+    // quality floor, shares no shingles with anything ⇒ survives lexical
+    // dedup + decontamination) but the ORIGINAL's embedding, and the
+    // semantic threshold sits at 0.9 where the real corpus is silent — so
+    // the SRP full-signature star finds exactly the deterministic
+    // identical-embedding pairs, the recursive-closure oracle hash-matches
+    // in FULL, and no plan stage ever enumerates |survivors|² pairs.
+    ("q127_curate_v2_lsh",
+      (s: SparkSession, dir: String) => {
+        val d0 = Cohorts.documents(s, dir)
+        val e0 = Cohorts.embeddings(s, dir)
+        val clones = d0.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L))
+          .withColumn("source", lit("clone"))
+          .withColumn("text", concat_ws(" ",
+            transform(sequence(lit(1), lit(100)),
+              i => concat(lit("c"), col("doc_id").cast("string"),
+                lit("t"), i.cast("string")))))
+        val docs = d0.unionByName(clones)
+        val emb = e0.unionByName(e0.filter(col("vec_id") % 10 === 0)
+          .withColumn("vec_id", col("vec_id") + lit(1000000L)))
+        Curation.curateV2(docs, emb, tokenBudget = 4000)
+      },
+      Some(s"""WITH RECURSIVE
+              |dc AS (SELECT doc_id, lang, 'clone' AS source, n_chars,
+              |              array_to_string(list_transform(range(1, 101),
+              |                i -> 'c' || doc_id || 't' || i), ' ') AS text
+              |       FROM (SELECT doc_id + 1000000 AS doc_id, lang, n_chars
+              |             FROM documents WHERE doc_id % 10 = 0)),
+              |dext AS (SELECT doc_id, lang, source, n_chars, text FROM documents
+              |         UNION ALL
+              |         SELECT doc_id, lang, source, n_chars, text FROM dc),
+              |toks AS (
+              |  SELECT doc_id, lang, source, n_chars, text,
+              |         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+              |  FROM dext),
+              |sh AS (SELECT doc_id, ${TextSql.shingleHashes("t", 3)} AS s
+              |       FROM toks),
+              |p AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS inter,
+              |         len(a.s) + len(b.s) AS tot
+              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              |  WHERE len(a.s) > 0 AND len(b.s) > 0),
+              |prs AS (SELECT doc_a, doc_b FROM p WHERE inter / (tot - inter) >= 0.5),
+              |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+              |          UNION ALL SELECT doc_b, doc_a FROM prs),
+              |reach AS (
+              |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+              |  UNION
+              |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+              |cl AS (SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+              |       FROM reach GROUP BY u),
+              |${TextSql.qualitySignalsCte()},
+              |sh8 AS (SELECT doc_id, source, ${TextSql.shingleHashes("t", 8)} AS s8
+              |        FROM toks),
+              |bm AS (SELECT DISTINCT unnest(s8) AS h FROM sh8 WHERE source = 'src0'),
+              |contam AS (SELECT DISTINCT doc_id FROM
+              |             (SELECT doc_id, unnest(s8) AS h FROM sh8 WHERE source <> 'src0')
+              |           JOIN bm USING (h)),
+              |-- MATERIALIZED: same two-consumer re-inlining economics as
+              |-- q126's s1 (memory: 80+ min -> 10 min at sf0.1)
+              |s1 AS MATERIALIZED (
+              |       SELECT d.doc_id FROM dext d JOIN m USING (doc_id)
+              |       WHERE d.source <> 'src0'
+              |         AND d.doc_id NOT IN (SELECT doc_id FROM cl
+              |                              WHERE doc_id <> cluster_id)
+              |         AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+              |         AND least(1.0, n / 100) * 0.4 + (stop / n) * 0.3
+              |             + ttr * 0.3 >= 0.4),
+              |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |eext AS (SELECT * FROM e0
+              |         UNION ALL
+              |         SELECT vec_id + 1000000, v FROM e0 WHERE vec_id % 10 = 0),
+              |ev AS (SELECT eext.vec_id, eext.v
+              |       FROM eext JOIN s1 ON eext.vec_id = s1.doc_id),
+              |eprs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+              |         FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+              |         WHERE list_cosine_similarity(a.v, b.v) >= 0.9),
               |eedges AS (SELECT doc_a AS u, doc_b AS v FROM eprs
               |           UNION ALL SELECT doc_b, doc_a FROM eprs),
               |ereach AS (

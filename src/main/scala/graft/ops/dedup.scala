@@ -126,8 +126,11 @@ object Dedup {
     ex.as("a").join(ex.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // no broadcast hint: the sizes relation is one narrow row PER DOC —
+      // corpus-sized, so a forced broadcast OOMs at scale (ADVICE r8).
+      // Catalyst/AQE still picks broadcast when it actually fits.
       .agg(count(lit(1)).cast("double").as("__inter"))
-      .join(broadcast(sizes), "doc_a")
+      .join(sizes, "doc_a")
       .filter(col("__inter") / col("__na") >= threshold)
       .select(col("doc_a"), col("doc_b"),
         graft.Num.rnd(col("__inter") / col("__na"), 6).as("containment"))
@@ -300,25 +303,89 @@ object Dedup {
     newDocs.join(matched, Seq("doc_id"), "left_anti")
   }
 
+  /** Streaming twin of [[newAgainstIndex]] — the daily-drop shape as it
+    * actually deploys: new documents arrive as a STREAM
+    * `(ingest_ts, doc_id, text)` while the already-deduped index is the
+    * STATIC side. Emits the SURVIVING new rows (`doc_id, text`) exactly
+    * once, when the watermark passes each row's ingest time.
+    *
+    * Plan: watermark → `dropDuplicatesWithinWatermark(doc_id)` (re-delivered
+    * drop rows collapse — the "dedup of the drop itself") → shingle/MinHash
+    * band buckets per row (stateless; `explode_outer` keeps shingle-less
+    * docs as one NULL-bucket row so they ride the same plan and trivially
+    * survive, like batch) → stream-static LEFT OUTER equi-join against the
+    * index's (band, key, shingles) bucket relation — the index is hashed
+    * once per run, never re-paired against itself — → exact-Jaccard hit
+    * flag → per-(ingest_ts, doc_id) append-mode aggregation: a doc survives
+    * iff NO bucket row verified. State is the in-horizon drop only (the
+    * dedup keys + one max() per live doc), never the index.
+    *
+    * Stream-vs-batch agreement with [[newAgainstIndex]] is pinned by
+    * OpsSpec; candidate recall follows the same threshold-derived banding
+    * (miss ≤ 1e-9 at the admission threshold). */
+  def newAgainstIndexStream(newDocs: DataFrame, indexDocs: DataFrame,
+                            threshold: Double, k: Int = 3,
+                            watermark: String = "2 hours"): DataFrame = {
+    val (bands, rows) = bandingFor(threshold)
+    val sigSeeds = Seeds.take(bands * rows)
+    // static side: the index bucket relation, each bucket row carrying its
+    // doc's shingle set for the exact verify
+    val setsI = shingleSets(indexDocs, k).filter(size(col("shingles")) > 0)
+    val bkI = minHashBuckets(setsI, threshold, carry = Seq("shingles"))
+      .select(col("band").as("i_band"), col("key").as("i_key"),
+        col("shingles").as("sb"))
+    val sig = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expr.MinHashSig(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("shingles")),
+        sigSeeds.map(_._1), sigSeeds.map(_._2)))
+    val bandKey = (b: Int) =>
+      xxhash64((0 until rows).map(r => col("sig")(b * rows + r)): _*)
+    val bk = newDocs
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("doc_id")
+      .withColumn("shingles", graft.ops.TextAnalysis.shingleHashes(col("text"), k))
+      .withColumn("sig", when(size(col("shingles")) > 0, sig))
+      .withColumn("bk", explode_outer(when(col("sig").isNotNull,
+        array((0 until bands).map(b =>
+          struct(lit(b).as("band"), bandKey(b).as("key"))): _*))))
+    val inter = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expr.LongIntersectSize(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("shingles")),
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("sb"))))
+      .cast("double")
+    bk.join(bkI,
+        col("bk.band") === col("i_band") && col("bk.key") === col("i_key"),
+        "left_outer")
+      .withColumn("__hit",
+        col("sb").isNotNull &&
+          inter / (size(col("shingles")) + size(col("sb")) - inter) >= threshold)
+      .groupBy(col("ingest_ts"), col("doc_id"), col("text"))
+      .agg(max(col("__hit").cast("int")).as("__any"))
+      .filter(col("__any") === 0)
+      .select(col("doc_id"), col("text"))
+  }
+
   /** (doc_id, band, key) LSH band buckets over a shingle-set frame, banding
     * derived from the threshold — shared by [[minHashPairs]] and
     * [[clustersLsh]]. The band key folds the band's signature slots through
     * xxhash64 — a 64-bit collision can only ADD a candidate (callers verify
     * exactly), never lose one. */
-  private def minHashBuckets(sets: DataFrame, threshold: Double): DataFrame = {
+  private def minHashBuckets(sets: DataFrame, threshold: Double,
+                             carry: Seq[String] = Nil): DataFrame = {
     val (bands, rows) = bandingFor(threshold)
     val sigSeeds = Seeds.take(bands * rows)
-    val sigs = sets.select(col("doc_id"),
+    val sigs = sets.select(col("doc_id") +: carry.map(col) :+
       org.apache.spark.sql.graftbridge.Bridge.column(
         graft.expr.MinHashSig(
           org.apache.spark.sql.graftbridge.Bridge.expression(col("shingles")),
-          sigSeeds.map(_._1), sigSeeds.map(_._2))).as("sig"))
+          sigSeeds.map(_._1), sigSeeds.map(_._2))).as("sig"): _*)
     val bandKey = (b: Int) =>
       xxhash64((0 until rows).map(r => col("sig")(b * rows + r)): _*)
-    sigs.select(col("doc_id"),
+    sigs.select(col("doc_id") +: carry.map(col) :+
       explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"): _*)
+      .select(col("doc_id") +: carry.map(col) :+
+        col("bk.band").as("band") :+ col("bk.key").as("key"): _*)
   }
 
   /** Exact Jaccard over candidate (doc_a, doc_b) pairs. */

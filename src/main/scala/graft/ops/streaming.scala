@@ -902,7 +902,12 @@ object EventOps {
     }
     toks
       .withWatermark("_1", watermark)
-      .groupByKey { case (ts, _) => ts.getTime / 1000L / windowSeconds * windowSeconds }
+      // floorDiv, not /: integer division truncates toward zero, so a
+      // pre-1970 (negative-millis) event time would bin into the window
+      // ABOVE it, disagreeing with the batch twin's floor() assignment
+      // (ADVICE r8). floorDiv floors for all timestamps.
+      .groupByKey { case (ts, _) =>
+        Math.floorDiv(Math.floorDiv(ts.getTime, 1000L), windowSeconds) * windowSeconds }
       .flatMapGroupsWithState[HHBuf, HeavyOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (winStartSec, rows, state: GroupState[HHBuf]) =>

@@ -1411,6 +1411,39 @@ class OpsSpec extends SparkSpec {
     assert(out2 == Set(2L, 3L, 4L))
   }
 
+  test("newAgainstIndexStream agrees with batch and dedups re-deliveries") {
+    implicit val sq = spark.sqlContext
+    val base = (1 to 30).map("w" + _).mkString(" ")
+    val index = docs((100L, base), (101L, (50 to 80).map("v" + _).mkString(" ")))
+    val rows = Seq(
+      (1L, "cp " + base),                             // near-dup of 100 → drop
+      (2L, (200 to 230).map("q" + _).mkString(" ")),  // novel → survive
+      (3L, "a b"))                                    // shingle-less → survive
+    val ts = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000)
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val sdf = stream.toDF().toDF("ingest_ts", "doc_id", "text")
+    val q = graft.ops.Dedup.newAgainstIndexStream(sdf, index, 0.5).writeStream
+      .format("memory").queryName("ingest_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(rows.zipWithIndex.map { case ((id, t), i) =>
+        (ts(i.toLong), id, t) }: _*)
+      // re-delivered copy of doc 2 inside the watermark: collapses
+      stream.addData((ts(1), 2L, rows(1)._2))
+      q.processAllAvailable()
+      // advance the watermark far past the drop so the per-doc groups seal
+      stream.addData((ts(100000), 999L, "sentinel advancing the watermark"))
+      q.processAllAvailable()
+      val kept = spark.table("ingest_out")
+        .select("doc_id").as[Long].collect().toSeq
+      assert(kept.sorted == Seq(2L, 3L)) // == batch survivors, exactly once
+      val batchOut = graft.ops.Dedup.newAgainstIndex(
+          rows.toDF("doc_id", "text"), index, 0.5)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept.toSet == batchOut)
+    } finally q.stop()
+  }
+
   test("containment at EXACTLY the threshold survives both paths") {
     // |Sa| = 30 shingles, 27 shared: containment = 27/30 = 0.9 exactly —
     // the boundary where the naive IEEE prefix bound (⌊(1−0.9)·30⌋+1 = 3)
