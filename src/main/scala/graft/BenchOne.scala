@@ -50,6 +50,15 @@ object BenchOne {
       }),
       // containment: full posting join vs prefix-filtered, at the sparse
       // (high-threshold) operating point where prefix filtering prunes
+      // curation capstone: LSH vs exact semantic stage on the SAME corpus
+      // at the SAME threshold (no planted clones — isolates the stage swap)
+      "x_curate_lsh" -> ((s, dir) =>
+        graft.ops.Curation.curateV2(Cohorts.documents(s, dir),
+          Cohorts.embeddings(s, dir), tokenBudget = 4000)),
+      "x_curate_exact" -> ((s, dir) =>
+        graft.ops.Curation.curateV2(Cohorts.documents(s, dir),
+          Cohorts.embeddings(s, dir), tokenBudget = 4000,
+          exactSemantic = true)),
       "x_contain_full" -> ((s, dir) =>
         graft.ops.Dedup.containmentPairs(Cohorts.documents(s, dir), 0.9)),
       "x_contain_prefix" -> ((s, dir) =>
