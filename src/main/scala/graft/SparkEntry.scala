@@ -2818,7 +2818,68 @@ object SparkEntry {
               |        FROM keepers k JOIN nt USING (doc_id))
               |SELECT doc_id, quality, n_tokens,
               |       CAST(cum_tokens AS BIGINT) AS cum_tokens
-              |FROM cum WHERE cum_tokens <= 4000""".stripMargin))
+              |FROM cum WHERE cum_tokens <= 4000""".stripMargin)),
+
+    // Semantic decontamination (exact baseline): train docs whose embedding
+    // is cosine ≥ 0.4 from any benchmark (src0) doc — the paraphrase
+    // leakage the lexical q51 Bloom pass can't see. 0.4 is where real
+    // near-dups exist (the q126 precedent), so the gate exercises real
+    // hits, not just planted ones.
+    ("q128_semantic_decon",
+      (s: SparkSession, dir: String) => {
+        val src = Cohorts.documents(s, dir)
+          .select(col("doc_id").as("vec_id"), col("source"))
+        val e = Cohorts.embeddings(s, dir).join(src, "vec_id")
+        Similarity.semanticContaminated(
+          e.filter(col("source") =!= "src0"),
+          e.filter(col("source") === "src0"), 0.4)
+      },
+      Some("""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |            FROM embeddings),
+             |sj AS (SELECT ev.vec_id, v, source
+             |       FROM ev JOIN documents ON ev.vec_id = documents.doc_id),
+             |t AS (SELECT vec_id, v FROM sj WHERE source <> 'src0'),
+             |b AS (SELECT vec_id, v FROM sj WHERE source = 'src0'),
+             |p AS (SELECT t.vec_id AS doc_id,
+             |             list_cosine_similarity(t.v, b.v) AS sim
+             |      FROM t JOIN b
+             |        ON ROUND(1e-9 + list_cosine_similarity(t.v, b.v), 9) >= 0.4)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+             |       ROUND(1e-9 + max(sim), 6) AS max_sim
+             |FROM p GROUP BY doc_id""".stripMargin)),
+
+    // The LSH twin as a FULL hash gate (q111 discipline): every 5th
+    // benchmark embedding is cloned into the train side at id + 1e6;
+    // threshold 0.9 sits where real train×bench similarity is silent, so
+    // the only hits are the bit-identical clones — found DETERMINISTICALLY
+    // by the full-signature join — and the LSH answer hash-equals the
+    // exact cross-pair oracle while the plan never builds train×bench.
+    ("q129_semantic_decon_lsh",
+      (s: SparkSession, dir: String) => {
+        val src = Cohorts.documents(s, dir)
+          .select(col("doc_id").as("vec_id"), col("source"))
+        val e = Cohorts.embeddings(s, dir).join(src, "vec_id")
+        val bench = e.filter(col("source") === "src0").drop("source")
+        val train = e.filter(col("source") =!= "src0").drop("source")
+          .unionByName(bench.filter(col("vec_id") % 5 === 0)
+            .withColumn("vec_id", col("vec_id") + lit(1000000L)))
+        Similarity.semanticContaminatedLsh(train, bench, 0.9)
+      },
+      Some("""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |            FROM embeddings),
+             |sj AS (SELECT ev.vec_id, v, source
+             |       FROM ev JOIN documents ON ev.vec_id = documents.doc_id),
+             |b AS (SELECT vec_id, v FROM sj WHERE source = 'src0'),
+             |t AS (SELECT vec_id, v FROM sj WHERE source <> 'src0'
+             |      UNION ALL
+             |      SELECT vec_id + 1000000, v FROM b WHERE vec_id % 5 = 0),
+             |p AS (SELECT t.vec_id AS doc_id,
+             |             list_cosine_similarity(t.v, b.v) AS sim
+             |      FROM t JOIN b
+             |        ON ROUND(1e-9 + list_cosine_similarity(t.v, b.v), 9) >= 0.9)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+             |       ROUND(1e-9 + max(sim), 6) AS max_sim
+             |FROM p GROUP BY doc_id""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

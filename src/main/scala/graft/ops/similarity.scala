@@ -225,6 +225,64 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Semantic decontamination — the embedding-space twin of
+    * [[graft.ops.Dedup.contaminated]]: lexical shingle decontamination
+    * misses PARAPHRASED benchmark content (same meaning, no shared
+    * 8-shingles); this pass flags every train document whose embedding
+    * sits within cosine `threshold` of ANY benchmark document. Output: one
+    * row per contaminated train doc — `doc_id`, how many benchmark docs it
+    * hits, and the strongest similarity (6 dp; membership decided on the
+    * 9 dp-rounded sim, the engine-stable convention).
+    *
+    * Exact baseline form: train × benchmark cross join with the codegen'd
+    * dot kernel. No broadcast hint — benchmark sets are usually
+    * dimension-sized and Catalyst/AQE broadcasts them when they fit (the
+    * containmentPairs lesson); the LSH twin below is the path when BOTH
+    * sides are corpus-sized. */
+  def semanticContaminated(train: DataFrame, benchmark: DataFrame,
+                           threshold: Double): DataFrame =
+    prep(train, "a_").crossJoin(prep(benchmark, "b_"))
+      .withColumn("sim", dotD(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
+      .filter(graft.Num.rnd(col("sim"), 9) >= threshold)
+      .groupBy(col("a_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_bench_hits"),
+        graft.Num.rnd(max(col("sim")), 6).as("max_sim"))
+
+  /** The corpus-scale twin of [[semanticContaminated]]: CROSS-SIDE-ONLY
+    * SRP candidates — (band, chunk) bucket equi-join plus the
+    * full-64-bit-signature equality join — then exact cosine verification
+    * and the same per-doc aggregation. Shuffle is O((|train| +
+    * |benchmark|)·bands) bucket rows + surviving candidates; neither side
+    * is ever self-paired and the cross product never materializes.
+    *
+    * Recall contract (same shape as [[embedClustersLsh]]): bit-identical
+    * embeddings — the copy-paste leak — hit DETERMINISTICALLY through the
+    * full-signature join; paraphrase-distance pairs are SRP-probabilistic
+    * through the band buckets (8 bands ⇒ 8-bit chunks; P[miss] ≈ 6.5% at
+    * sim 0.9, falling fast toward 1.0 — widen `bands` toward 16 to trade
+    * candidate volume for recall). The exact form is the oracle; the q129
+    * gate plants benchmark clones at a threshold where real data is
+    * silent, making the LSH answer hash-equal to exact. */
+  def semanticContaminatedLsh(train: DataFrame, benchmark: DataFrame,
+                              threshold: Double, bands: Int = 8,
+                              seed: Long = 42L): DataFrame = {
+    val candBand = srpChunks(train, bands, seed).as("t")
+      .join(srpChunks(benchmark, bands, seed).as("b"),
+        col("t.band") === col("b.band") && col("t.chunk") === col("b.chunk"))
+      .select(col("t.id").as("a_id"), col("b.id").as("b_id"))
+    val candSig = srpSigs(train, seed).as("t")
+      .join(srpSigs(benchmark, seed).as("b"), col("t.__sig") === col("b.__sig"))
+      .select(col("t.id").as("a_id"), col("b.id").as("b_id"))
+    candBand.unionByName(candSig).distinct()
+      .join(prep(train, "a_"), "a_id")
+      .join(prep(benchmark, "b_"), "b_id")
+      .withColumn("sim", dotD(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
+      .filter(graft.Num.rnd(col("sim"), 9) >= threshold)
+      .groupBy(col("a_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_bench_hits"),
+        graft.Num.rnd(max(col("sim")), 6).as("max_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: exact all-pairs self-join with
     * the dot-product kernel, `a < b` dedupe, cosine ≥ threshold. The
     * brute-force baseline — at corpus scale the candidate set shrinks via

@@ -74,18 +74,14 @@ object CocoaPipeline {
         // exists (banded top-1, per-cohort-width bucket radius join) — the
         // dense pairs relation is never materialized; equivalence pinned by
         // PropertySpec.
-        // Both passes (and the finish re-attach/summary) re-derive the
-        // cohort prep — scan → clean → union-encode → prefixed projection —
-        // from source. Persist the cohort frames once: pass 2's radius join
-        // and the final consumers then project the columnar cache instead
-        // of replaying the source lineage twice (r7 plan audit: cohort prep
-        // run twice was q18's remaining cost). The frames are the NARROW
-        // post-encode projections (id, value, token set, numeric feature,
-        // cohort key), so the cache is small and spills cleanly at scale;
-        // callers free it via clearCache/ContextCleaner like every other
-        // internal persist in this engine.
-        consent.persist(StorageLevel.MEMORY_AND_DISK)
-        noconsent.persist(StorageLevel.MEMORY_AND_DISK)
+        // No pipeline-level cohort persist: pass 1's banded prep already
+        // pins the prefixed cohort projections (bandPrep c0/nc0,
+        // MEMORY_AND_DISK), and pass 2's radius join builds the IDENTICAL
+        // projection — it hits that cache by plan equality. The r8
+        // pipeline-level persists only built a second copy of the same
+        // relation (measured r9: removing them cut q18 ~5.6 → 4.7 s steady
+        // at sf0.1 with canaries flat); the r7 "cohort prep ran twice"
+        // cost they targeted was really the pre-spread 1-task scan.
         val pass1 =
           if (spec.numCols.size == 1)
             NeighborJoin.topKBanded(consent, noconsent, spec, 1, broadcastConsent)

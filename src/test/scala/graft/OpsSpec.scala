@@ -1358,6 +1358,44 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("Union"))
   }
 
+  test("semanticContaminated flags train docs near any benchmark doc") {
+    val bench = Seq((100L, Array(1.0f, 0.0f)), (101L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Array(0.999f, 0.01f)),   // ~bench 100
+      (2L, Array(0.7f, 0.7f)),      // sim ~0.707 to BOTH
+      (3L, Array(-1.0f, 0.0f)))     // opposite — clean
+      .toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.semanticContaminated(train, bench, 0.9)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.keySet == Set(1L))
+    assert(out(1L)._1 == 1L && out(1L)._2 > 0.999)
+    // lower threshold admits doc 2 with BOTH benchmark hits
+    val out2 = graft.ops.Similarity.semanticContaminated(train, bench, 0.5)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(out2 == Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("semanticContaminatedLsh finds identical-embedding leaks deterministically") {
+    val rng = new scala.util.Random(7)
+    val bench = (0L until 20L).map(i =>
+      (1000L + i, Array.fill(16)(rng.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    // train = random vectors (16-dim random pairs are far from cosine 0.95)
+    // plus exact copies of two benchmark embeddings
+    val benchRows = bench.as[(Long, Array[Float])].collect().toMap
+    val train = ((0L until 30L).map(i =>
+      (i, Array.fill(16)(rng.nextFloat() * 2 - 1))) ++
+      Seq((500L, benchRows(1003L)), (501L, benchRows(1011L))))
+      .toDF("vec_id", "embedding")
+    val exact = graft.ops.Similarity.semanticContaminated(train, bench, 0.95)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = graft.ops.Similarity.semanticContaminatedLsh(train, bench, 0.95)
+      .as[(Long, Long, Double)].collect().toSet
+    // the copies MUST be flagged (full-signature path is deterministic)
+    assert(lsh.map(_._1).intersect(Set(500L, 501L)) == Set(500L, 501L))
+    assert(lsh == exact) // nothing else sits above 0.95 on this fixture
+  }
+
   test("annRecall measures overlap and reports cell-missed queries as 0") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
       .toDF("q_id", "c_id")
