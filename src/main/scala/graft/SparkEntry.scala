@@ -2879,7 +2879,19 @@ object SparkEntry {
              |        ON ROUND(1e-9 + list_cosine_similarity(t.v, b.v), 9) >= 0.9)
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
              |       ROUND(1e-9 + max(sim), 6) AS max_sim
-             |FROM p GROUP BY doc_id""".stripMargin))
+             |FROM p GROUP BY doc_id""".stripMargin)),
+
+    // Product-quantization ADC top-k — the memory leg of the ANN story
+    // (brute q33 → IVF q34/q44 → PQ): corpus stored as 8 codebook codes,
+    // queries score candidates through their precomputed LUTs. Oracle is
+    // GENERATED with the learned codebook literals (pqOracle below, the
+    // q44 discipline) — full hash gate over encode + LUT + rank.
+    ("q130_pq_topk",
+      (s: SparkSession, dir: String) => {
+        val e = Cohorts.embeddings(s, dir)
+        Similarity.pqTopK(e, e.filter(col("vec_id") % 50 === 0), 10)
+      },
+      None)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
@@ -2964,8 +2976,50 @@ object SparkEntry {
        |FROM events GROUP BY CAST(ts AS DATE)""".stripMargin
   }
 
+  /** q130's oracle: replay the deterministic per-subspace codebook fit on
+    * the same dir, embed the centroids as literals, and re-derive encode
+    * (rounded-d² + cell tie-break per subspace) → per-query LUT scoring →
+    * rank entirely in DuckDB — the [[ivfKmeansOracle]] discipline for the
+    * PQ arithmetic. */
+  private def pqOracle(dir: String): String = {
+    val spark = SparkSession.active
+    val books = Similarity.pqCodebooks(Cohorts.embeddings(spark, dir))
+    val m = books.length
+    val d = books(0)(0).length
+    val rows = (for { mi <- books.indices; c <- books(mi).indices } yield
+      s"($mi, $c, [${books(mi)(c).map(_.toString).mkString(", ")}]::DOUBLE[], " +
+        s"${Similarity.selfDot(books(mi)(c)).toString})").mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents(m, cell, c, c2) AS (VALUES
+       |$rows),
+       |ms AS (SELECT unnest(range($m)) AS m),
+       |sub AS (SELECT vec_id, m, list_slice(v, m * $d + 1, m * $d + $d) AS sv
+       |        FROM e CROSS JOIN ms),
+       |ad AS (SELECT vec_id, sub.m, cell,
+       |              ROUND(1e-9 + c2 - 2 * list_inner_product(sv, c), 6) AS d2
+       |       FROM sub JOIN cents ON sub.m = cents.m),
+       |code AS (SELECT vec_id, m, cell FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id, m ORDER BY d2 ASC, cell ASC) AS rn
+       |  FROM ad) WHERE rn = 1),
+       |qs AS (SELECT vec_id AS q_id, m, sv FROM sub WHERE vec_id % 50 = 0),
+       |sc AS (SELECT qs.q_id, code.vec_id AS c_id,
+       |              sum(list_inner_product(qs.sv, cents.c)) AS score
+       |       FROM qs JOIN code ON qs.m = code.m
+       |       JOIN cents ON cents.m = code.m AND cents.cell = code.cell
+       |       WHERE code.vec_id <> qs.q_id
+       |       GROUP BY qs.q_id, code.vec_id),
+       |r AS (SELECT q_id, c_id, score, CAST(row_number() OVER (
+       |        PARTITION BY q_id ORDER BY round(1e-9 + score, 9) DESC, c_id)
+       |        AS BIGINT) AS rank
+       |      FROM sc)
+       |SELECT q_id, c_id, rank, ROUND(1e-9 + score, 6) AS score
+       |FROM r WHERE rank <= 10""".stripMargin
+  }
+
   def oracleSql: Map[String, String] =
     registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap ++
       oracleDataDir.map(dir => "q44_sim_ivf_kmeans" -> ivfKmeansOracle(dir)) ++
-      oracleDataDir.map(dir => "q94_events_pivot" -> eventsPivotOracle(dir))
+      oracleDataDir.map(dir => "q94_events_pivot" -> eventsPivotOracle(dir)) ++
+      oracleDataDir.map(dir => "q130_pq_topk" -> pqOracle(dir))
 }

@@ -412,6 +412,137 @@ object Similarity {
       .clusterCenters.map(_.toArray)
   }
 
+  /** Product-quantization codebooks (Jégou et al. 2011): split the
+    * embedding into `m` contiguous subspaces and fit an independent
+    * k-means codebook (k = `kCents`) per subspace — the compression that
+    * turns a d-dim float vector into `m` small codes (here m bytes at
+    * kCents ≤ 256), the memory step that makes billion-vector ANN indexes
+    * fit in RAM. Same fit discipline as [[ivfCentroids]]: seeded spark.ml
+    * k-means (seed + subspace index), 8 Lloyd iterations, sample-capped —
+    * at 100 TB the fits touch ≤ cap rows; only the single encode pass sees
+    * the corpus. Deterministic for a given corpus + seed. */
+  def pqCodebooks(corpus: DataFrame, m: Int = 8, kCents: Int = 16,
+                  seed: Long = 42L,
+                  fitSampleCap: Long = 65536): Array[Array[Array[Double]]] = {
+    val vecs = prep(corpus, "c_")
+    val dim = vecs.select(size(col("c_emb"))).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim must divide into $m subspaces")
+    val d = dim / m
+    val n = vecs.count()
+    // The fit input is BOUNDED by design (≤ fitSampleCap rows — the
+    // ivfCentroids contract), so collect the seeded sample ONCE and run
+    // the m Lloyd fits driver-locally: a spark.ml fit is ~30 tiny
+    // driver-scheduled jobs, and m of them made the codebook build
+    // job-latency-bound (measured 11 s sequential / 6 s concurrent at
+    // sf0.1 vs ~1 s local). Driver state is ≤ cap × dim doubles — a
+    // sanctioned bounded collect, like the union-find edge set. The
+    // corpus-scale passes (encode, ADC scoring) stay distributed.
+    val sample =
+      (if (n > fitSampleCap) vecs.sample(fitSampleCap.toDouble / n, seed)
+       else vecs)
+        .select(col("c_emb")).collect().map(_.getSeq[Double](0).toArray)
+    (0 until m).map { mi =>
+      localKMeans(sample.map(_.slice(mi * d, mi * d + d)), kCents, seed + mi)
+    }.toArray
+  }
+
+  /** Seeded driver-local Lloyd (8 iterations): init = seeded shuffle of
+    * the DISTINCT points (duplicate-heavy samples can't collapse cells),
+    * assignment by strict-less d² (first/lowest-index centroid wins ties),
+    * empty cells keep their previous centroid — fully deterministic for a
+    * given (points, k, seed), which is what lets the generated q130 oracle
+    * replay the identical codebooks. */
+  private[ops] def localKMeans(points: Array[Array[Double]], k: Int,
+                               seed: Long, iters: Int = 8): Array[Array[Double]] = {
+    require(points.nonEmpty, "localKMeans needs at least one point")
+    val dim = points(0).length
+    val distinct = points.map(_.toSeq).distinct.map(_.toArray)
+    val rnd = new scala.util.Random(seed)
+    var cents = rnd.shuffle(distinct.indices.toVector)
+      .take(math.min(k, distinct.length)).map(distinct(_).clone).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val cnts = new Array[Long](cents.length)
+      points.foreach { p =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cents.length) {
+          var s = 0.0; var j = 0
+          while (j < dim) { val t = p(j) - cents(c)(j); s += t * t; j += 1 }
+          if (s < bd) { bd = s; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+        cnts(best) += 1
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (cnts(c) == 0) cents(c)
+        else {
+          val a = new Array[Double](dim); var j = 0
+          while (j < dim) { a(j) = sums(c)(j) / cnts(c); j += 1 }
+          a
+        }
+      }
+    }
+    cents
+  }
+
+  /** `codes` column: per subspace, the nearest codebook centroid id —
+    * the same rounded-d² + centroid-id tie-break as [[nearestCell]], per
+    * subspace, so the assignment is reproducible across engines. Pure
+    * map-side expression over literal centroids — the PQ ENCODE pass. */
+  private def pqCodesCol(emb: Column,
+                         books: Array[Array[Array[Double]]]): Column = {
+    val d = books(0)(0).length
+    array(books.indices.map { mi =>
+      val sub = slice(emb, mi * d + 1, d)
+      val cs = books(mi)
+      array_min(array(cs.indices.map(c =>
+        struct(graft.Num.rnd(lit(selfDot(cs(c))) - lit(2.0) * dotD(sub, lit(cs(c))), 6).as("d2"),
+          lit(c).as("cell"))): _*)).getField("cell")
+    }: _*)
+  }
+
+  /** PQ top-k by ASYMMETRIC DISTANCE (ADC): the corpus is stored only as
+    * its `m` codes; each query precomputes a lookup table
+    * `lut[m][cell] = ⟨q_m, centroid⟩` once (m·kCents dots against literal
+    * centroids), and every query×candidate score is then the O(m) ordered
+    * fold Σ_m lut[m][code_m] — never a d-dim dot against the raw corpus
+    * vector. That is the PQ deployment shape: the scan reads m small codes
+    * per vector instead of d floats (16× less memory at m=8, d=128 bytes),
+    * queries broadcast with their LUTs. Scores approximate the raw inner
+    * product (cosine on normalized corpora); rank by 9 dp-rounded score
+    * with c_id tie-break. The exact [[cosineTopK]] is the recall oracle —
+    * audit with [[annRecall]] like any ANN path; the q130 gate pins the
+    * whole encode→LUT→rank arithmetic against a generated DuckDB twin with
+    * the same learned codebook literals (the q44 discipline). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, kCents: Int = 16, seed: Long = 42L): DataFrame = {
+    val books = pqCodebooks(corpus, m, kCents, seed)
+    val d = books(0)(0).length
+    val enc = prep(corpus, "c_")
+      .select(col("c_id"), pqCodesCol(col("c_emb"), books).as("codes"))
+    val lut = array(books.indices.map(mi =>
+      array(books(mi).indices.map(c =>
+        dotD(slice(col("q_emb"), mi * d + 1, d), lit(books(mi)(c)))): _*)): _*)
+    val q = prep(queries, "q_").select(col("q_id"), lut.as("lut"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id")
+      .orderBy(graft.Num.rnd(col("score"), 9).desc, col("c_id").asc)
+    enc.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      // get() is 0-based like the codes and never ANSI-throws; the
+      // aggregate fold sums subspaces in ascending-m order (stable IEEE
+      // accumulation, mirrored by the generated oracle)
+      .withColumn("score", aggregate(
+        zip_with(col("lut"), col("codes"), (l, c) => get(l, c)),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"),
+        graft.Num.rnd(col("score"), 6).as("score"))
+  }
+
   /** Sequential Σv², matching [[graft.expr.DotProduct]]'s left-to-right
     * accumulation so driver-side centroid norms are bit-identical to the
     * codegen'd ones (and to DuckDB's list_inner_product in the generated

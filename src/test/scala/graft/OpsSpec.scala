@@ -1396,6 +1396,33 @@ class OpsSpec extends SparkSpec {
     assert(lsh == exact) // nothing else sits above 0.95 on this fixture
   }
 
+  test("pqTopK retrieves at cluster granularity, k rows per query, deterministic") {
+    // clustered corpus: vectors concentrate around 4 direction prototypes,
+    // so per-subspace codebooks quantize well and ADC ranking should
+    // recover most of the exact top-k
+    val rng = new scala.util.Random(11)
+    val protos = Array.fill(4)(Array.fill(16)(rng.nextFloat() * 2 - 1))
+    val corpus = (0L until 200L).map { i =>
+      val p = protos((i % 4).toInt)
+      (i, p.map(x => x + 0.1f * (rng.nextFloat() - 0.5f)))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 20 === 0)
+    val pq = graft.ops.Similarity.pqTopK(corpus, queries, 5, m = 4, kCents = 8)
+    assert(pq.select("q_id").distinct().count() == 10)
+    // every query emits exactly k rows with ranks 1..k
+    assert(pq.groupBy("q_id").count().select("count").as[Long].collect()
+      .forall(_ == 5L))
+    // coarse-quantized ADC retrieves at CLUSTER granularity: every
+    // candidate comes from its query's cluster (i % 4). Within-cluster
+    // fine order collapses to quantized ties by design — that's the
+    // memory/fidelity trade PQ makes; rank-level recall is the q130
+    // gate's and annRecall's business, not a fixture invariant.
+    assert(pq.filter(col("q_id") % 4 =!= col("c_id") % 4).count() == 0)
+    // deterministic: same corpus + seed => identical rows
+    val pq2 = graft.ops.Similarity.pqTopK(corpus, queries, 5, m = 4, kCents = 8)
+    assert(pq.collect().toSeq == pq2.collect().toSeq)
+  }
+
   test("annRecall measures overlap and reports cell-missed queries as 0") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
       .toDF("q_id", "c_id")
