@@ -283,6 +283,77 @@ object Similarity {
         graft.Num.rnd(max(col("sim")), 6).as("max_sim"))
   }
 
+  /** Streaming twin of [[semanticContaminatedLsh]] — the ingest-time
+    * deployment: newly embedded documents arrive as a STREAM
+    * `(ingest_ts, vec_id, embedding)` and are checked against the STATIC
+    * benchmark relation as they land, so leaked eval content never reaches
+    * the training corpus at all. Emits each contaminated doc exactly once
+    * (`doc_id, n_bench_hits, max_sim`) when the watermark passes its
+    * ingest time.
+    *
+    * Plan (the newAgainstIndexStream shape): watermark →
+    * `dropDuplicatesWithinWatermark(vec_id)` → per-row SRP band chunks +
+    * full 64-bit signature (stateless explode) → stream-static equi-join
+    * against the benchmark's (band, chunk) bucket relation — candidates by
+    * band collision OR full-signature equality, the benchmark hashed once
+    * per run — → exact cosine verify → per-(ts, id) append aggregation.
+    * State is the in-horizon stream only; recall follows
+    * [[semanticContaminatedLsh]]'s contract (identical embeddings
+    * deterministic via the signature arm; OpsSpec pins stream-vs-batch
+    * agreement). */
+  def semanticContaminatedStream(newDocs: DataFrame, benchmark: DataFrame,
+                                 threshold: Double, bands: Int = 8,
+                                 seed: Long = 42L,
+                                 watermark: String = "2 hours"): DataFrame = {
+    require(64 % bands == 0 && bands >= 2,
+      s"bands must divide 64 and be >= 2, got $bands")
+    val width = 64 / bands
+    // static side: benchmark bucket relation carrying the prep'd vector
+    // for the verify; band = -1 rows are the full-signature arm (a real
+    // band index is always >= 0, so the arms can't cross-match)
+    val bPrep = prep(benchmark, "b_")
+    val bSig = bPrep.withColumn("__sig",
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.expr.CosineLshSig(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("b_emb")), 64, seed)))
+    val bBuckets = bSig.select(col("b_id"), col("b_emb"), col("b_norm"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("__sig"), b * width)
+              .bitwiseAND(lit((1L << width) - 1)).as("chunk"))) :+
+          struct(lit(-1).as("band"), col("__sig").as("chunk")): _*)).as("bk"))
+      .select(col("b_id"), col("b_emb"), col("b_norm"),
+        col("bk.band").as("i_band"), col("bk.chunk").as("i_chunk"))
+    val sig = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expr.CosineLshSig(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("a_emb")), 64, seed))
+    val st = newDocs
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("vec_id")
+      .select(col("ingest_ts"), col("vec_id").as("a_id"),
+        col("embedding").cast("array<double>").as("a_emb"))
+      .withColumn("a_norm", sqrt(dotD(col("a_emb"), col("a_emb"))))
+      .withColumn("__sig", sig)
+      .withColumn("bk", explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("__sig"), b * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("chunk"))) :+
+        struct(lit(-1).as("band"), col("__sig").as("chunk")): _*)))
+    st.join(bBuckets,
+        col("bk.band") === col("i_band") && col("bk.chunk") === col("i_chunk"))
+      .withColumn("sim", dotD(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
+      .filter(graft.Num.rnd(col("sim"), 9) >= threshold)
+      // a (doc, benchmark) pair can match through several buckets — count
+      // each benchmark doc once, like the batch twin's distinct candidates.
+      // collect_set, not count(DISTINCT): distinct aggregates are
+      // unsupported on streams, and the per-doc hit set is bounded by the
+      // benchmark's near-neighborhood of one embedding (dimension-sized).
+      .groupBy(col("ingest_ts"), col("a_id").as("doc_id"))
+      .agg(size(collect_set(col("b_id"))).cast("long").as("n_bench_hits"),
+        graft.Num.rnd(max(col("sim")), 6).as("max_sim"))
+      .select(col("doc_id"), col("n_bench_hits"), col("max_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: exact all-pairs self-join with
     * the dot-product kernel, `a < b` dedupe, cosine ≥ threshold. The
     * brute-force baseline — at corpus scale the candidate set shrinks via

@@ -1423,6 +1423,41 @@ class OpsSpec extends SparkSpec {
     assert(pq.collect().toSeq == pq2.collect().toSeq)
   }
 
+  test("semanticContaminatedStream agrees with the batch LSH twin") {
+    implicit val sq = spark.sqlContext
+    val rng = new scala.util.Random(13)
+    val bench = (0L until 15L).map(i =>
+      (1000L + i, Array.fill(16)(rng.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val benchRows = bench.as[(Long, Array[Float])].collect().toMap
+    val rows = (0L until 20L).map(i =>
+      (i, Array.fill(16)(rng.nextFloat() * 2 - 1))) ++
+      Seq((500L, benchRows(1002L)), (501L, benchRows(1009L))) // planted leaks
+    val ts = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000)
+    val stream = MemoryStream[(java.sql.Timestamp, Long, Array[Float])]
+    val sdf = stream.toDF().toDF("ingest_ts", "vec_id", "embedding")
+    val q = graft.ops.Similarity
+      .semanticContaminatedStream(sdf, bench, 0.95).writeStream
+      .format("memory").queryName("sdecon_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(rows.zipWithIndex.map { case ((id, v), i) =>
+        (ts(i.toLong), id, v) }: _*)
+      // re-delivery of a leaked doc inside the watermark: collapses
+      stream.addData((ts(20), 500L, benchRows(1002L)))
+      q.processAllAvailable()
+      stream.addData((ts(100000), 999L,
+        Array.fill(16)(0.0f).updated(0, 1.0f))) // watermark push
+      q.processAllAvailable()
+      val got = spark.table("sdecon_out")
+        .as[(Long, Long, Double)].collect().toSet
+      val batch = graft.ops.Similarity.semanticContaminatedLsh(
+          rows.toDF("vec_id", "embedding"), bench, 0.95)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got.map(_._1) == Set(500L, 501L)) // leaks flagged exactly once
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("annRecall measures overlap and reports cell-missed queries as 0") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
       .toDF("q_id", "c_id")
