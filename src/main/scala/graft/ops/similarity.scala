@@ -591,8 +591,16 @@ object Similarity {
              m: Int = 8, kCents: Int = 16, seed: Long = 42L): DataFrame = {
     val books = pqCodebooks(corpus, m, kCents, seed)
     val d = books(0)(0).length
+    // PERSISTED: the encoded relation IS the PQ index — m codes per
+    // vector, built once and stored (that's the operator's whole point).
+    // Without the pin, CollapseProject inlines the encode expression
+    // (m·kCents literal-centroid dots per row) into the join's output
+    // projection and it re-runs PER CANDIDATE PAIR — measured 2,500
+    // task-seconds for the 50M-pair 10× replica scan vs ~25 with the
+    // index materialized. Cache size is |corpus| × m ints.
     val enc = prep(corpus, "c_")
       .select(col("c_id"), pqCodesCol(col("c_emb"), books).as("codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lut = array(books.indices.map(mi =>
       array(books(mi).indices.map(c =>
         dotD(slice(col("q_emb"), mi * d + 1, d), lit(books(mi)(c)))): _*)): _*)
@@ -602,12 +610,13 @@ object Similarity {
       .orderBy(graft.Num.rnd(col("score"), 9).desc, col("c_id").asc)
     enc.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("c_id"))
-      // get() is 0-based like the codes and never ANSI-throws; the
-      // aggregate fold sums subspaces in ascending-m order (stable IEEE
-      // accumulation, mirrored by the generated oracle)
-      .withColumn("score", aggregate(
-        zip_with(col("lut"), col("codes"), (l, c) => get(l, c)),
-        lit(0.0), (a, x) => a + x))
+      // codegen'd ADC kernel, ascending-m IEEE fold (mirrored by the
+      // generated oracle); the zip_with+aggregate Column form it replaces
+      // ran two interpreted HigherOrderFunctions per candidate pair
+      .withColumn("score", org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.expr.PqAdcScore(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("lut")),
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("codes")))))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("rank"),
