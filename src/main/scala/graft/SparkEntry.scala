@@ -2891,7 +2891,51 @@ object SparkEntry {
         val e = Cohorts.embeddings(s, dir)
         Similarity.pqTopK(e, e.filter(col("vec_id") % 50 === 0), 10)
       },
-      None)
+      None),
+
+    // Position-sensitive retrieval audit: MRR + NDCG@10 of the label-cell
+    // IVF ranking (q34's shape) against the exact cosine top-10 — the
+    // quality dashboard an ANN deployment tunes alongside q125's recall.
+    ("q131_ranking_metrics",
+      (s: SparkSession, dir: String) => {
+        val e = Cohorts.embeddings(s, dir)
+        val q = e.filter(col("vec_id") % 50 === 0)
+        Similarity.rankingMetrics(
+          Similarity.cosineTopK(e, q, 10),
+          Similarity.partitionedTopK(e, q, "label", 10), 10)
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             |           FROM embeddings),
+             |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+             |px AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             |              list_cosine_similarity(q.v, c.v) AS sim
+             |       FROM q JOIN e c ON q.vec_id <> c.vec_id),
+             |ex AS (SELECT q_id, c_id FROM (
+             |         SELECT *, row_number() OVER (
+             |           PARTITION BY q_id ORDER BY round(1e-9 + sim, 9) DESC,
+             |           c_id) AS rank FROM px) WHERE rank <= 10),
+             |pa AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             |              list_cosine_similarity(q.v, c.v) AS sim
+             |       FROM q JOIN e c ON q.label = c.label AND q.vec_id <> c.vec_id),
+             |ap AS (SELECT q_id, c_id, rank FROM (
+             |         SELECT *, CAST(row_number() OVER (
+             |           PARTITION BY q_id ORDER BY round(1e-9 + sim, 9) DESC,
+             |           c_id) AS BIGINT) AS rank FROM pa) WHERE rank <= 10),
+             |h AS (SELECT ap.q_id, ap.rank FROM ap JOIN ex USING (q_id, c_id)),
+             |pq AS (SELECT q_id, min(rank) AS first,
+             |              sum(1.0 / log2(rank + 1)) AS dcg
+             |       FROM h GROUP BY q_id),
+             |nr AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel
+             |       FROM ex GROUP BY q_id),
+             |m AS (SELECT nr.q_id, nr.n_rel, pq.first, pq.dcg,
+             |             list_sum(list_transform(
+             |               range(1, least(nr.n_rel, 10) + 1),
+             |               i -> 1.0 / log2(i + 1))) AS idcg
+             |      FROM nr LEFT JOIN pq USING (q_id))
+             |SELECT q_id, n_rel,
+             |       ROUND(1e-9 + COALESCE(1.0 / first, 0), 6) AS mrr,
+             |       ROUND(1e-9 + COALESCE(dcg / idcg, 0), 6) AS ndcg
+             |FROM m""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

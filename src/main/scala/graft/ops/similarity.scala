@@ -354,6 +354,35 @@ object Similarity {
       .select(col("doc_id"), col("n_bench_hits"), col("max_sim"))
   }
 
+  /** Retrieval-quality metrics — per-query MRR and NDCG@k of an
+    * approximate ranking against the exact one, with binary relevance =
+    * membership in the exact top-k (the pseudo-relevance discipline of
+    * [[annRecall]], which only measures set overlap; these two add the
+    * POSITION sensitivity an ANN/hybrid deployment actually tunes:
+    * recall@k can stay flat while the index pushes true neighbors from
+    * rank 1 to rank k). `mrr` = 1/rank of the first relevant hit in the
+    * approximate list (0 if none); `ndcg` = DCG over the approximate
+    * ranks of relevant hits ÷ ideal DCG for min(k, |relevant|). Inputs
+    * are any two `(q_id, c_id, rank)` rankings already truncated to their
+    * k; one O(|Q|·k) equi-join + dimension-sized folds — free at any
+    * corpus size. */
+  def rankingMetrics(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val hits = approx.select(col("q_id"), col("c_id"), col("rank"))
+      .join(exact.select(col("q_id"), col("c_id")), Seq("q_id", "c_id"))
+    val perQ = hits.groupBy("q_id")
+      .agg(min(col("rank")).as("__first"),
+        sum(lit(1.0) / log2(col("rank").cast("double") + 1)).as("__dcg"))
+    exact.groupBy("q_id").agg(count(lit(1)).as("n_rel"))
+      .join(perQ, Seq("q_id"), "left")
+      .withColumn("__idcg", aggregate(
+        sequence(lit(1), least(col("n_rel"), lit(k.toLong)).cast("int")),
+        lit(0.0), (a, i) => a + lit(1.0) / log2(i.cast("double") + 1)))
+      .select(col("q_id"), col("n_rel"),
+        graft.Num.rnd(coalesce(lit(1.0) / col("__first"), lit(0.0)), 6).as("mrr"),
+        graft.Num.rnd(coalesce(col("__dcg") / col("__idcg"), lit(0.0)), 6).as("ndcg"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: exact all-pairs self-join with
     * the dot-product kernel, `a < b` dedupe, cosine ≥ threshold. The
     * brute-force baseline — at corpus scale the candidate set shrinks via

@@ -1458,6 +1458,25 @@ class OpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rankingMetrics computes MRR and NDCG@k against the exact top-k") {
+    val exact = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L), (2L, 21L, 2L)).toDF("q_id", "c_id", "rank")
+    val approx = Seq((1L, 99L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 55L, 1L), (2L, 56L, 2L), (3L, 30L, 1L)).toDF("q_id", "c_id", "rank")
+    val out = graft.ops.Similarity.rankingMetrics(exact, approx, 3)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // q1: hits at approx ranks 2,3 → mrr 1/2; dcg = 1/log2(3) + 1/log2(4),
+    // idcg(3) = 1 + 1/log2(3) + 1/log2(4)
+    val dcg = 1.0 / (math.log(3) / math.log(2)) + 0.5
+    assert(out(1L)._1 == 3L && out(1L)._2 == 0.5)
+    assert(math.abs(out(1L)._3 - dcg / (1.0 + dcg)) < 1e-6)
+    // q2: no hits → both metrics 0 (query still reported)
+    assert(out(2L) == ((2L, 0.0, 0.0)))
+    // q3 exists only in the approximate ranking → no row
+    assert(!out.contains(3L))
+  }
+
   test("annRecall measures overlap and reports cell-missed queries as 0") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
       .toDF("q_id", "c_id")
