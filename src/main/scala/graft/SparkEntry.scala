@@ -2935,7 +2935,18 @@ object SparkEntry {
              |SELECT q_id, n_rel,
              |       ROUND(1e-9 + COALESCE(1.0 / first, 0), 6) AS mrr,
              |       ROUND(1e-9 + COALESCE(dcg / idcg, 0), 6) AS ndcg
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // IVF-PQ — the full production ANN index (coarse cells prune the
+    // candidate set, PQ codes price each candidate): the FAISS composition
+    // of q44's learned cells with q130's codebooks. Oracle is GENERATED
+    // with BOTH literal sets (ivfPqOracle below).
+    ("q132_ivfpq_topk",
+      (s: SparkSession, dir: String) => {
+        val e = Cohorts.embeddings(s, dir)
+        Similarity.ivfPqTopK(e, e.filter(col("vec_id") % 50 === 0), 10)
+      },
+      None)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
@@ -3061,9 +3072,73 @@ object SparkEntry {
        |FROM r WHERE rank <= 10""".stripMargin
   }
 
+  /** q132's oracle: both deterministic quantizer fits replayed on the same
+    * dir, both literal sets embedded — IVF cell assignment + nProbe probe
+    * selection from [[ivfKmeansOracle]], PQ encode + LUT scoring from
+    * [[pqOracle]], composed exactly like the engine plan. */
+  private def ivfPqOracle(dir: String): String = {
+    val spark = SparkSession.active
+    val e = Cohorts.embeddings(spark, dir)
+    val cents = Similarity.ivfCentroids(e)
+    val books = Similarity.pqCodebooks(e)
+    val m = books.length
+    val d = books(0)(0).length
+    val centRows = cents.zipWithIndex.map { case (v, i) =>
+      s"($i, [${v.map(_.toString).mkString(", ")}]::DOUBLE[], " +
+        s"${Similarity.selfDot(v).toString})"
+    }.mkString(",\n")
+    val pqRows = (for { mi <- books.indices; c <- books(mi).indices } yield
+      s"($mi, $c, [${books(mi)(c).map(_.toString).mkString(", ")}]::DOUBLE[], " +
+        s"${Similarity.selfDot(books(mi)(c)).toString})").mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents(cell, c, c2) AS (VALUES
+       |$centRows),
+       |pcents(m, pcell, pc, pc2) AS (VALUES
+       |$pqRows),
+       |ad AS (SELECT e.vec_id, e.v, cents.cell,
+       |              ROUND(1e-9 + cents.c2 - 2 * list_inner_product(e.v, cents.c), 6) AS d2
+       |       FROM e CROSS JOIN cents),
+       |acell AS (SELECT vec_id, cell FROM
+       |  (SELECT *, row_number() OVER (
+       |     PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn FROM ad)
+       |  WHERE rn = 1),
+       |ms AS (SELECT unnest(range($m)) AS m),
+       |sub AS (SELECT vec_id, m, list_slice(v, m * $d + 1, m * $d + $d) AS sv
+       |        FROM e CROSS JOIN ms),
+       |pad AS (SELECT vec_id, sub.m, pcell,
+       |               ROUND(1e-9 + pc2 - 2 * list_inner_product(sv, pc), 6) AS d2
+       |        FROM sub JOIN pcents ON sub.m = pcents.m),
+       |code AS (SELECT vec_id, m, pcell FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id, m ORDER BY d2 ASC, pcell ASC) AS rn
+       |  FROM pad) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS q_id, cell FROM
+       |  (SELECT vec_id, cell, row_number() OVER (
+       |     PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS pr
+       |   FROM ad WHERE vec_id % 50 = 0) WHERE pr <= 4),
+       |qs AS (SELECT vec_id AS q_id, m, sv FROM sub WHERE vec_id % 50 = 0),
+       |cand AS (SELECT p.q_id, a.vec_id AS c_id
+       |         FROM probes p JOIN acell a USING (cell)
+       |         WHERE a.vec_id <> p.q_id),
+       |sc AS (SELECT cand.q_id, cand.c_id,
+       |              sum(list_inner_product(qs.sv, pcents.pc)) AS score
+       |       FROM cand
+       |       JOIN qs ON qs.q_id = cand.q_id
+       |       JOIN code ON code.vec_id = cand.c_id AND code.m = qs.m
+       |       JOIN pcents ON pcents.m = code.m AND pcents.pcell = code.pcell
+       |       GROUP BY cand.q_id, cand.c_id),
+       |r AS (SELECT q_id, c_id, score, CAST(row_number() OVER (
+       |        PARTITION BY q_id ORDER BY round(1e-9 + score, 9) DESC, c_id)
+       |        AS BIGINT) AS rank
+       |      FROM sc)
+       |SELECT q_id, c_id, rank, ROUND(1e-9 + score, 6) AS score
+       |FROM r WHERE rank <= 10""".stripMargin
+  }
+
   def oracleSql: Map[String, String] =
     registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap ++
       oracleDataDir.map(dir => "q44_sim_ivf_kmeans" -> ivfKmeansOracle(dir)) ++
       oracleDataDir.map(dir => "q94_events_pivot" -> eventsPivotOracle(dir)) ++
-      oracleDataDir.map(dir => "q130_pq_topk" -> pqOracle(dir))
+      oracleDataDir.map(dir => "q130_pq_topk" -> pqOracle(dir)) ++
+      oracleDataDir.map(dir => "q132_ivfpq_topk" -> ivfPqOracle(dir))
 }

@@ -709,6 +709,59 @@ object Similarity {
     ranked(joined, k)
   }
 
+  /** IVF-PQ top-k — the full production ANN index shape (the FAISS
+    * composition): a learned COARSE quantizer restricts candidates to each
+    * query's `nProbe` nearest cells ([[ivfTopK]]'s search), and within
+    * those cells candidates are scored by PQ ASYMMETRIC DISTANCE against
+    * the stored m-code representation ([[pqTopK]]'s LUT fold) — never a
+    * full-dimension dot against a raw corpus vector, and never a candidate
+    * outside the probed cells. The persisted (cell, codes) relation IS the
+    * index: one coarse id + m small codes per vector. Shuffle is the
+    * cell-keyed equi-join of O(|Q|·nProbe) broadcast probe rows against
+    * the assigned corpus — the cell-pruned candidate volume of IVF at the
+    * per-candidate cost and memory of PQ. Both quantizers are
+    * deterministic ([[ivfCentroids]] seeded spark.ml fit; [[pqCodebooks]]
+    * seeded local Lloyd), so the generated q132 oracle replays them as
+    * literals; recall/rank fidelity is audited with [[annRecall]] /
+    * [[rankingMetrics]] like every ANN path. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nCells: Int = 16, nProbe: Int = 4,
+                m: Int = 8, kCents: Int = 16, seed: Long = 42L,
+                fitSampleCap: Long = 65536): DataFrame = {
+    val cents = ivfCentroids(corpus, nCells, seed, fitSampleCap)
+    val books = pqCodebooks(corpus, m, kCents, seed, fitSampleCap)
+    val c2 = cents.map(selfDot)
+    val d = books(0)(0).length
+    // the IVF-PQ index: coarse cell + m codes per vector, persisted (the
+    // q130 lesson: an unpinned encode projection re-runs per candidate)
+    val index = prep(corpus, "c_")
+      .select(col("c_id"), nearestCell(col("c_emb"), cents).as("cell"),
+        pqCodesCol(col("c_emb"), books).as("codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lut = array(books.indices.map(mi =>
+      array(books(mi).indices.map(c =>
+        dotD(slice(col("q_emb"), mi * d + 1, d), lit(books(mi)(c)))): _*)): _*)
+    val probes = prep(queries, "q_")
+      .select(col("q_id"), lut.as("lut"),
+        explode(slice(array_sort(array(cents.indices.map(i =>
+          struct(graft.Num.rnd(lit(c2(i)) - lit(2.0) * dotD(col("q_emb"), lit(cents(i))), 6).as("d2"),
+            lit(i).as("cell"))): _*)), 1, nProbe)).as("pc"))
+      .select(col("pc.cell").as("cell"), col("q_id"), col("lut"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id")
+      .orderBy(graft.Num.rnd(col("score"), 9).desc, col("c_id").asc)
+    index.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("score", org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.expr.PqAdcScore(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("lut")),
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("codes")))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"),
+        graft.Num.rnd(col("score"), 6).as("score"))
+  }
+
   /** Per-label centroids of L2-NORMALIZED embeddings — mean pooling over a
     * class/cluster column, the building block for class prototypes,
     * nearest-centroid classification, and diversity-aware sampling.

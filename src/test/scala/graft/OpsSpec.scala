@@ -1458,6 +1458,25 @@ class OpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ivfPqTopK prunes to probed cells and scores by ADC, deterministic") {
+    val rng = new scala.util.Random(23)
+    val protos = Array.fill(4)(Array.fill(16)(rng.nextFloat() * 2 - 1))
+    val corpus = (0L until 200L).map { i =>
+      val p = protos((i % 4).toInt)
+      (i, p.map(x => x + 0.05f * (rng.nextFloat() - 0.5f)))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 20 === 0)
+    val out = graft.ops.Similarity.ivfPqTopK(corpus, queries, 5,
+      nCells = 4, nProbe = 2, m = 4, kCents = 8)
+    // k rows per query, all from the query's own tight cluster
+    assert(out.groupBy("q_id").count().select("count").as[Long].collect()
+      .forall(_ == 5L))
+    assert(out.filter(col("q_id") % 4 =!= col("c_id") % 4).count() == 0)
+    val out2 = graft.ops.Similarity.ivfPqTopK(corpus, queries, 5,
+      nCells = 4, nProbe = 2, m = 4, kCents = 8)
+    assert(out.collect().toSeq == out2.collect().toSeq)
+  }
+
   test("rankingMetrics computes MRR and NDCG@k against the exact top-k") {
     val exact = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
       (2L, 20L, 1L), (2L, 21L, 2L)).toDF("q_id", "c_id", "rank")
