@@ -35,19 +35,56 @@ object Cohorts {
     * decodes in well under the cost of shuffling it. */
   private val SpreadBytes: Long = 64L << 20
 
+  /** Effective parallelism of the parquet scan under `path`: a task only
+    * materializes rows per ROW GROUP, so a single-row-group file yields one
+    * populated task no matter how many byte-based splits the scheduler cuts
+    * (the previous `df.rdd.getNumPartitions` gate over-counted exactly that
+    * case — and forced a plan→RDD conversion per call; ADVICE r9). Each
+    * non-empty file contributes ≥1, so footers are only opened while the
+    * running total is still below `enough` — at most `enough` driver-side
+    * metadata reads even on a thousand-file table. */
+  private def scanParallelism(spark: SparkSession, path: String,
+                              enough: Int): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return 0
+    val files = {
+      val it = fs.listFiles(p, true)
+      val b = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getLen > 0 &&
+            f.getPath.getName.endsWith(".parquet")) b += f
+      }
+      b.result()
+    }
+    if (files.size >= enough) return files.size
+    var total = 0
+    val it = files.iterator
+    while (it.hasNext && total < enough) {
+      val f = it.next()
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+      try total += r.getRowGroups.size finally r.close()
+    }
+    total
+  }
+
   /** Spread `df` across the cluster ONLY when both (a) its source files are
     * big enough that serialized downstream work dominates the exchange and
-    * (b) the pushed-down scan actually yields too few tasks (a big but
-    * multi-row-group file already splits — no exchange needed then).
+    * (b) the scan's ROW-GROUP count yields too few populated tasks (a big
+    * but multi-row-group file already splits — no exchange needed then).
     * `force` opts a CPU-heavy consumer in regardless of size (the exchange
     * must sit right after the SCAN — before the join+encode — or the heavy
     * build still serializes; measured: post-join spread left q61 at 4.8 s
     * where this placement gives 3.9 s on the same host). */
   private def spreadIfLarge(spark: SparkSession, df: DataFrame, bytes: Long,
-                            force: Boolean): DataFrame = {
+                            path: String, force: Boolean): DataFrame = {
     val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     if (force || bytes >= SpreadBytes) {
-      if (df.rdd.getNumPartitions < n / 2) df.repartition(n) else df
+      if (scanParallelism(spark, path, n / 2) < n / 2) df.repartition(n)
+      else df
     } else df
   }
 
@@ -104,7 +141,8 @@ object Cohorts {
       table(spark, dir, "orders")
         .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
                 col("o_orderdate") < lit(hi).cast("timestamp")),
-      tableBytes(spark, dir, "orders"), force = spread)
+      tableBytes(spark, dir, "orders"), s"$dir/orders.parquet",
+      force = spread)
     val c = table(spark, dir, "customer")
     // customer is the small dimension: broadcast — no shuffle of orders.
     o.join(broadcast(c), col("o_custkey") === col("c_custkey"))

@@ -2889,7 +2889,9 @@ object SparkEntry {
     ("q130_pq_topk",
       (s: SparkSession, dir: String) => {
         val e = Cohorts.embeddings(s, dir)
-        Similarity.pqTopK(e, e.filter(col("vec_id") % 50 === 0), 10)
+        Similarity.pqTopK(e,
+          e.filter(col("vec_id") % Similarity.AnnQueryMod === 0),
+          Similarity.AnnK)
       },
       None),
 
@@ -2944,7 +2946,9 @@ object SparkEntry {
     ("q132_ivfpq_topk",
       (s: SparkSession, dir: String) => {
         val e = Cohorts.embeddings(s, dir)
-        Similarity.ivfPqTopK(e, e.filter(col("vec_id") % 50 === 0), 10)
+        Similarity.ivfPqTopK(e,
+          e.filter(col("vec_id") % Similarity.AnnQueryMod === 0),
+          Similarity.AnnK)
       },
       None)
   )
@@ -3057,7 +3061,8 @@ object SparkEntry {
        |  SELECT *, row_number() OVER (
        |    PARTITION BY vec_id, m ORDER BY d2 ASC, cell ASC) AS rn
        |  FROM ad) WHERE rn = 1),
-       |qs AS (SELECT vec_id AS q_id, m, sv FROM sub WHERE vec_id % 50 = 0),
+       |qs AS (SELECT vec_id AS q_id, m, sv
+       |       FROM sub WHERE vec_id % ${Similarity.AnnQueryMod} = 0),
        |sc AS (SELECT qs.q_id, code.vec_id AS c_id,
        |              sum(list_inner_product(qs.sv, cents.c)) AS score
        |       FROM qs JOIN code ON qs.m = code.m
@@ -3069,7 +3074,7 @@ object SparkEntry {
        |        AS BIGINT) AS rank
        |      FROM sc)
        |SELECT q_id, c_id, rank, ROUND(1e-9 + score, 6) AS score
-       |FROM r WHERE rank <= 10""".stripMargin
+       |FROM r WHERE rank <= ${Similarity.AnnK}""".stripMargin
   }
 
   /** q132's oracle: both deterministic quantizer fits replayed on the same
@@ -3115,8 +3120,10 @@ object SparkEntry {
        |probes AS (SELECT vec_id AS q_id, cell FROM
        |  (SELECT vec_id, cell, row_number() OVER (
        |     PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS pr
-       |   FROM ad WHERE vec_id % 50 = 0) WHERE pr <= 4),
-       |qs AS (SELECT vec_id AS q_id, m, sv FROM sub WHERE vec_id % 50 = 0),
+       |   FROM ad WHERE vec_id % ${Similarity.AnnQueryMod} = 0)
+       |  WHERE pr <= ${Similarity.AnnNProbe}),
+       |qs AS (SELECT vec_id AS q_id, m, sv
+       |       FROM sub WHERE vec_id % ${Similarity.AnnQueryMod} = 0),
        |cand AS (SELECT p.q_id, a.vec_id AS c_id
        |         FROM probes p JOIN acell a USING (cell)
        |         WHERE a.vec_id <> p.q_id),
@@ -3132,7 +3139,7 @@ object SparkEntry {
        |        AS BIGINT) AS rank
        |      FROM sc)
        |SELECT q_id, c_id, rank, ROUND(1e-9 + score, 6) AS score
-       |FROM r WHERE rank <= 10""".stripMargin
+       |FROM r WHERE rank <= ${Similarity.AnnK}""".stripMargin
   }
 
   def oracleSql: Map[String, String] =

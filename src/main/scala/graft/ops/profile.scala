@@ -76,6 +76,11 @@ object Profile {
     * from the rows where that column simply isn't the one being grouped. */
   def keySkewReport(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "keySkewReport needs at least one column")
+    // A duplicated entry would emit two IDENTICAL grouping sets sharing one
+    // grouping_id — the per-gid fold would then see every key twice and
+    // silently double n_keys/n_rows and shift the percentiles (ADVICE r9).
+    require(cols.distinct.size == cols.size,
+      s"keySkewReport columns must be distinct, got $cols")
     val k = cols.size
     // grouping_id bit semantics: MSB = first grouping column, bit SET when
     // the column is NOT part of the grouping set — the set {col i} alone

@@ -19,6 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Constants shared between the ANN registry queries and their GENERATED
+    * oracles (q130/q132 embed learned-quantizer literals, so the oracle
+    * builders replay the query's predicate/probe/k arithmetic in SQL): one
+    * definition means a retuned probe count or query subset can't silently
+    * desynchronize the two sides into a spurious hash mismatch (ADVICE r9).
+    *  - [[AnnQueryMod]]: the query subset is `vec_id % AnnQueryMod == 0`.
+    *  - [[AnnK]]: top-k depth of the gated rankings.
+    *  - [[AnnNProbe]]: IVF probe count ([[ivfTopK]]/[[ivfPqTopK]] default).
+    */
+  val AnnQueryMod = 50
+  val AnnK = 10
+  val AnnNProbe = 4
+
   /** Sequential dot product via the codegen'd kernel
     * ([[graft.expr.DotProduct]]) — same left-to-right accumulation as the
     * interpreted `aggregate(zip_with(..))` it replaces, so oracle results
@@ -689,7 +702,7 @@ object Similarity {
     * path, and q44's DuckDB oracle replays this exact plan over the
     * learned centroid literals. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+              nCells: Int = 16, nProbe: Int = AnnNProbe, seed: Long = 42L,
               fitSampleCap: Long = 65536): DataFrame = {
     val cents = ivfCentroids(corpus, nCells, seed, fitSampleCap)
     val c2 = cents.map(selfDot)
@@ -725,7 +738,7 @@ object Similarity {
     * literals; recall/rank fidelity is audited with [[annRecall]] /
     * [[rankingMetrics]] like every ANN path. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                nCells: Int = 16, nProbe: Int = 4,
+                nCells: Int = 16, nProbe: Int = AnnNProbe,
                 m: Int = 8, kCents: Int = 16, seed: Long = 42L,
                 fitSampleCap: Long = 65536): DataFrame = {
     val cents = ivfCentroids(corpus, nCells, seed, fitSampleCap)
