@@ -118,6 +118,23 @@ object Bench {
       cs = candidates
     }
 
+    // Canaries: two fixed mid-cost queries re-timed ISOLATED at the very
+    // end (suite-warm JVM, 3 reps, min) so round-over-round ratios can
+    // self-normalize for host speed — r10's cross-round comparison needed a
+    // judge-side manual re-run because the host happened to run 2× slow.
+    // Timed OUTSIDE the runs map: these are a speed reference, not results.
+    val canaries = Seq("q09_knn_topk", "q89_events_zscore").flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          try materialize(fn(spark, sfDir)) catch { case _: Throwable => }
+          spark.catalog.clearCache()
+          (System.nanoTime() - t0) / 1e9
+        }
+        name.takeWhile(_ != '_') -> ts.min
+      }
+    }
+
     // A query with zero successful runs reports a visibly-wrong sentinel —
     // a fast crash must not read as a speedup — and lands in "failed".
     val failed = queries.map(_._1).filter(n => runs.getOrElse(n, Nil).isEmpty)
@@ -152,8 +169,10 @@ object Bench {
       if (failed.size <= 12) failed
       else failed.take(12) :+ s"+${failed.size - 12} more"
     val failedJson = failedCapped.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val canaryJson = canaries
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     spark.stop()
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"canaries":$canaryJson,"failed":$failedJson,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -39,10 +39,17 @@ object Cohorts {
     * materializes rows per ROW GROUP, so a single-row-group file yields one
     * populated task no matter how many byte-based splits the scheduler cuts
     * (the previous `df.rdd.getNumPartitions` gate over-counted exactly that
-    * case — and forced a plan→RDD conversion per call; ADVICE r9). Each
-    * non-empty file contributes ≥1, so footers are only opened while the
-    * running total is still below `enough` — at most `enough` driver-side
-    * metadata reads even on a thousand-file table. */
+    * case — and forced a plan→RDD conversion per call; ADVICE r9). The
+    * converse over-count is also capped: Spark packs every row group whose
+    * midpoint falls inside a byte split into that ONE task, so a file's
+    * contribution is min(rowGroups, byte splits) — a 640 MB file with 20
+    * small row groups still yields only ~ceil(len/maxPartitionBytes)
+    * populated tasks (ADVICE r10). Each non-empty file contributes ≥1, so
+    * footers are only opened while the running total is still below
+    * `enough` — at most `enough` driver-side metadata reads even on a
+    * thousand-file table; an unreadable footer (corrupt/truncated, or the
+    * file vanished between list and open) degrades to that minimum 1
+    * instead of failing the query (ADVICE r10). */
   private def scanParallelism(spark: SparkSession, path: String,
                               enough: Int): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -60,13 +67,22 @@ object Cohorts {
       b.result()
     }
     if (files.size >= enough) return files.size
+    // byteStringAsBytes handles every spelling the conf accepts ("128MB",
+    // "134217728b", plain digits)
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")).max(1L)
     var total = 0
     val it = files.iterator
     while (it.hasNext && total < enough) {
       val f = it.next()
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
-      try total += r.getRowGroups.size finally r.close()
+      val splits = ((f.getLen + maxSplit - 1) / maxSplit).toInt.max(1)
+      val rowGroups =
+        try {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+          try r.getRowGroups.size finally r.close()
+        } catch { case scala.util.control.NonFatal(_) => 1 }
+      total += math.min(rowGroups, splits).max(1)
     }
     total
   }

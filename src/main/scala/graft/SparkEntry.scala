@@ -15,6 +15,28 @@ object SparkEntry {
   // ---------------------------------------------------------------- helpers
   private def rnd(c: Column, n: Int): Column = Num.rnd(c, n)
 
+  /** Once-per-JVM fixture-silence preconditions for the planted-clone LSH
+    * gates (q60/q111/q127 share the embeddings self-check; q129 has the
+    * train×benchmark cross-check): the gates' full-hash determinism rests
+    * on the REAL corpus having no non-identical pair at the gate threshold
+    * ([[graft.ops.Similarity.requireSilentAbove]]) — assert it AT GATE TIME
+    * so a regenerated/rescaled fixture fails with a fixture message instead
+    * of a hash mismatch that reads as an engine bug (VERDICT r10 #1).
+    * Memoized per (check, dir): verify runs and both bench reps pay each
+    * exact-kernel pass once per JVM. */
+  private val silenceChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def silenceOnce(key: String)(check: => Unit): Unit =
+    if (!silenceChecked.contains(key)) { check; silenceChecked.add(key) }
+
+  /** The shared q60/q111/q127 precondition: no real embeddings pair in
+    * [0.9, 1) that is not bit-identical. */
+  private def requireEmbedSelfSilence(s: SparkSession, dir: String,
+                                      gate: String): Unit =
+    silenceOnce(s"self0.9@$dir")(
+      Similarity.requireSilentAbove(Cohorts.embeddings(s, dir), 0.9,
+        s"$gate fixture-silence precondition"))
+
   private def cohortPair(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     Cohorts.cohorts(s, dir)
 
@@ -927,7 +949,9 @@ object SparkEntry {
     ("q44_sim_ivf_kmeans",
       (s: SparkSession, dir: String) => {
         val e = Cohorts.embeddings(s, dir)
-        Similarity.ivfTopK(e, e.filter(col("vec_id") % 50 === 0), 10)
+        Similarity.ivfTopK(e,
+          e.filter(col("vec_id") % Similarity.AnnQueryMod === 0),
+          Similarity.AnnK)
       },
       None),
 
@@ -1411,6 +1435,7 @@ object SparkEntry {
     // SRP admission there is genuinely probabilistic.
     ("q60_embed_clusters_lsh",
       (s: SparkSession, dir: String) => {
+        requireEmbedSelfSilence(s, dir, "q60")
         val e = Cohorts.embeddings(s, dir)
         val clones = e.filter(col("vec_id") % 10 === 0)
           .withColumn("vec_id", col("vec_id") + lit(1000000L))
@@ -2223,6 +2248,7 @@ object SparkEntry {
     // doc_id tie-break keeps the original, drops the clone.
     ("q111_semantic_dedup_lsh",
       (s: SparkSession, dir: String) => {
+        requireEmbedSelfSilence(s, dir, "q111")
         val d0 = Cohorts.documents(s, dir)
         val e0 = Cohorts.embeddings(s, dir)
         val docs = d0.unionByName(d0.filter(col("doc_id") % 10 === 0)
@@ -2721,6 +2747,9 @@ object SparkEntry {
     // in FULL, and no plan stage ever enumerates |survivors|² pairs.
     ("q127_curate_v2_lsh",
       (s: SparkSession, dir: String) => {
+        // the semantic stage runs over stage-1 survivors' embeddings — the
+        // whole-corpus silence check is a strict superset of that set
+        requireEmbedSelfSilence(s, dir, "q127")
         val d0 = Cohorts.documents(s, dir)
         val e0 = Cohorts.embeddings(s, dir)
         val clones = d0.filter(col("doc_id") % 10 === 0)
@@ -2860,7 +2889,15 @@ object SparkEntry {
           .select(col("doc_id").as("vec_id"), col("source"))
         val e = Cohorts.embeddings(s, dir).join(src, "vec_id")
         val bench = e.filter(col("source") === "src0").drop("source")
-        val train = e.filter(col("source") =!= "src0").drop("source")
+        val realTrain = e.filter(col("source") =!= "src0").drop("source")
+        // fixture-silence precondition: the SELF check over the whole
+        // embeddings table subsumes the train×bench cross check AND the
+        // bench×bench pairs a planted clone inherits from its source (a
+        // clone of bench doc B sits at sim(B, B') from every other bench
+        // doc B' — cross-silence alone would miss that surface); disjoint
+        // REAL corpora would use requireCrossSilentAbove instead.
+        requireEmbedSelfSilence(s, dir, "q129")
+        val train = realTrain
           .unionByName(bench.filter(col("vec_id") % 5 === 0)
             .withColumn("vec_id", col("vec_id") + lit(1000000L)))
         Similarity.semanticContaminatedLsh(train, bench, 0.9)
@@ -2950,6 +2987,53 @@ object SparkEntry {
           e.filter(col("vec_id") % Similarity.AnnQueryMod === 0),
           Similarity.AnnK)
       },
+      None),
+
+    // ANN index incremental maintenance — the daily-ingest deployment shape
+    // (the q123 discipline for the embedding modality): quantizers are fit
+    // ONCE on the pre-ingest base, the drop is encoded against the FROZEN
+    // codebooks/centroids and appended (AnnIndex.append — the index side is
+    // never re-encoded, the quantizers never refit), and search runs over
+    // the union. Oracle is GENERATED with the BASE-side fits replayed as
+    // literals over the whole corpus (annIngestOracle) — full hash gate
+    // over freeze + encode + append + search.
+    ("q133_ann_ingest",
+      (s: SparkSession, dir: String) => {
+        val e = Cohorts.embeddings(s, dir)
+        val idx = Similarity.buildIvfPqIndex(
+          e.filter(col("vec_id") % Similarity.AnnIngestMod =!= 0))
+        idx.append(e.filter(col("vec_id") % Similarity.AnnIngestMod === 0))
+          .search(e.filter(col("vec_id") % Similarity.AnnQueryMod === 0),
+            Similarity.AnnK)
+      },
+      None),
+
+    // PQ recall audit — recall@k of q130's ADC ranking against the exact
+    // cosine top-k: the measured number the m/kCents compression trade is
+    // tuned against (q125's discipline applied to the PQ leg). Oracle is
+    // GENERATED (pqRecallOracle: the q130 chain + exact side + recall).
+    ("q134_pq_recall",
+      (s: SparkSession, dir: String) => {
+        val e = Cohorts.embeddings(s, dir)
+        val q = e.filter(col("vec_id") % Similarity.AnnQueryMod === 0)
+        Similarity.annRecall(
+          Similarity.cosineTopK(e, q, Similarity.AnnK),
+          Similarity.pqTopK(e, q, Similarity.AnnK))
+      },
+      None),
+
+    // IVF-PQ position-sensitive audit — MRR/NDCG@k of q132's ranking
+    // against the exact cosine top-k (q131's discipline for the production
+    // index): recall can stay flat while PQ distortion reorders the head.
+    // Oracle is GENERATED (ivfPqRankingOracle).
+    ("q135_ivfpq_ranking",
+      (s: SparkSession, dir: String) => {
+        val e = Cohorts.embeddings(s, dir)
+        val q = e.filter(col("vec_id") % Similarity.AnnQueryMod === 0)
+        Similarity.rankingMetrics(
+          Similarity.cosineTopK(e, q, Similarity.AnnK),
+          Similarity.ivfPqTopK(e, q, Similarity.AnnK), Similarity.AnnK)
+      },
       None)
   )
 
@@ -3002,7 +3086,8 @@ object SparkEntry {
        |probes AS (SELECT q_id, v, cell FROM
        |  (SELECT vec_id AS q_id, v, cell,
        |     row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS pr
-       |   FROM ad WHERE vec_id % 50 = 0) WHERE pr <= 4),
+       |   FROM ad WHERE vec_id % ${Similarity.AnnQueryMod} = 0)
+       |  WHERE pr <= ${Similarity.AnnNProbe}),
        |cand AS (SELECT p.q_id, a.vec_id AS c_id,
        |                list_cosine_similarity(p.v, a.v) AS sim
        |         FROM probes p JOIN assigned a USING (cell)
@@ -3011,7 +3096,7 @@ object SparkEntry {
        |        PARTITION BY q_id ORDER BY round(1e-9 + sim, 9) DESC, c_id) AS BIGINT) AS rank
        |      FROM cand)
        |SELECT q_id, c_id, rank, ROUND(1e-9 + sim, 6) AS sim
-       |FROM r WHERE rank <= 10""".stripMargin
+       |FROM r WHERE rank <= ${Similarity.AnnK}""".stripMargin
   }
 
   /** DuckDB-equivalent SQL per query (omitted ⇒ rows-only check). Queries
@@ -3035,20 +3120,18 @@ object SparkEntry {
        |FROM events GROUP BY CAST(ts AS DATE)""".stripMargin
   }
 
-  /** q130's oracle: replay the deterministic per-subspace codebook fit on
-    * the same dir, embed the centroids as literals, and re-derive encode
-    * (rounded-d² + cell tie-break per subspace) → per-query LUT scoring →
-    * rank entirely in DuckDB — the [[ivfKmeansOracle]] discipline for the
-    * PQ arithmetic. */
-  private def pqOracle(dir: String): String = {
-    val spark = SparkSession.active
-    val books = Similarity.pqCodebooks(Cohorts.embeddings(spark, dir))
+  /** The PQ encode→LUT→rank CTE chain shared by the q130 and q134 oracles:
+    * learned codebooks as literals, encode (rounded-d² + cell tie-break per
+    * subspace), per-query LUT scoring, ranked relation `r` (unfiltered —
+    * consumers cut at their k). Defines `e` (the vector relation) for
+    * downstream exact-ranking CTEs to reuse. */
+  private def pqRankCtes(books: Array[Array[Array[Double]]]): String = {
     val m = books.length
     val d = books(0)(0).length
     val rows = (for { mi <- books.indices; c <- books(mi).indices } yield
       s"($mi, $c, [${books(mi)(c).map(_.toString).mkString(", ")}]::DOUBLE[], " +
         s"${Similarity.selfDot(books(mi)(c)).toString})").mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |cents(m, cell, c, c2) AS (VALUES
        |$rows),
        |ms AS (SELECT unnest(range($m)) AS m),
@@ -3072,20 +3155,63 @@ object SparkEntry {
        |r AS (SELECT q_id, c_id, score, CAST(row_number() OVER (
        |        PARTITION BY q_id ORDER BY round(1e-9 + score, 9) DESC, c_id)
        |        AS BIGINT) AS rank
-       |      FROM sc)
+       |      FROM sc)""".stripMargin
+  }
+
+  /** Exact cosine top-[[Similarity.AnnK]] CTEs over the `e` relation a rank
+    * chain already defined — the recall/ranking oracles' ground truth
+    * (mirrors q125/q131's exact side). */
+  private def exactRankCtes: String =
+    s"""px AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |              list_cosine_similarity(q.v, c.v) AS sim
+       |       FROM e q JOIN e c
+       |       ON q.vec_id % ${Similarity.AnnQueryMod} = 0 AND q.vec_id <> c.vec_id),
+       |ex AS (SELECT q_id, c_id FROM (
+       |         SELECT *, row_number() OVER (
+       |           PARTITION BY q_id ORDER BY round(1e-9 + sim, 9) DESC,
+       |           c_id) AS rank FROM px) WHERE rank <= ${Similarity.AnnK})""".stripMargin
+
+  /** q130's oracle: replay the deterministic per-subspace codebook fit on
+    * the same dir and rank entirely in DuckDB ([[pqRankCtes]] — the
+    * [[ivfKmeansOracle]] discipline for the PQ arithmetic). */
+  private def pqOracle(dir: String): String = {
+    val books = Similarity.pqCodebooks(
+      Cohorts.embeddings(SparkSession.active, dir))
+    s"""WITH ${pqRankCtes(books)}
        |SELECT q_id, c_id, rank, ROUND(1e-9 + score, 6) AS score
        |FROM r WHERE rank <= ${Similarity.AnnK}""".stripMargin
   }
 
-  /** q132's oracle: both deterministic quantizer fits replayed on the same
-    * dir, both literal sets embedded — IVF cell assignment + nProbe probe
+  /** q134's oracle: recall@k of the PQ ADC ranking ([[pqRankCtes]], same
+    * refit literals as q130) against the exact cosine top-k
+    * ([[exactRankCtes]]), aggregated exactly like q125's recall audit. */
+  private def pqRecallOracle(dir: String): String = {
+    val books = Similarity.pqCodebooks(
+      Cohorts.embeddings(SparkSession.active, dir))
+    s"""WITH ${pqRankCtes(books)},
+       |ap AS (SELECT q_id, c_id FROM r WHERE rank <= ${Similarity.AnnK}),
+       |$exactRankCtes,
+       |h AS (SELECT ex.q_id, CAST(count(*) AS BIGINT) AS n_hits
+       |      FROM ex JOIN ap ON ex.q_id = ap.q_id AND ex.c_id = ap.c_id
+       |      GROUP BY ex.q_id),
+       |t AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact
+       |      FROM ex GROUP BY q_id)
+       |SELECT t.q_id, t.n_exact, COALESCE(h.n_hits, 0) AS n_hits,
+       |       ROUND(1e-9 + CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+       |             / t.n_exact, 4) AS recall
+       |FROM t LEFT JOIN h ON t.q_id = h.q_id""".stripMargin
+  }
+
+  /** The IVF-PQ CTE chain shared by the q132/q133/q135 oracles: BOTH
+    * learned literal sets embedded — IVF cell assignment + nProbe probe
     * selection from [[ivfKmeansOracle]], PQ encode + LUT scoring from
-    * [[pqOracle]], composed exactly like the engine plan. */
-  private def ivfPqOracle(dir: String): String = {
-    val spark = SparkSession.active
-    val e = Cohorts.embeddings(spark, dir)
-    val cents = Similarity.ivfCentroids(e)
-    val books = Similarity.pqCodebooks(e)
+    * [[pqRankCtes]], composed exactly like the engine plan; ends in the
+    * ranked relation `r` (unfiltered) and defines `e` for exact-ranking
+    * consumers. The quantizer fits are the CALLER's — q132/q135 fit on the
+    * full corpus, q133 on the pre-ingest base only (frozen-quantizer
+    * replay). */
+  private def ivfPqRankCtes(cents: Array[Array[Double]],
+                            books: Array[Array[Array[Double]]]): String = {
     val m = books.length
     val d = books(0)(0).length
     val centRows = cents.zipWithIndex.map { case (v, i) =>
@@ -3095,7 +3221,7 @@ object SparkEntry {
     val pqRows = (for { mi <- books.indices; c <- books(mi).indices } yield
       s"($mi, $c, [${books(mi)(c).map(_.toString).mkString(", ")}]::DOUBLE[], " +
         s"${Similarity.selfDot(books(mi)(c)).toString})").mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |cents(cell, c, c2) AS (VALUES
        |$centRows),
        |pcents(m, pcell, pc, pc2) AS (VALUES
@@ -3137,9 +3263,55 @@ object SparkEntry {
        |r AS (SELECT q_id, c_id, score, CAST(row_number() OVER (
        |        PARTITION BY q_id ORDER BY round(1e-9 + score, 9) DESC, c_id)
        |        AS BIGINT) AS rank
-       |      FROM sc)
+       |      FROM sc)""".stripMargin
+  }
+
+  /** q132's oracle: both quantizer fits replayed on the full corpus. */
+  private def ivfPqOracle(dir: String): String = {
+    val e = Cohorts.embeddings(SparkSession.active, dir)
+    s"""WITH ${ivfPqRankCtes(Similarity.ivfCentroids(e), Similarity.pqCodebooks(e))}
        |SELECT q_id, c_id, rank, ROUND(1e-9 + score, 6) AS score
        |FROM r WHERE rank <= ${Similarity.AnnK}""".stripMargin
+  }
+
+  /** q133's oracle — the frozen-quantizer ingest replay: both fits run on
+    * the PRE-INGEST base side only (`vec_id % AnnIngestMod != 0`, exactly
+    * the relation the engine's [[graft.ops.Similarity.buildIvfPqIndex]]
+    * saw), and the SQL then encodes and searches the WHOLE corpus against
+    * those frozen literals — base ∪ drop, the engine's appended index. The
+    * CTE body is [[ivfPqRankCtes]] verbatim; only the literals move. */
+  private def annIngestOracle(dir: String): String = {
+    val base = Cohorts.embeddings(SparkSession.active, dir)
+      .filter(col("vec_id") % Similarity.AnnIngestMod =!= 0)
+    s"""WITH ${ivfPqRankCtes(Similarity.ivfCentroids(base),
+                             Similarity.pqCodebooks(base))}
+       |SELECT q_id, c_id, rank, ROUND(1e-9 + score, 6) AS score
+       |FROM r WHERE rank <= ${Similarity.AnnK}""".stripMargin
+  }
+
+  /** q135's oracle: MRR/NDCG@k of the IVF-PQ ranking ([[ivfPqRankCtes]],
+    * same full-corpus refit literals as q132) against the exact cosine
+    * top-k — the q131 aggregation over the generated approximate side. */
+  private def ivfPqRankingOracle(dir: String): String = {
+    val e = Cohorts.embeddings(SparkSession.active, dir)
+    s"""WITH ${ivfPqRankCtes(Similarity.ivfCentroids(e), Similarity.pqCodebooks(e))},
+       |ap AS (SELECT q_id, c_id, rank FROM r WHERE rank <= ${Similarity.AnnK}),
+       |$exactRankCtes,
+       |h AS (SELECT ap.q_id, ap.rank FROM ap JOIN ex USING (q_id, c_id)),
+       |pq AS (SELECT q_id, min(rank) AS first,
+       |              sum(1.0 / log2(rank + 1)) AS dcg
+       |       FROM h GROUP BY q_id),
+       |nr AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel
+       |       FROM ex GROUP BY q_id),
+       |mm AS (SELECT nr.q_id, nr.n_rel, pq.first, pq.dcg,
+       |              list_sum(list_transform(
+       |                range(1, least(nr.n_rel, ${Similarity.AnnK}) + 1),
+       |                i -> 1.0 / log2(i + 1))) AS idcg
+       |       FROM nr LEFT JOIN pq USING (q_id))
+       |SELECT q_id, n_rel,
+       |       ROUND(1e-9 + COALESCE(1.0 / first, 0), 6) AS mrr,
+       |       ROUND(1e-9 + COALESCE(dcg / idcg, 0), 6) AS ndcg
+       |FROM mm""".stripMargin
   }
 
   def oracleSql: Map[String, String] =
@@ -3147,5 +3319,8 @@ object SparkEntry {
       oracleDataDir.map(dir => "q44_sim_ivf_kmeans" -> ivfKmeansOracle(dir)) ++
       oracleDataDir.map(dir => "q94_events_pivot" -> eventsPivotOracle(dir)) ++
       oracleDataDir.map(dir => "q130_pq_topk" -> pqOracle(dir)) ++
-      oracleDataDir.map(dir => "q132_ivfpq_topk" -> ivfPqOracle(dir))
+      oracleDataDir.map(dir => "q132_ivfpq_topk" -> ivfPqOracle(dir)) ++
+      oracleDataDir.map(dir => "q133_ann_ingest" -> annIngestOracle(dir)) ++
+      oracleDataDir.map(dir => "q134_pq_recall" -> pqRecallOracle(dir)) ++
+      oracleDataDir.map(dir => "q135_ivfpq_ranking" -> ivfPqRankingOracle(dir))
 }

@@ -24,6 +24,17 @@ import org.apache.spark.storage.StorageLevel
   * brute-force pair kernel — the oracle-baseline form for small-corpus
   * verification, with recall guaranteed at ANY threshold rather than the
   * SRP curve.
+  *
+  * Cache contract: stage 1 (the lexical-curation survivor set) is pinned
+  * MEMORY_AND_DISK because three downstream consumers (the induced pair
+  * graph, the quality projection, the budget input) would each recompute
+  * the whole MinHash + decontamination lineage otherwise. The pin must
+  * outlive the RETURNED frame's evaluation (it is consumed lazily), so the
+  * CALLER frees it after materializing the result —
+  * `spark.catalog.clearCache()`, the verify/bench harness discipline, or
+  * targeted unpersist in a long-lived session. Same contract as
+  * [[Dedup]]'s persisted shingle sets and [[Similarity.pqTopK]]'s code
+  * index.
   */
 object Curation {
 

@@ -17,6 +17,14 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Whether the session's cache manager holds no cached relations — the
+    * assertion behind the index-handle lifecycle contract
+    * ([[graft.ops.AnnIndex.unpersist]]). The manager is `private[sql]`, so
+    * the check is exposed from inside the package like the conversions. */
+  def cacheIsEmpty(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
+
   /** Eagerly materialize a DataFrame into an RDD-backed copy whose storage
     * the CALLER controls. `Dataset.localCheckpoint` persists its internal
     * RDD where neither `Dataset.unpersist` nor `Catalog.clearCache` can

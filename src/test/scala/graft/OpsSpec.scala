@@ -1477,6 +1477,103 @@ class OpsSpec extends SparkSpec {
     assert(out.collect().toSeq == out2.collect().toSeq)
   }
 
+  test("AnnIndex.append ingests against FROZEN quantizers; search equals a one-shot encode of the union") {
+    val rng = new scala.util.Random(31)
+    val protos = Array.fill(4)(Array.fill(16)(rng.nextFloat() * 2 - 1))
+    val all = (0L until 240L).map { i =>
+      val p = protos((i % 4).toInt)
+      (i, p.map(x => x + 0.05f * (rng.nextFloat() - 0.5f)))
+    }.toDF("vec_id", "embedding")
+    val base = all.filter(col("vec_id") % 3 =!= 0)   // the pre-ingest index
+    val fresh = all.filter(col("vec_id") % 3 === 0)  // the daily drop
+    val queries = all.filter(col("vec_id") % 40 === 0)
+    val idx = graft.ops.Similarity.buildIvfPqIndex(base,
+      nCells = 4, m = 4, kCents = 8)
+    val appended = idx.append(fresh)
+    val got = appended.search(queries, 5, nProbe = 2).collect().toSeq
+    // ground truth: encode the WHOLE corpus in one pass against the SAME
+    // frozen quantizers (base-side fits) and search that — append must be
+    // indistinguishable from a from-scratch encode under frozen literals
+    val oneShot = graft.ops.Similarity.searchIvfPq(
+      graft.ops.Similarity.encodeIvfPq(all, idx.cents, idx.books),
+      idx.cents, idx.books, queries, 5, nProbe = 2).collect().toSeq
+    assert(got == oneShot)
+    // and the quantizers really are frozen: append reused the base fits
+    assert(appended.cents.map(_.toSeq).toSeq == idx.cents.map(_.toSeq).toSeq)
+    appended.unpersist()
+  }
+
+  test("encodeIvfPq is stateless: the same function encodes a stream, agreeing with batch") {
+    implicit val sq = spark.sqlContext
+    val rng = new scala.util.Random(37)
+    val protos = Array.fill(4)(Array.fill(16)(rng.nextFloat() * 2 - 1))
+    val baseRows = (0L until 120L).map { i =>
+      val p = protos((i % 4).toInt)
+      (i, p.map(x => x + 0.05f * (rng.nextFloat() - 0.5f)))
+    }
+    val idx = graft.ops.Similarity.buildIvfPqIndex(
+      baseRows.toDF("vec_id", "embedding"), nCells = 4, m = 4, kCents = 8)
+    val dropRows = (1000L until 1030L).map { i =>
+      val p = protos((i % 4).toInt)
+      (i, p.map(x => x + 0.05f * (rng.nextFloat() - 0.5f)))
+    }
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = graft.ops.Similarity.encodeIvfPq(
+        stream.toDF().toDF("vec_id", "embedding"), idx.cents, idx.books)
+      .writeStream.format("memory").queryName("ann_ingest_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(dropRows: _*)
+      q.processAllAvailable()
+      val got = spark.table("ann_ingest_out")
+        .as[(Long, Int, Seq[Int])].collect().toSet
+      val batch = graft.ops.Similarity.encodeIvfPq(
+          dropRows.toDF("vec_id", "embedding"), idx.cents, idx.books)
+        .as[(Long, Int, Seq[Int])].collect().toSet
+      assert(got == batch && got.size == 30)
+    } finally { q.stop(); idx.unpersist() }
+  }
+
+  test("AnnIndex.unpersist releases every pinned relation (build + appends)") {
+    spark.catalog.clearCache()
+    val rng = new scala.util.Random(41)
+    val all = (0L until 90L).map(i =>
+      (i, Array.fill(16)(rng.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val idx = graft.ops.Similarity.buildIvfPqIndex(
+      all.filter(col("vec_id") < 60), nCells = 2, m = 4, kCents = 4)
+    val appended = idx.append(all.filter(col("vec_id") >= 60))
+    // materialize a search so the pins are really populated
+    appended.search(all.filter(col("vec_id") % 30 === 0), 3, nProbe = 2).count()
+    assert(!org.apache.spark.sql.graftbridge.Bridge.cacheIsEmpty(spark))
+    appended.unpersist() // owns the base pin AND the append pin
+    assert(org.apache.spark.sql.graftbridge.Bridge.cacheIsEmpty(spark))
+  }
+
+  test("fixture-silence preconditions: pass on silent corpora, allow bit-identical pairs, reject near-threshold real pairs") {
+    val a = Array.fill(16)(0.5f)
+    val aDup = a.clone()
+    val nearA = a.clone(); nearA(0) = 0.62f // cosine ~0.997, not identical
+    val far = Array.fill(16)(0.5f); far(0) = -8.0f
+    // silent corpus (plus a bit-identical clone — deterministic, allowed)
+    val ok = Seq((1L, a), (2L, aDup), (3L, far)).toDF("vec_id", "embedding")
+    graft.ops.Similarity.requireSilentAbove(ok, 0.9, "ok fixture")
+    graft.ops.Similarity.requireCrossSilentAbove(
+      ok.filter(col("vec_id") === 3), ok.filter(col("vec_id") =!= 3),
+      0.9, "ok cross fixture")
+    // a real near-threshold, NOT bit-identical pair breaks the gate contract
+    val bad = Seq((1L, a), (2L, nearA)).toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ops.Similarity.requireSilentAbove(bad, 0.9, "bad fixture")
+    }
+    assert(e1.getMessage.contains("bad fixture"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Similarity.requireCrossSilentAbove(
+        bad.filter(col("vec_id") === 1), bad.filter(col("vec_id") === 2),
+        0.9, "bad cross fixture")
+    }
+    assert(e2.getMessage.contains("bad cross fixture"))
+  }
+
   test("rankingMetrics computes MRR and NDCG@k against the exact top-k") {
     val exact = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
       (2L, 20L, 1L), (2L, 21L, 2L)).toDF("q_id", "c_id", "rank")
