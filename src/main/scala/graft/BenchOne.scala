@@ -97,6 +97,24 @@ object BenchOne {
         bench.unpersist()
         s.range(1).toDF()
       }),
+      // IVF-PQ at DEPLOYMENT parameters (nCells ~ sqrt(n), wider probe):
+      // the gated q132/q133 fix nCells=16 for oracle tractability, which at
+      // the 100x replica means every probe sweeps 1/16th of the corpus —
+      // these probes show the same plan at the nlist a real index would use
+      "x_ivfpq_deploy" -> ((s, dir) => {
+        val e = Cohorts.embeddings(s, dir)
+        graft.ops.Similarity.ivfPqTopK(e,
+          e.filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0),
+          10, nCells = 256, nProbe = 8)
+      }),
+      "x_ann_ingest_deploy" -> ((s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val e = Cohorts.embeddings(s, dir)
+        val idx = graft.ops.Similarity.buildIvfPqIndex(
+          e.filter(col("vec_id") % 3 =!= 0), nCells = 256)
+        idx.append(e.filter(col("vec_id") % 3 === 0))
+          .search(e.filter(col("vec_id") % 50 === 0), 10, nProbe = 8)
+      }),
       // cosine top-k: pruned (quadratic x-interval band) vs dense plan
       "x_cosine_banded" -> ((s, dir) => {
         val (c, nc) = Cohorts.cohorts(s, dir)

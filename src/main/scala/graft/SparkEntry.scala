@@ -29,13 +29,26 @@ object SparkEntry {
   private def silenceOnce(key: String)(check: => Unit): Unit =
     if (!silenceChecked.contains(key)) { check; silenceChecked.add(key) }
 
-  /** The shared q60/q111/q127 precondition: no real embeddings pair in
-    * [0.9, 1) that is not bit-identical. */
+  /** The exact silence kernel is O(n²) by design (gate tooling, not a
+    * production operator); it exists to validate the DRIVER's testdata
+    * fixtures, which top out at ~2k vectors (sf0.1). Corpora above this
+    * cap — dev stress replicas, where no oracle comparison happens — skip
+    * the assertion rather than pay a quadratic kernel to validate a
+    * fixture nothing is hash-compared against. */
+  private val SilenceCheckCap = 10000L
+
+  /** The shared q60/q111/q127/q129 precondition: no real embeddings pair
+    * in [0.9, 1) that is not bit-identical (q129's planted clones inherit
+    * bench×bench similarities, so the SELF check over the whole table is
+    * the complete precondition for it too). */
   private def requireEmbedSelfSilence(s: SparkSession, dir: String,
                                       gate: String): Unit =
-    silenceOnce(s"self0.9@$dir")(
-      Similarity.requireSilentAbove(Cohorts.embeddings(s, dir), 0.9,
-        s"$gate fixture-silence precondition"))
+    silenceOnce(s"self0.9@$dir") {
+      val e = Cohorts.embeddings(s, dir)
+      if (e.count() <= SilenceCheckCap)
+        Similarity.requireSilentAbove(e, 0.9,
+          s"$gate fixture-silence precondition")
+    }
 
   private def cohortPair(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     Cohorts.cohorts(s, dir)
