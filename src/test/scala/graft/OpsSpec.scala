@@ -1534,6 +1534,33 @@ class OpsSpec extends SparkSpec {
     } finally { q.stop(); idx.unpersist() }
   }
 
+  test("searchIvfPq over an index restored from parquet equals the fresh search") {
+    val rng = new scala.util.Random(43)
+    val protos = Array.fill(4)(Array.fill(16)(rng.nextFloat() * 2 - 1))
+    val corpus = (0L until 160L).map { i =>
+      val p = protos((i % 4).toInt)
+      (i, p.map(x => x + 0.05f * (rng.nextFloat() - 0.5f)))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 40 === 0)
+    val idx = graft.ops.Similarity.buildIvfPqIndex(corpus,
+      nCells = 4, m = 4, kCents = 8)
+    val fresh = idx.search(queries, 5, nProbe = 2).collect().toSeq
+    // the encoded relation is plain columnar data: write it out, read it
+    // back, search against the SAME frozen quantizers — the deployment
+    // restore path (no refit, no re-encode)
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+    try {
+      idx.index.write.mode("overwrite").parquet(s"$dir/index.parquet")
+      idx.unpersist()
+      val restored = spark.read.parquet(s"$dir/index.parquet")
+      val got = graft.ops.Similarity.searchIvfPq(restored, idx.cents,
+        idx.books, queries, 5, nProbe = 2).collect().toSeq
+      assert(got == fresh)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("AnnIndex.unpersist releases every pinned relation (build + appends)") {
     spark.catalog.clearCache()
     val rng = new scala.util.Random(41)
