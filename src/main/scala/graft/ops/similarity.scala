@@ -877,6 +877,63 @@ object Similarity {
         graft.Num.rnd(col("score"), 6).as("score"))
   }
 
+  /** Streaming twin of [[searchIvfPq]] — ONLINE ANN SERVING: queries
+    * arrive as a stream `(ingest_ts, vec_id, embedding)` and are answered
+    * against the STATIC index relation (persisted by
+    * [[buildIvfPqIndex]]/[[AnnIndex.append]] or restored from parquet).
+    * Emits each query's top-k `(q_id, c_id, rank, score)` exactly once
+    * when the watermark passes its ingest time.
+    *
+    * Plan: watermark → `dropDuplicatesWithinWatermark(vec_id)`
+    * (re-delivered queries collapse) → stateless LUT + nProbe probe-cell
+    * projection (per-row arithmetic against literal quantizers — nothing
+    * learned at query time) → stream-static cell equi-join against the
+    * index → codegen'd O(m) ADC fold → per-(ts, query) BOUNDED-HEAP top-k
+    * ([[graft.TopKAggregator]] as a hash aggregation: rank windows do not
+    * exist on streams, and the heap is the scale-proof form regardless —
+    * ≤ k candidates per query cross the shuffle instead of the full probed
+    * set) → explode to ranked rows. Ordering is bit-compatible with the
+    * batch ranking: the heap orders by (−rnd(score, 9), c_id), exactly the
+    * window's `rnd(score, 9) DESC, c_id ASC`; stream-vs-batch agreement is
+    * pinned by OpsSpec. State is the in-horizon query stream only — the
+    * index is never re-encoded, re-keyed, or held in state. */
+  def searchIvfPqStream(queries: DataFrame, index: DataFrame,
+                        cents: Array[Array[Double]],
+                        books: Array[Array[Array[Double]]],
+                        k: Int, nProbe: Int = AnnNProbe,
+                        watermark: String = "2 hours"): DataFrame = {
+    val c2 = cents.map(selfDot)
+    val d = books(0)(0).length
+    val lut = array(books.indices.map(mi =>
+      array(books(mi).indices.map(c =>
+        dotD(slice(col("q_emb"), mi * d + 1, d), lit(books(mi)(c)))): _*)): _*)
+    val probes = queries
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("vec_id")
+      .select(col("ingest_ts"), col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("q_emb"))
+      .select(col("ingest_ts"), col("q_id"), lut.as("lut"),
+        explode(slice(array_sort(array(cents.indices.map(i =>
+          struct(graft.Num.rnd(lit(c2(i)) - lit(2.0) * dotD(col("q_emb"), lit(cents(i))), 6).as("d2"),
+            lit(i).as("cell"))): _*)), 1, nProbe)).as("pc"))
+      .select(col("ingest_ts"), col("pc.cell").as("cell"), col("q_id"), col("lut"))
+    val scored = probes.join(index, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("score", org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.expr.PqAdcScore(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("lut")),
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("codes")))))
+    val agg = udaf(new graft.TopKAggregator(k))
+    scored
+      .groupBy(col("ingest_ts"), col("q_id"))
+      .agg(agg(-graft.Num.rnd(col("score"), 9), col("c_id"), col("score"))
+        .as("__topk"))
+      .select(col("q_id"), posexplode(col("__topk")).as(Seq("__pos", "__cand")))
+      .select(col("q_id"), col("__cand.cIdx").as("c_id"),
+        (col("__pos") + 1).cast("long").as("rank"),
+        graft.Num.rnd(col("__cand.cValue"), 6).as("score"))
+  }
+
   /** Per-label centroids of L2-NORMALIZED embeddings — mean pooling over a
     * class/cluster column, the building block for class prototypes,
     * nearest-centroid classification, and diversity-aware sampling.
@@ -980,6 +1037,14 @@ final class AnnIndex private[ops] (
   def search(queries: DataFrame, k: Int,
              nProbe: Int = Similarity.AnnNProbe): DataFrame =
     Similarity.searchIvfPq(index, cents, books, queries, k, nProbe)
+
+  /** Online serving: answer a STREAM of queries `(ingest_ts, vec_id,
+    * embedding)` against this index ([[Similarity.searchIvfPqStream]]). */
+  def searchStream(queries: DataFrame, k: Int,
+                   nProbe: Int = Similarity.AnnNProbe,
+                   watermark: String = "2 hours"): DataFrame =
+    Similarity.searchIvfPqStream(queries, index, cents, books, k, nProbe,
+      watermark)
 
   /** Release every relation this handle (and the handles it was appended
     * from) pinned. The index is unusable afterwards. */

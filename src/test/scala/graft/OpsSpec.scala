@@ -1534,6 +1534,44 @@ class OpsSpec extends SparkSpec {
     } finally { q.stop(); idx.unpersist() }
   }
 
+  test("searchIvfPqStream answers a query stream identically to the batch search") {
+    implicit val sq = spark.sqlContext
+    val rng = new scala.util.Random(47)
+    val protos = Array.fill(4)(Array.fill(16)(rng.nextFloat() * 2 - 1))
+    val corpus = (0L until 200L).map { i =>
+      val p = protos((i % 4).toInt)
+      (i, p.map(x => x + 0.05f * (rng.nextFloat() - 0.5f)))
+    }.toDF("vec_id", "embedding")
+    val idx = graft.ops.Similarity.buildIvfPqIndex(corpus,
+      nCells = 4, m = 4, kCents = 8)
+    val qRows = (0L until 200L by 25L).map { i =>
+      val p = protos((i % 4).toInt)
+      (1000L + i, p.map(x => x + 0.05f * (rng.nextFloat() - 0.5f)))
+    }
+    val ts = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000)
+    val stream = MemoryStream[(java.sql.Timestamp, Long, Array[Float])]
+    val q = idx.searchStream(
+        stream.toDF().toDF("ingest_ts", "vec_id", "embedding"), 5, nProbe = 2)
+      .writeStream.format("memory").queryName("ann_serve_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(qRows.zipWithIndex.map { case ((id, v), i) =>
+        (ts(i.toLong), id, v) }: _*)
+      // a re-delivered query inside the watermark collapses (exactly-once)
+      stream.addData((ts(50), qRows.head._1, qRows.head._2))
+      q.processAllAvailable()
+      stream.addData((ts(100000), 9999L, protos(0))) // watermark push
+      q.processAllAvailable()
+      val got = spark.table("ann_serve_out")
+        .filter(col("q_id") =!= 9999L)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val batch = idx.search(qRows.toDF("vec_id", "embedding"), 5, nProbe = 2)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got == batch && got.size == qRows.size * 5)
+      assert(got.map(_._1) == qRows.map(_._1).toSet) // every query answered once
+    } finally { q.stop(); idx.unpersist() }
+  }
+
   test("searchIvfPq over an index restored from parquet equals the fresh search") {
     val rng = new scala.util.Random(43)
     val protos = Array.fill(4)(Array.fill(16)(rng.nextFloat() * 2 - 1))
