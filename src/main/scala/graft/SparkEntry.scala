@@ -3047,6 +3047,105 @@ object SparkEntry {
           Similarity.cosineTopK(e, q, Similarity.AnnK),
           Similarity.ivfPqTopK(e, q, Similarity.AnnK), Similarity.AnnK)
       },
+      None),
+
+    // IVF-PQ + exact re-ranking — the FAISS refine stage: ADC retrieves
+    // refineFactor*k candidates, exact cosine re-scores ONLY those
+    // (candidate-keyed join back to the raw vectors, never a scan) — the
+    // standard fix for the quantization head-reordering q134/q135 measure.
+    // Oracle is GENERATED (ivfPqRefineOracle: the q132 chain's candidates
+    // + exact re-rank in SQL).
+    ("q136_ivfpq_refine",
+      (s: SparkSession, dir: String) => {
+        val e = Cohorts.embeddings(s, dir)
+        Similarity.ivfPqRefineTopK(e,
+          e.filter(col("vec_id") % Similarity.AnnQueryMod === 0),
+          Similarity.AnnK, Similarity.AnnRefine)
+      },
+      None),
+
+    // Snapshot delta audit — corpus versioning's diff step between two
+    // crawls/curation runs: per source, how many docs were added, removed,
+    // changed (content fingerprint differs) or unchanged. Snapshots are
+    // derived deterministically from the documents table (prev misses the
+    // %10 docs and carries modified text for the %7 docs; cur misses the
+    // %13 docs), so the gate exercises all four statuses.
+    ("q137_corpus_diff",
+      (s: SparkSession, dir: String) => {
+        val d = Cohorts.documents(s, dir)
+        val prev = d.filter(col("doc_id") % 10 =!= 0)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" v1"))).otherwise(col("text")))
+        val cur = d.filter(col("doc_id") % 13 =!= 0)
+        Profile.corpusDiff(prev, cur, "doc_id", Seq("text"), "source")
+      },
+      Some("""WITH o AS (SELECT doc_id, source,
+        |         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v1' ELSE text END) AS fp
+        |       FROM documents WHERE doc_id % 10 <> 0),
+        |c AS (SELECT doc_id, source, md5(text) AS fp
+        |      FROM documents WHERE doc_id % 13 <> 0),
+        |j AS (SELECT COALESCE(c.source, o.source) AS source,
+        |             CASE WHEN o.fp IS NULL THEN 'added'
+        |                  WHEN c.fp IS NULL THEN 'removed'
+        |                  WHEN o.fp <> c.fp THEN 'changed'
+        |                  ELSE 'unchanged' END AS status
+        |      FROM o FULL OUTER JOIN c ON o.doc_id = c.doc_id)
+        |SELECT source,
+        |       CAST(count(*) FILTER (WHERE status = 'added') AS BIGINT) AS n_added,
+        |       CAST(count(*) FILTER (WHERE status = 'removed') AS BIGINT) AS n_removed,
+        |       CAST(count(*) FILTER (WHERE status = 'changed') AS BIGINT) AS n_changed,
+        |       CAST(count(*) FILTER (WHERE status = 'unchanged') AS BIGINT) AS n_unchanged
+        |FROM j GROUP BY source""".stripMargin)),
+
+    // Distribution drift (PSI) between two event snapshots — the
+    // per-feature monitoring number between corpus versions: equal-width
+    // bins learned from the REFERENCE side's range, both sides
+    // histogrammed over those fixed bins (out-of-range current values
+    // clamp into the edge bins), per-bin add-one-smoothed PSI terms.
+    ("q138_dist_drift",
+      (s: SparkSession, dir: String) => {
+        val e = Cohorts.events(s, dir)
+        Profile.distributionDrift(
+          e.filter(col("event_id") % 3 =!= 0),
+          e.filter(col("event_id") % 3 === 0), "value", 10)
+      },
+      Some("""WITH s AS (SELECT min(value) AS mn, max(value) AS mx
+        |        FROM events WHERE event_id % 3 <> 0 AND value IS NOT NULL),
+        |rb AS (SELECT CAST(LEAST(GREATEST(FLOOR((value - mn) / ((mx - mn) / 10.0)), 0), 9) AS BIGINT) AS bin
+        |       FROM events, s WHERE event_id % 3 <> 0 AND value IS NOT NULL),
+        |cb AS (SELECT CAST(LEAST(GREATEST(FLOOR((value - mn) / ((mx - mn) / 10.0)), 0), 9) AS BIGINT) AS bin
+        |       FROM events, s WHERE event_id % 3 = 0 AND value IS NOT NULL),
+        |sp AS (SELECT unnest(range(10)) AS bin),
+        |rc AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_ref FROM rb GROUP BY bin),
+        |cc AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_cur FROM cb GROUP BY bin),
+        |j AS (SELECT sp.bin, COALESCE(rc.n_ref, 0) AS n_ref, COALESCE(cc.n_cur, 0) AS n_cur
+        |      FROM sp LEFT JOIN rc ON sp.bin = rc.bin LEFT JOIN cc ON sp.bin = cc.bin),
+        |t AS (SELECT bin, n_ref, n_cur,
+        |             sum(n_ref) OVER () AS tr, sum(n_cur) OVER () AS tc FROM j)
+        |SELECT bin,
+        |       ROUND(1e-9 + mn + bin * ((mx - mn) / 10.0), 4) AS bin_lo,
+        |       ROUND(1e-9 + mn + (bin + 1) * ((mx - mn) / 10.0), 4) AS bin_hi,
+        |       n_ref, n_cur,
+        |       ROUND(1e-9 + (CAST(n_ref + 1 AS DOUBLE) / (tr + 10)
+        |                     - CAST(n_cur + 1 AS DOUBLE) / (tc + 10))
+        |             * ln((CAST(n_ref + 1 AS DOUBLE) / (tr + 10))
+        |                  / (CAST(n_cur + 1 AS DOUBLE) / (tc + 10))), 6) AS psi_term
+        |FROM t, s""".stripMargin)),
+
+    // ANN index drift monitor — the retrain trigger closing the index
+    // lifecycle (build q132 → ingest q133 → restore/serve → MONITOR):
+    // per-vector PQ quantization error against codebooks FROZEN on the
+    // pre-ingest base, aggregated per side; a drop row materially above
+    // the base row says the frozen quantizers stopped fitting the incoming
+    // distribution. Oracle is GENERATED (indexDriftOracle: the base-side
+    // codebook literals, encode-error + per-side stats in SQL).
+    ("q139_index_drift",
+      (s: SparkSession, dir: String) => {
+        val e = Cohorts.embeddings(s, dir)
+        Similarity.indexDriftReport(
+          e.filter(col("vec_id") % Similarity.AnnIngestMod =!= 0),
+          e.filter(col("vec_id") % Similarity.AnnIngestMod === 0))
+      },
       None)
   )
 
@@ -3302,6 +3401,61 @@ object SparkEntry {
        |FROM r WHERE rank <= ${Similarity.AnnK}""".stripMargin
   }
 
+  /** q136's oracle: the q132 chain truncated at AnnRefine·AnnK candidates,
+    * then the exact cosine re-rank — the refine stage replayed in SQL over
+    * the same full-corpus refit literals. */
+  private def ivfPqRefineOracle(dir: String): String = {
+    val e = Cohorts.embeddings(SparkSession.active, dir)
+    s"""WITH ${ivfPqRankCtes(Similarity.ivfCentroids(e), Similarity.pqCodebooks(e))},
+       |cnd AS (SELECT q_id, c_id FROM r
+       |        WHERE rank <= ${Similarity.AnnK * Similarity.AnnRefine}),
+       |rr AS (SELECT cnd.q_id, cnd.c_id,
+       |              list_cosine_similarity(qe.v, ce.v) AS sim
+       |       FROM cnd JOIN e qe ON qe.vec_id = cnd.q_id
+       |       JOIN e ce ON ce.vec_id = cnd.c_id),
+       |rf AS (SELECT q_id, c_id, sim, CAST(row_number() OVER (
+       |         PARTITION BY q_id ORDER BY round(1e-9 + sim, 9) DESC, c_id)
+       |         AS BIGINT) AS rank FROM rr)
+       |SELECT q_id, c_id, rank, ROUND(1e-9 + sim, 6) AS sim
+       |FROM rf WHERE rank <= ${Similarity.AnnK}""".stripMargin
+  }
+
+  /** q139's oracle: the BASE-side codebook fit replayed as literals, the
+    * per-vector quantization error (per-subspace rounded d² incl. the
+    * ‖sub‖² term, min per subspace, 6 dp-rounded sum) and the per-side
+    * stats — the [[Similarity.indexDriftReport]] arithmetic in SQL. */
+  private def indexDriftOracle(dir: String): String = {
+    val e = Cohorts.embeddings(SparkSession.active, dir)
+    val books = Similarity.pqCodebooks(
+      e.filter(col("vec_id") % Similarity.AnnIngestMod =!= 0))
+    val m = books.length
+    val d = books(0)(0).length
+    val rows = (for { mi <- books.indices; c <- books(mi).indices } yield
+      s"($mi, [${books(mi)(c).map(_.toString).mkString(", ")}]::DOUBLE[], " +
+        s"${Similarity.selfDot(books(mi)(c)).toString})").mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents(m, c, c2) AS (VALUES
+       |$rows),
+       |ms AS (SELECT unnest(range($m)) AS m),
+       |sub AS (SELECT vec_id, m, list_slice(v, m * $d + 1, m * $d + $d) AS sv
+       |        FROM e CROSS JOIN ms),
+       |ad AS (SELECT vec_id, sub.m,
+       |              ROUND(1e-9 + list_inner_product(sv, sv) + c2
+       |                    - 2 * list_inner_product(sv, c), 6) AS d2
+       |       FROM sub JOIN cents ON sub.m = cents.m),
+       |mn AS (SELECT vec_id, m, min(d2) AS md FROM ad GROUP BY vec_id, m),
+       |er AS (SELECT vec_id, ROUND(1e-9 + sum(md), 6) AS err2
+       |       FROM mn GROUP BY vec_id),
+       |vn AS (SELECT vec_id, list_inner_product(v, v) AS n2 FROM e)
+       |SELECT CASE WHEN er.vec_id % ${Similarity.AnnIngestMod} = 0
+       |            THEN 'drop' ELSE 'base' END AS side,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       ROUND(1e-9 + avg(err2), 6) AS mean_err2,
+       |       ROUND(1e-9 + quantile_cont(err2, 0.95), 6) AS p95_err2,
+       |       ROUND(1e-9 + avg(err2 / n2), 6) AS mean_rel_err2
+       |FROM er JOIN vn USING (vec_id) GROUP BY 1""".stripMargin
+  }
+
   /** q135's oracle: MRR/NDCG@k of the IVF-PQ ranking ([[ivfPqRankCtes]],
     * same full-corpus refit literals as q132) against the exact cosine
     * top-k — the q131 aggregation over the generated approximate side. */
@@ -3335,5 +3489,7 @@ object SparkEntry {
       oracleDataDir.map(dir => "q132_ivfpq_topk" -> ivfPqOracle(dir)) ++
       oracleDataDir.map(dir => "q133_ann_ingest" -> annIngestOracle(dir)) ++
       oracleDataDir.map(dir => "q134_pq_recall" -> pqRecallOracle(dir)) ++
-      oracleDataDir.map(dir => "q135_ivfpq_ranking" -> ivfPqRankingOracle(dir))
+      oracleDataDir.map(dir => "q135_ivfpq_ranking" -> ivfPqRankingOracle(dir)) ++
+      oracleDataDir.map(dir => "q136_ivfpq_refine" -> ivfPqRefineOracle(dir)) ++
+      oracleDataDir.map(dir => "q139_index_drift" -> indexDriftOracle(dir))
 }

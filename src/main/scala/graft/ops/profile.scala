@@ -118,4 +118,152 @@ object Profile {
   def columnProfileApprox(df: DataFrame, cols: Seq[String],
                           rsd: Double = 0.02): DataFrame =
     profileWith(df, cols, approx_count_distinct(_, rsd))
+
+  /** Snapshot delta audit — corpus versioning's diff step: given two
+    * snapshots of the same corpus (last crawl vs this crawl, last curation
+    * run vs this one), per `groupCol` the counts of rows ADDED (id only in
+    * `cur`), REMOVED (id only in `prev`), CHANGED (id in both, content
+    * fingerprint differs) and UNCHANGED. The churn report every periodic
+    * re-crawl pipeline runs before deciding what to re-process downstream
+    * (re-embed / re-dedup only the added+changed slice).
+    *
+    * Content identity is an md5 fingerprint of `contentCols` (concat_ws
+    * with a U+0001 separator — null columns are skipped, concat_ws
+    * semantics), computed MAP-SIDE so the id-keyed full-outer join carries
+    * a 32-char digest per row, never the document bodies; both sides
+    * shuffle co-partitioned on the id. One scan per snapshot, one join,
+    * one |groups|-row fold — scan-bound at any corpus size. */
+  def corpusDiff(prev: DataFrame, cur: DataFrame, idCol: String,
+                 contentCols: Seq[String], groupCol: String): DataFrame = {
+    require(contentCols.nonEmpty, "corpusDiff needs at least one content column")
+    def fp(df: DataFrame, p: String) = df.select(
+      raw(idCol).as("__id"),
+      raw(groupCol).as(s"${p}grp"),
+      md5(concat_ws("\u0001",
+        contentCols.map(c => raw(c).cast("string")): _*)).as(s"${p}fp"))
+    fp(prev, "o_").join(fp(cur, "c_"), Seq("__id"), "full_outer")
+      .select(coalesce(col("c_grp"), col("o_grp")).as(groupCol),
+        when(col("o_fp").isNull, "added")
+          .when(col("c_fp").isNull, "removed")
+          .when(col("o_fp") =!= col("c_fp"), "changed")
+          .otherwise("unchanged").as("__status"))
+      .groupBy(groupCol)
+      .agg(
+        count(when(col("__status") === "added", 1)).as("n_added"),
+        count(when(col("__status") === "removed", 1)).as("n_removed"),
+        count(when(col("__status") === "changed", 1)).as("n_changed"),
+        count(when(col("__status") === "unchanged", 1)).as("n_unchanged"))
+  }
+
+  /** Distribution drift (PSI) between two snapshots of a numeric column —
+    * the monitoring number data-quality dashboards track per feature
+    * between corpus versions: bin the REFERENCE snapshot's value range
+    * into `bins` equal-width buckets, histogram both sides over those
+    * FIXED bins (current-side values outside the reference range clamp
+    * into the edge bins — out-of-range mass IS the drift signal), and
+    * report the per-bin Population Stability Index term
+    * `(p−q)·ln(p/q)` under add-one (Laplace) smoothing
+    * `p = (n+1)/(N+bins)` — exact integer-derived rationals, so the terms
+    * are engine-stable after the 6 dp rounding. Σ psi_term < 0.1 is the
+    * classic "no shift" reading; the per-bin rows localize WHERE the mass
+    * moved. Every bin 0..bins−1 is emitted (zero counts included — the
+    * smoothed term still contributes).
+    *
+    * Plan shape: the reference min/max is one 1-row aggregate collected as
+    * driver scalars (sanctioned bounded collect — learned-threshold
+    * precedent) and replayed as literals, so each side is ONE scan + one
+    * `bins`-group partial-aggregated fold; the bin spine and the two
+    * count relations (≤ bins rows each) join broadcast. Degenerate
+    * reference (min = max or empty) puts all mass in bin 0. */
+  def distributionDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+                        bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val vals = ref.select(raw(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val head = vals.agg(min(col("__v")).as("mn"), max(col("__v")).as("mx"))
+      .head()
+    val (mn, mx) =
+      if (head.isNullAt(0)) (0.0, 0.0) else (head.getDouble(0), head.getDouble(1))
+    val w = (mx - mn) / bins.toDouble
+    def binned(df: DataFrame, name: String) = df
+      .select(raw(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .withColumn("bin",
+        if (w == 0.0) lit(0L)
+        else least(greatest(floor((col("__v") - lit(mn)) / lit(w)), lit(0L)),
+          lit(bins - 1L)).cast("long"))
+      .groupBy("bin").agg(count(lit(1)).as(name))
+    val spark = ref.sparkSession
+    val spine = spark.range(bins).select(col("id").as("bin"))
+    val joined = spine
+      .join(broadcast(binned(ref, "__nr")), Seq("bin"), "left")
+      .join(broadcast(binned(cur, "__nc")), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("__nr"), lit(0L)).as("n_ref"),
+        coalesce(col("__nc"), lit(0L)).as("n_cur"))
+    // totals as a window over the ≤bins-row joined relation: one exchange
+    // of bins rows, NO recompute of the two side scans (an agg+cross-join
+    // here would re-run both binned plans)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    val p = (col("n_ref") + 1).cast("double") / (col("__tr") + bins).cast("double")
+    val q = (col("n_cur") + 1).cast("double") / (col("__tc") + bins).cast("double")
+    joined
+      .withColumn("__tr", sum("n_ref").over(wAll))
+      .withColumn("__tc", sum("n_cur").over(wAll))
+      .select(col("bin"),
+        graft.Num.rnd(lit(mn) + col("bin") * lit(w), 4).as("bin_lo"),
+        graft.Num.rnd(lit(mn) + (col("bin") + 1) * lit(w), 4).as("bin_hi"),
+        col("n_ref"), col("n_cur"),
+        graft.Num.rnd((p - q) * log(p / q), 6).as("psi_term"))
+  }
+
+  /** Streaming twin of [[distributionDrift]] — live feed monitoring: a
+    * stream of `(tsCol, valueCol)` rows is scored per event-time tumbling
+    * window against a FROZEN reference histogram (`mn`/`mx`/`refCounts`
+    * computed once from the reference snapshot batch-side and passed as
+    * literals — the winsorizeWithBounds / frozen-codebook discipline), so
+    * each emitted window says how far that hour's value distribution has
+    * drifted from the reference. Same bin math and add-one-smoothed PSI
+    * terms as the batch form.
+    *
+    * Plan shape: ONE windowed aggregation — the per-bin counts are `bins`
+    * conditional-sum columns in a single agg (the q94 pivot trade; a
+    * groupBy(window, bin) would need a second per-window total
+    * aggregation, which streams don't chain), watermark-sealed append
+    * emission, state O(live windows). The per-bin explode is a stateless
+    * projection after the agg. Works identically on a batch frame
+    * (`window()` groups, the watermark is a no-op) — OpsSpec pins
+    * stream-vs-batch agreement. */
+  def distributionDriftStream(cur: DataFrame, valueCol: String, tsCol: String,
+                              mn: Double, mx: Double, refCounts: Array[Long],
+                              windowDur: String = "1 hour",
+                              watermark: String = "2 hours"): DataFrame = {
+    val bins = refCounts.length
+    require(bins >= 1, s"refCounts must have at least one bin")
+    val w = (mx - mn) / bins.toDouble
+    val nRefTot = refCounts.sum
+    val binCol =
+      if (w == 0.0) lit(0L)
+      else least(greatest(floor((col("__v") - lit(mn)) / lit(w)), lit(0L)),
+        lit(bins - 1L)).cast("long")
+    val counts = cur
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol).as("__ts"), raw(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .withColumn("__bin", binCol)
+      .groupBy(window(col("__ts"), windowDur))
+      .agg(sum(when(col("__bin") === 0L, 1L).otherwise(0L)).as("__b0"),
+        (1 until bins).map(i =>
+          sum(when(col("__bin") === i.toLong, 1L).otherwise(0L)).as(s"__b$i")): _*)
+    val tc = (0 until bins).map(i => col(s"__b$i")).reduceLeft(_ + _)
+    val entries = array((0 until bins).map { i =>
+      val p = lit((refCounts(i) + 1).toDouble / (nRefTot + bins).toDouble)
+      val q = (col(s"__b$i") + 1).cast("double") / (col("__tc") + bins).cast("double")
+      struct(lit(i.toLong).as("bin"), col(s"__b$i").as("n_cur"),
+        graft.Num.rnd((p - q) * log(p / q), 6).as("psi_term"))
+    }: _*)
+    counts.withColumn("__tc", tc)
+      .select(col("window.start").as("window_start"), explode(entries).as("__e"))
+      .select(col("window_start"), col("__e.bin").as("bin"),
+        col("__e.n_cur").as("n_cur"), col("__e.psi_term").as("psi_term"))
+  }
 }

@@ -29,11 +29,14 @@ object Similarity {
     *  - [[AnnNProbe]]: IVF probe count ([[ivfTopK]]/[[ivfPqTopK]] default).
     *  - [[AnnIngestMod]]: the q133 incremental-ingest split — quantizers
     *    fit on `vec_id % AnnIngestMod != 0`, the rest arrives as the drop.
+    *  - [[AnnRefine]]: q136's refine factor — ADC retrieves
+    *    AnnRefine·AnnK candidates before the exact re-rank.
     */
   val AnnQueryMod = 50
   val AnnK = 10
   val AnnNProbe = 4
   val AnnIngestMod = 3
+  val AnnRefine = 4
 
   /** Sequential dot product via the codegen'd kernel
     * ([[graft.expr.DotProduct]]) — same left-to-right accumulation as the
@@ -877,6 +880,38 @@ object Similarity {
         graft.Num.rnd(col("score"), 6).as("score"))
   }
 
+  /** IVF-PQ search with an EXACT RE-RANKING stage — the FAISS refine
+    * pattern, and the standard fix for the quantization-distortion head
+    * reordering the q134/q135 audits measure: the ADC index retrieves
+    * `refineFactor`·k candidates per query from the probed cells (cheap,
+    * code-priced), then ONLY those candidates are re-scored by exact
+    * cosine against the raw embeddings — a candidate-keyed equi-join back
+    * to the corpus, O(|Q|·refineFactor·k) raw-vector reads however large
+    * the corpus, never a scan — and re-ranked to the final top-k. Output
+    * ranks by exact similarity (`sim`, the [[cosineTopK]] convention), so
+    * [[annRecall]] against the exact ranking measures pure CANDIDATE
+    * recall: every true neighbor the ADC stage admits lands in the right
+    * order. Both quantizer fits are the deterministic q132 ones; the
+    * generated q136 oracle replays ADC candidates + exact re-rank in SQL.
+    *
+    * Cache contract: same as [[ivfPqTopK]] (caller frees the pinned code
+    * index; use [[buildIvfPqIndex]] in long-lived sessions). */
+  def ivfPqRefineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                      refineFactor: Int = 4,
+                      nCells: Int = 16, nProbe: Int = AnnNProbe,
+                      m: Int = 8, kCents: Int = 16, seed: Long = 42L,
+                      fitSampleCap: Long = 65536): DataFrame = {
+    require(refineFactor >= 1, s"refineFactor must be >= 1, got $refineFactor")
+    val idx = buildIvfPqIndex(corpus, nCells, m, kCents, seed, fitSampleCap)
+    val cand = idx.search(queries, k * refineFactor, nProbe)
+      .select("q_id", "c_id")
+    val joined = cand
+      .join(prep(corpus, "c_"), "c_id")
+      .join(prep(queries, "q_"), "q_id")
+      .withColumn("sim", dotD(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+    ranked(joined, k)
+  }
+
   /** Streaming twin of [[searchIvfPq]] — ONLINE ANN SERVING: queries
     * arrive as a stream `(ingest_ts, vec_id, embedding)` and are answered
     * against the STATIC index relation (persisted by
@@ -932,6 +967,55 @@ object Similarity {
       .select(col("q_id"), col("__cand.cIdx").as("c_id"),
         (col("__pos") + 1).cast("long").as("rank"),
         graft.Num.rnd(col("__cand.cValue"), 6).as("score"))
+  }
+
+  /** Index-staleness drift audit — the MONITOR leg of the ANN index
+    * lifecycle (build → ingest → restore → serve → monitor), and the
+    * retrain trigger: quantizers frozen at build time slowly stop fitting
+    * a drifting embedding stream (new model checkpoints, new domains), and
+    * the first observable symptom is rising QUANTIZATION ERROR on the
+    * ingested side. For each side — `base` (the population the codebooks
+    * were fit on) and `drop` (vectors ingested later against the FROZEN
+    * codebooks, the [[encodeIvfPq]]/q133 discipline) — reports the
+    * per-vector PQ reconstruction error distribution: n, mean and p95 of
+    * err² = Σ_m min_cell ‖v_m − c_{m,cell}‖² (each subspace term rounded
+    * 6 dp before the min/sum, the [[pqCodesCol]] convention, so the
+    * numbers replay identically in any engine), plus the norm-normalized
+    * mean err²/‖v‖². A drop row materially above the base row says the
+    * frozen codebooks no longer cover the incoming distribution — refit
+    * ([[buildIvfPqIndex]]) and re-encode.
+    *
+    * Plan shape: ONE union scan; the error is a pure per-row map
+    * expression over literal centroids (no join, no code relation), then a
+    * single 2-group partial-aggregated fold — scan-bound at any corpus
+    * size. The fit is the usual sample-capped driver-local Lloyd. */
+  def indexDriftReport(base: DataFrame, drop: DataFrame,
+                       m: Int = 8, kCents: Int = 16, seed: Long = 42L,
+                       fitSampleCap: Long = 65536): DataFrame = {
+    val books = pqCodebooks(base, m, kCents, seed, fitSampleCap)
+    val d = books(0)(0).length
+    def errCol(emb: Column): Column = {
+      val terms = books.indices.map { mi =>
+        val sub = slice(emb, mi * d + 1, d)
+        array_min(array(books(mi).indices.map { c =>
+          graft.Num.rnd(
+            dotD(sub, sub) + lit(selfDot(books(mi)(c)))
+              - lit(2.0) * dotD(sub, lit(books(mi)(c))), 6)
+        }: _*))
+      }
+      // ascending-m left fold of 6 dp-rounded terms: any engine's sum
+      // order agrees far inside the final rounding guard
+      graft.Num.rnd(terms.reduceLeft(_ + _), 6)
+    }
+    prep(base, "c_").withColumn("side", lit("base"))
+      .unionByName(prep(drop, "c_").withColumn("side", lit("drop")))
+      .select(col("side"), errCol(col("c_emb")).as("err2"),
+        dotD(col("c_emb"), col("c_emb")).as("__n2"))
+      .groupBy("side")
+      .agg(count(lit(1)).as("n"),
+        graft.Num.rnd(avg(col("err2")), 6).as("mean_err2"),
+        graft.Num.rnd(expr("percentile(err2, 0.95)"), 6).as("p95_err2"),
+        graft.Num.rnd(avg(col("err2") / col("__n2")), 6).as("mean_rel_err2"))
   }
 
   /** Per-label centroids of L2-NORMALIZED embeddings — mean pooling over a

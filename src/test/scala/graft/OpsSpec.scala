@@ -1534,6 +1534,30 @@ class OpsSpec extends SparkSpec {
     } finally { q.stop(); idx.unpersist() }
   }
 
+  test("ivfPqRefineTopK recovers the exact ranking once the refine pool covers the probed cells") {
+    val rng = new scala.util.Random(53)
+    val protos = Array.fill(4)(Array.fill(16)(rng.nextFloat() * 2 - 1))
+    val corpus = (0L until 200L).map { i =>
+      val p = protos((i % 4).toInt)
+      (i, p.map(x => x + 0.05f * (rng.nextFloat() - 0.5f)))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 20 === 0)
+    // refineFactor 10 => 50 ADC candidates per query = the full own-cluster
+    // cell: the exact re-rank then sees every true neighbor (clusters are
+    // tight and disjoint, so the exact top-5 is in-cluster), making refine
+    // ranks IDENTICAL to the brute-force exact ranking — quantization
+    // distortion fully repaired, only cell pruning could still lose (and
+    // doesn't, because the query's own cell is always its nearest)
+    val refined = graft.ops.Similarity.ivfPqRefineTopK(corpus, queries, 5,
+      refineFactor = 10, nCells = 4, nProbe = 2, m = 4, kCents = 8)
+    val exact = graft.ops.Similarity.cosineTopK(corpus, queries, 5)
+    assert(refined.collect().toSeq.sortBy(r => (r.getLong(0), r.getLong(2))) ==
+      exact.collect().toSeq.sortBy(r => (r.getLong(0), r.getLong(2))))
+    val again = graft.ops.Similarity.ivfPqRefineTopK(corpus, queries, 5,
+      refineFactor = 10, nCells = 4, nProbe = 2, m = 4, kCents = 8)
+    assert(refined.collect().toSeq == again.collect().toSeq)
+  }
+
   test("searchIvfPqStream answers a query stream identically to the batch search") {
     implicit val sq = spark.sqlContext
     val rng = new scala.util.Random(47)
@@ -2546,5 +2570,110 @@ class OpsSpec extends SparkSpec {
     val again = Similarity.hardNegativesBanded(corpus, queries, 5, 0.1, 0.9)
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(banded.toSet == again.toSet)
+  }
+
+  test("corpusDiff classifies added/removed/changed/unchanged per group") {
+    val prev = Seq((1L, "alpha", "s1"), (2L, "beta", "s1"), (3L, "gamma", "s2"),
+      (4L, "delta", "s2"))
+      .toDF("doc_id", "text", "source")
+    val cur = Seq((1L, "alpha", "s1"), (2L, "beta CHANGED", "s1"),
+      (4L, "delta", "s2"), (5L, "epsilon", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = Profile.corpusDiff(prev, cur, "doc_id", Seq("text"), "source")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // s1: doc 1 unchanged, doc 2 changed; s2: doc 3 removed, doc 4
+    // unchanged, doc 5 added
+    assert(out == Seq(("s1", 0L, 0L, 1L, 1L), ("s2", 1L, 1L, 0L, 1L)))
+  }
+
+  test("distributionDrift emits every bin, clamps out-of-range, and is ~0 on identical sides") {
+    val ref = (0 until 100).map(i => i.toDouble).toDF("value")
+    val same = Profile.distributionDrift(ref, ref, "value", 10)
+      .as[(Long, Double, Double, Long, Long, Double)].collect().toSeq
+    assert(same.map(_._1).sorted == (0L until 10L))
+    assert(same.forall { case (_, _, _, nr, nc, psi) =>
+      nr == 10L && nc == 10L && math.abs(psi) < 1e-9 })
+    // shifted+out-of-range current side: values ≥ ref max clamp into the
+    // top bin, total PSI is clearly positive
+    val cur = (0 until 100).map(i => i.toDouble + 150.0).toDF("value")
+    val drift = Profile.distributionDrift(ref, cur, "value", 10)
+      .as[(Long, Double, Double, Long, Long, Double)].collect().toSeq
+    assert(drift.find(_._1 == 9L).get._5 == 100L) // all cur mass in top bin
+    assert(drift.map(_._6).sum > 1.0)
+    // bin edges span the REFERENCE range
+    assert(drift.find(_._1 == 0L).get._2 == 0.0)
+    assert(drift.find(_._1 == 9L).get._3 == 99.0)
+  }
+
+  test("distributionDriftStream scores windows against frozen reference bins, equal to batch") {
+    implicit val sq = spark.sqlContext
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // frozen reference: uniform over [0, 100) in 5 bins, 20 per bin
+    val mn = 0.0; val mx = 100.0
+    val refCounts = Array.fill(5)(20L)
+    // w1 matches the reference; w2 is shifted high (mass clamps into the
+    // top bin); the flush row seals both
+    val w1 = (0 until 50).map(i => (ts("2024-05-01 10:00:10"), i * 2.0))
+    val w2 = (0 until 50).map(i => (ts("2024-05-01 11:10:00"), 95.0 + i))
+    val flush = Seq((ts("2030-01-01 00:00:00"), 1.0))
+    val stream = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = Profile.distributionDriftStream(
+        stream.toDS().toDF("ts", "value"), "value", "ts", mn, mx, refCounts,
+        windowDur = "1 hour", watermark = "1 hour")
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(w1, w2, flush).foreach { b => stream.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("drift_out")
+        .select(col("window_start").cast("long"), col("bin"), col("n_cur"),
+          col("psi_term"))
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      // exactly-once, all 5 bins per sealed window
+      assert(streamed.map(r => (r._1, r._2)).distinct.size == streamed.size)
+      assert(streamed.count(_._1 == ts("2024-05-01 10:00:00").getTime / 1000) == 5)
+      // the in-range window barely drifts; the shifted window's top bin
+      // carries clear positive PSI mass
+      val w1psi = streamed.filter(_._1 == ts("2024-05-01 10:00:00").getTime / 1000)
+      assert(math.abs(w1psi.map(_._4).sum) < 0.01)
+      val w2rows = streamed.filter(_._1 == ts("2024-05-01 11:00:00").getTime / 1000)
+      assert(w2rows.find(_._2 == 4L).get._3 == 50L) // all mass clamped high
+      assert(w2rows.map(_._4).sum > 1.0)
+      // batch agreement: same function over the same rows as a batch frame
+      val batch = Profile.distributionDriftStream(
+          (w1 ++ w2 ++ flush).toDF("ts", "value"), "value", "ts",
+          mn, mx, refCounts, windowDur = "1 hour", watermark = "1 hour")
+        .select(col("window_start").cast("long"), col("bin"), col("n_cur"),
+          col("psi_term"))
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      // stream output misses only the unsealed flush window
+      val sealedBatch = batch.filterNot(_._1 == ts("2030-01-01 00:00:00").getTime / 1000)
+      assert(streamed.toSet == sealedBatch.toSet)
+    } finally q.stop()
+  }
+
+  test("indexDriftReport flags off-manifold ingest with higher quantization error") {
+    val rng2 = new scala.util.Random(59)
+    val protos = Array.fill(4)(Array.fill(16)(rng2.nextFloat() * 2 - 1))
+    // base: tight around the prototypes the codebooks will be fit on
+    val base = (0L until 150L).map { i =>
+      val p = protos((i % 4).toInt)
+      (i, p.map(x => x + 0.02f * (rng2.nextFloat() - 0.5f)))
+    }.toDF("vec_id", "embedding")
+    // drop: drawn far off the base manifold — frozen codebooks misfit it
+    val drop = (1000L until 1100L).map { i =>
+      (i, Array.fill(16)(rng2.nextFloat() * 4 - 2))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.indexDriftReport(base, drop, m = 4, kCents = 8)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("base")._2 == 150L && out("drop")._2 == 100L)
+    assert(out("drop")._3 > 4 * out("base")._3) // mean err² clearly higher
+    assert(out("drop")._4 > out("base")._4)     // p95 too
+    assert(out("base")._3 >= 0.0 && out("base")._5 >= 0.0)
+    val again = Similarity.indexDriftReport(base, drop, m = 4, kCents = 8)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(again == out) // deterministic fit + stable rounding
   }
 }
