@@ -107,6 +107,32 @@ object BenchOne {
           e.filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0),
           10, nCells = 256, nProbe = 8)
       }),
+      // Replica-scale ANN audits on a FIXED QUERY SAMPLE (VERDICT r11 #5):
+      // the gated q134/q135 run their exact ground-truth side over every
+      // vec_id % 50 == 0 query — |Q|×|C| pairs, ~210 s at the 100× replica.
+      // A real deployment audits recall/ranking on a bounded sample; these
+      // probes widen the query mod (content-addressed — the same sample
+      // every run, every engine) so the exact side stays |Q_sample|×|C|
+      // while the audited index is the full corpus. Gate configs unchanged.
+      "x_pq_recall_sampled" -> ((s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val qmod = sys.env.getOrElse("SPARK_GRAFT_AUDIT_QMOD", "1000").toLong
+        val e = Cohorts.embeddings(s, dir)
+        val q = e.filter(col("vec_id") % qmod === 0)
+        graft.ops.Similarity.annRecall(
+          graft.ops.Similarity.cosineTopK(e, q, graft.ops.Similarity.AnnK),
+          graft.ops.Similarity.pqTopK(e, q, graft.ops.Similarity.AnnK))
+      }),
+      "x_ivfpq_ranking_sampled" -> ((s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val qmod = sys.env.getOrElse("SPARK_GRAFT_AUDIT_QMOD", "1000").toLong
+        val e = Cohorts.embeddings(s, dir)
+        val q = e.filter(col("vec_id") % qmod === 0)
+        graft.ops.Similarity.rankingMetrics(
+          graft.ops.Similarity.cosineTopK(e, q, graft.ops.Similarity.AnnK),
+          graft.ops.Similarity.ivfPqTopK(e, q, graft.ops.Similarity.AnnK),
+          graft.ops.Similarity.AnnK)
+      }),
       "x_ann_ingest_deploy" -> ((s, dir) => {
         import org.apache.spark.sql.functions.col
         val e = Cohorts.embeddings(s, dir)

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Curation, Dedup, EventOps, Multimodal, Packing, Profile, Sampling, Similarity, TextAnalysis, TextSql}
+import graft.ops.{Curation, Dedup, EventOps, Multimodal, Packing, Profile, QualityModel, Sampling, Similarity, TextAnalysis, TextSql}
 
 /** Driver contract — one entry per operator from SURVEY.md §2, each with a
   * DuckDB-equivalent oracle SQL over the same parquet tables. Column names
@@ -100,6 +100,124 @@ object SparkEntry {
        |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
        |cl AS (SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
        |       FROM reach GROUP BY u)""".stripMargin
+
+  /** The planted-clone corpus shared by the q127 and q141 gates (the q111
+    * discipline): every doc_id % 10 == 0 doc gets a clone at id + 1e6 with
+    * fresh unique text (100 distinct tokens ⇒ passes the quality floor,
+    * shares no shingles with anything ⇒ survives lexical dedup +
+    * decontamination) but the ORIGINAL's embedding — so at semantic
+    * threshold 0.9, where the real corpus is silent (asserted by
+    * [[requireEmbedSelfSilence]]), the SRP full-signature star finds
+    * exactly the deterministic identical-embedding pairs and the LSH
+    * semantic stage hash-matches the recursive-closure oracle in FULL. */
+  private def plantedCloneCorpus(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d0 = Cohorts.documents(s, dir)
+    val e0 = Cohorts.embeddings(s, dir)
+    val clones = d0.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .withColumn("source", lit("clone"))
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(1), lit(100)),
+          i => concat(lit("c"), col("doc_id").cast("string"),
+            lit("t"), i.cast("string")))))
+    (d0.unionByName(clones),
+      e0.unionByName(e0.filter(col("vec_id") % 10 === 0)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))))
+  }
+
+  /** q127/q141 shared oracle prefix over the planted-clone corpus: the
+    * clone construction (dc/dext), tokenization, the lexical near-dup
+    * recursive closure (cl), quality signals (m), decontamination
+    * (contam), the lexical survivor set `s1` — optionally gated by the
+    * frozen-weight model classifier ([[TextSql.modelQualityCtes]]) when
+    * `modelFloor` is set — then the SemDeDup recursive closure over the
+    * SURVIVORS' embeddings and the per-cluster best-quality `keepers`,
+    * plus the token-count relation `nt`. Consumers append their own CTEs
+    * and final SELECT. */
+  private def cloneCurationCtes(modelFloor: Option[Double]): String = {
+    val mqCtes = modelFloor
+      .map(_ => s"${TextSql.modelQualityCtes},\n").getOrElse("")
+    val mqPred = modelFloor.map(f =>
+      s"""
+         |         AND d.doc_id IN (SELECT doc_id FROM mq
+         |                          WHERE model_quality >= $f)""".stripMargin)
+      .getOrElse("")
+    s"""WITH RECURSIVE
+       |dc AS (SELECT doc_id, lang, 'clone' AS source, n_chars,
+       |              array_to_string(list_transform(range(1, 101),
+       |                i -> 'c' || doc_id || 't' || i), ' ') AS text
+       |       FROM (SELECT doc_id + 1000000 AS doc_id, lang, n_chars
+       |             FROM documents WHERE doc_id % 10 = 0)),
+       |dext AS (SELECT doc_id, lang, source, n_chars, text FROM documents
+       |         UNION ALL
+       |         SELECT doc_id, lang, source, n_chars, text FROM dc),
+       |toks AS (
+       |  SELECT doc_id, lang, source, n_chars, text,
+       |         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+       |  FROM dext),
+       |sh AS (SELECT doc_id, ${TextSql.shingleHashes("t", 3)} AS s
+       |       FROM toks),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS inter,
+       |         len(a.s) + len(b.s) AS tot
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(a.s) > 0 AND len(b.s) > 0),
+       |prs AS (SELECT doc_a, doc_b FROM p WHERE inter / (tot - inter) >= 0.5),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+       |          UNION ALL SELECT doc_b, doc_a FROM prs),
+       |reach AS (
+       |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+       |cl AS (SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+       |       FROM reach GROUP BY u),
+       |${TextSql.qualitySignalsCte()},
+       |sh8 AS (SELECT doc_id, source, ${TextSql.shingleHashes("t", 8)} AS s8
+       |        FROM toks),
+       |bm AS (SELECT DISTINCT unnest(s8) AS h FROM sh8 WHERE source = 'src0'),
+       |contam AS (SELECT DISTINCT doc_id FROM
+       |             (SELECT doc_id, unnest(s8) AS h FROM sh8 WHERE source <> 'src0')
+       |           JOIN bm USING (h)),
+       |-- MATERIALIZED: same two-consumer re-inlining economics as
+       |-- q126's s1 (memory: 80+ min -> 10 min at sf0.1)
+       |${mqCtes}s1 AS MATERIALIZED (
+       |       SELECT d.doc_id FROM dext d JOIN m USING (doc_id)
+       |       WHERE d.source <> 'src0'
+       |         AND d.doc_id NOT IN (SELECT doc_id FROM cl
+       |                              WHERE doc_id <> cluster_id)
+       |         AND d.doc_id NOT IN (SELECT doc_id FROM contam)
+       |         AND least(1.0, n / 100) * 0.4 + (stop / n) * 0.3
+       |             + ttr * 0.3 >= 0.4$mqPred),
+       |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |eext AS (SELECT * FROM e0
+       |         UNION ALL
+       |         SELECT vec_id + 1000000, v FROM e0 WHERE vec_id % 10 = 0),
+       |ev AS (SELECT eext.vec_id, eext.v
+       |       FROM eext JOIN s1 ON eext.vec_id = s1.doc_id),
+       |eprs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |         FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+       |         WHERE list_cosine_similarity(a.v, b.v) >= 0.9),
+       |eedges AS (SELECT doc_a AS u, doc_b AS v FROM eprs
+       |           UNION ALL SELECT doc_b, doc_a FROM eprs),
+       |ereach AS (
+       |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM eedges)
+       |  UNION
+       |  SELECT e2.u, ereach.r FROM eedges e2 JOIN ereach ON e2.v = ereach.u),
+       |ecl AS (SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+       |        FROM ereach GROUP BY u),
+       |qv AS (SELECT doc_id, ${TextSql.qualityScoreFromM} AS quality FROM m),
+       |mem AS (SELECT s1.doc_id,
+       |               COALESCE(ecl.cluster_id, s1.doc_id) AS cluster_id,
+       |               qv.quality
+       |        FROM s1 JOIN qv USING (doc_id) LEFT JOIN ecl USING (doc_id)),
+       |keepers AS (SELECT doc_id, quality FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY quality DESC, doc_id ASC) AS rn FROM mem)
+       |  WHERE rn = 1),
+       |nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens
+       |       FROM toks WHERE len(t) > 0)""".stripMargin
+  }
 
   /** Oracle tail shared by q13/q18: shares → scatter-add → left join + naive. */
   private def adjustedTailSql(selCte: String): String =
@@ -2763,95 +2881,10 @@ object SparkEntry {
         // the semantic stage runs over stage-1 survivors' embeddings — the
         // whole-corpus silence check is a strict superset of that set
         requireEmbedSelfSilence(s, dir, "q127")
-        val d0 = Cohorts.documents(s, dir)
-        val e0 = Cohorts.embeddings(s, dir)
-        val clones = d0.filter(col("doc_id") % 10 === 0)
-          .withColumn("doc_id", col("doc_id") + lit(1000000L))
-          .withColumn("source", lit("clone"))
-          .withColumn("text", concat_ws(" ",
-            transform(sequence(lit(1), lit(100)),
-              i => concat(lit("c"), col("doc_id").cast("string"),
-                lit("t"), i.cast("string")))))
-        val docs = d0.unionByName(clones)
-        val emb = e0.unionByName(e0.filter(col("vec_id") % 10 === 0)
-          .withColumn("vec_id", col("vec_id") + lit(1000000L)))
+        val (docs, emb) = plantedCloneCorpus(s, dir)
         Curation.curateV2(docs, emb, tokenBudget = 4000)
       },
-      Some(s"""WITH RECURSIVE
-              |dc AS (SELECT doc_id, lang, 'clone' AS source, n_chars,
-              |              array_to_string(list_transform(range(1, 101),
-              |                i -> 'c' || doc_id || 't' || i), ' ') AS text
-              |       FROM (SELECT doc_id + 1000000 AS doc_id, lang, n_chars
-              |             FROM documents WHERE doc_id % 10 = 0)),
-              |dext AS (SELECT doc_id, lang, source, n_chars, text FROM documents
-              |         UNION ALL
-              |         SELECT doc_id, lang, source, n_chars, text FROM dc),
-              |toks AS (
-              |  SELECT doc_id, lang, source, n_chars, text,
-              |         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
-              |  FROM dext),
-              |sh AS (SELECT doc_id, ${TextSql.shingleHashes("t", 3)} AS s
-              |       FROM toks),
-              |p AS (
-              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS inter,
-              |         len(a.s) + len(b.s) AS tot
-              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-              |  WHERE len(a.s) > 0 AND len(b.s) > 0),
-              |prs AS (SELECT doc_a, doc_b FROM p WHERE inter / (tot - inter) >= 0.5),
-              |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
-              |          UNION ALL SELECT doc_b, doc_a FROM prs),
-              |reach AS (
-              |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
-              |  UNION
-              |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
-              |cl AS (SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
-              |       FROM reach GROUP BY u),
-              |${TextSql.qualitySignalsCte()},
-              |sh8 AS (SELECT doc_id, source, ${TextSql.shingleHashes("t", 8)} AS s8
-              |        FROM toks),
-              |bm AS (SELECT DISTINCT unnest(s8) AS h FROM sh8 WHERE source = 'src0'),
-              |contam AS (SELECT DISTINCT doc_id FROM
-              |             (SELECT doc_id, unnest(s8) AS h FROM sh8 WHERE source <> 'src0')
-              |           JOIN bm USING (h)),
-              |-- MATERIALIZED: same two-consumer re-inlining economics as
-              |-- q126's s1 (memory: 80+ min -> 10 min at sf0.1)
-              |s1 AS MATERIALIZED (
-              |       SELECT d.doc_id FROM dext d JOIN m USING (doc_id)
-              |       WHERE d.source <> 'src0'
-              |         AND d.doc_id NOT IN (SELECT doc_id FROM cl
-              |                              WHERE doc_id <> cluster_id)
-              |         AND d.doc_id NOT IN (SELECT doc_id FROM contam)
-              |         AND least(1.0, n / 100) * 0.4 + (stop / n) * 0.3
-              |             + ttr * 0.3 >= 0.4),
-              |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-              |eext AS (SELECT * FROM e0
-              |         UNION ALL
-              |         SELECT vec_id + 1000000, v FROM e0 WHERE vec_id % 10 = 0),
-              |ev AS (SELECT eext.vec_id, eext.v
-              |       FROM eext JOIN s1 ON eext.vec_id = s1.doc_id),
-              |eprs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-              |         FROM ev a JOIN ev b ON a.vec_id < b.vec_id
-              |         WHERE list_cosine_similarity(a.v, b.v) >= 0.9),
-              |eedges AS (SELECT doc_a AS u, doc_b AS v FROM eprs
-              |           UNION ALL SELECT doc_b, doc_a FROM eprs),
-              |ereach AS (
-              |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM eedges)
-              |  UNION
-              |  SELECT e2.u, ereach.r FROM eedges e2 JOIN ereach ON e2.v = ereach.u),
-              |ecl AS (SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
-              |        FROM ereach GROUP BY u),
-              |qv AS (SELECT doc_id, ${TextSql.qualityScoreFromM} AS quality FROM m),
-              |mem AS (SELECT s1.doc_id,
-              |               COALESCE(ecl.cluster_id, s1.doc_id) AS cluster_id,
-              |               qv.quality
-              |        FROM s1 JOIN qv USING (doc_id) LEFT JOIN ecl USING (doc_id)),
-              |keepers AS (SELECT doc_id, quality FROM (
-              |  SELECT *, row_number() OVER (PARTITION BY cluster_id
-              |    ORDER BY quality DESC, doc_id ASC) AS rn FROM mem)
-              |  WHERE rn = 1),
-              |nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens
-              |       FROM toks WHERE len(t) > 0),
+      Some(s"""${cloneCurationCtes(modelFloor = None)},
               |cum AS (SELECT k.doc_id, k.quality, nt.n_tokens,
               |               sum(nt.n_tokens) OVER (
               |                 ORDER BY k.quality DESC, k.doc_id ASC
@@ -3079,10 +3112,12 @@ object SparkEntry {
         val cur = d.filter(col("doc_id") % 13 =!= 0)
         Profile.corpusDiff(prev, cur, "doc_id", Seq("text"), "source")
       },
-      Some("""WITH o AS (SELECT doc_id, source,
-        |         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v1' ELSE text END) AS fp
+      Some(s"""WITH o AS (SELECT doc_id, source,
+        |         md5(COALESCE(CASE WHEN doc_id % 7 = 0 THEN text || ' v1'
+        |                           ELSE text END, ${Profile.NullSentinelSql})) AS fp
         |       FROM documents WHERE doc_id % 10 <> 0),
-        |c AS (SELECT doc_id, source, md5(text) AS fp
+        |c AS (SELECT doc_id, source,
+        |        md5(COALESCE(text, ${Profile.NullSentinelSql})) AS fp
         |      FROM documents WHERE doc_id % 13 <> 0),
         |j AS (SELECT COALESCE(c.source, o.source) AS source,
         |             CASE WHEN o.fp IS NULL THEN 'added'
@@ -3146,7 +3181,113 @@ object SparkEntry {
           e.filter(col("vec_id") % Similarity.AnnIngestMod =!= 0),
           e.filter(col("vec_id") % Similarity.AnnIngestMod === 0))
       },
-      None)
+      None),
+
+    // Model-based quality scoring — the fastText/CCNet-style classifier
+    // stage after the heuristic floor (q30): linear model over hashed
+    // unigram+bigram features with FROZEN literal weights (the q133
+    // frozen-codebook discipline; training happens offline, the engine
+    // does deterministic bulk inference). Pure narrow projection — no
+    // explode, no shuffle; the oracle replays the same weight literals
+    // with a left-fold sum, so only exp() can differ, under two roundings.
+    ("q140_model_quality",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.modelQuality(Cohorts.documents(s, dir)),
+      Some(s"""WITH ${TextSql.toksCte},
+              |${TextSql.modelQualityCtes}
+              |SELECT doc_id, n_feats, model_quality,
+              |       CAST(model_quality >= ${QualityModel.Threshold} AS BIGINT) AS keep
+              |FROM mq""".stripMargin)),
+
+    // Training-data RELEASE capstone — the full release chain as ONE
+    // declarative plan (VERDICT r11 #1): q127's planted-clone curation
+    // (lexical dedup → decontamination → heuristic floor → MODEL floor
+    // q140 → SemDeDup-LSH keepers) → temperature-α lang rebalance (q92) →
+    // token-budget cut (q121) → sequence packing (q52) → deterministic
+    // pack shuffle (q93) → round-robin shard assignment → per-shard
+    // release manifest (pack/doc/token counts + canonical source mix).
+    // The oracle is the CONJUNCTION of the stages' oracles over the
+    // shared clone CTE prefix (MATERIALIZED s1, the q126 lesson).
+    ("q141_release_manifest",
+      (s: SparkSession, dir: String) => {
+        requireEmbedSelfSilence(s, dir, "q141")
+        val (docs, emb) = plantedCloneCorpus(s, dir)
+        Curation.releasePipeline(docs, emb, tokenBudget = 4000,
+          packBudget = 256, packShards = 2, outShards = 4, alpha = 0.5,
+          modelFloor = Some(QualityModel.Threshold))
+      },
+      Some {
+        val packKeySql = (p: String) =>
+          s"$p.lang || '/' || CAST($p.shard AS VARCHAR) || '/' || CAST($p.pack_id AS VARCHAR)"
+        s"""${cloneCurationCtes(modelFloor = Some(QualityModel.Threshold))},
+           |kd AS (SELECT k.doc_id, k.quality, d.lang, d.source
+           |       FROM keepers k JOIN dext d USING (doc_id)),
+           |tc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM kd GROUP BY lang),
+           |trt AS (SELECT lang,
+           |               ROUND(1e-9 + pow((SELECT min(n) FROM tc) * 1.0 / n,
+           |                                0.5), 6) AS rate
+           |        FROM tc),
+           |mix AS (SELECT kd.doc_id, kd.quality FROM kd JOIN trt USING (lang)
+           |        WHERE ${Sampling.hashUnitSql("kd.doc_id", "relmix")} < trt.rate),
+           |cum AS (SELECT mx.doc_id, mx.quality, nt.n_tokens,
+           |               sum(nt.n_tokens) OVER (
+           |                 ORDER BY mx.quality DESC, mx.doc_id ASC
+           |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |                 AS cum_tokens
+           |        FROM mix mx JOIN nt USING (doc_id)),
+           |sel AS (SELECT doc_id FROM cum WHERE cum_tokens <= 4000),
+           |pb0 AS (SELECT s2.doc_id, d.lang,
+           |               CAST(floor(${Sampling.hashUnitSql("s2.doc_id", graft.ops.Packing.ShardSeed)} * 2) AS BIGINT) AS shard,
+           |               nt.n_tokens AS tokens
+           |        FROM sel s2 JOIN dext d USING (doc_id) JOIN nt USING (doc_id)),
+           |pb AS (SELECT *, CAST(row_number() OVER (
+           |               PARTITION BY lang, shard ORDER BY doc_id) AS BIGINT) AS rn
+           |       FROM pb0),
+           |prec AS (
+           |  SELECT lang, shard, rn, doc_id, tokens, tokens AS acc,
+           |         CAST(1 AS BIGINT) AS pack_id
+           |  FROM pb WHERE rn = 1
+           |  UNION ALL
+           |  SELECT b.lang, b.shard, b.rn, b.doc_id, b.tokens,
+           |         CASE WHEN r.acc + b.tokens > 256 THEN b.tokens
+           |              ELSE r.acc + b.tokens END,
+           |         CASE WHEN r.acc + b.tokens > 256 THEN r.pack_id + 1
+           |              ELSE r.pack_id END
+           |  FROM pb b JOIN prec r
+           |    ON b.lang = r.lang AND b.shard = r.shard AND b.rn = r.rn + 1),
+           |pk AS (SELECT DISTINCT ${packKeySql("prec")} AS pack_key FROM prec),
+           |ord AS (SELECT pack_key, CAST(row_number() OVER (
+           |          ORDER BY ${Sampling.hashUnitSql("pack_key", "relshuf")}, pack_key)
+           |          AS BIGINT) - 1 AS shuffle_pos
+           |        FROM pk),
+           |asn AS (SELECT pack_key, shuffle_pos % 4 AS out_shard FROM ord),
+           |ds AS (SELECT p2.doc_id, p2.tokens, d.source, a.out_shard
+           |       FROM prec p2 JOIN dext d USING (doc_id)
+           |       JOIN asn a ON a.pack_key = ${packKeySql("p2")}),
+           |sm AS (SELECT out_shard, source, CAST(count(*) AS BIGINT) AS n,
+           |              CAST(sum(tokens) AS BIGINT) AS tk
+           |       FROM ds GROUP BY out_shard, source),
+           |pc AS (SELECT out_shard, CAST(count(*) AS BIGINT) AS n_packs
+           |       FROM asn GROUP BY out_shard),
+           |mf AS (SELECT out_shard, CAST(sum(n) AS BIGINT) AS n_docs,
+           |              CAST(sum(tk) AS BIGINT) AS n_tokens,
+           |              string_agg(source || ':' || CAST(n AS VARCHAR),
+           |                         ',' ORDER BY source) AS source_mix
+           |       FROM sm GROUP BY out_shard)
+           |SELECT mf.out_shard, pc.n_packs, mf.n_docs, mf.n_tokens, mf.source_mix
+           |FROM mf JOIN pc USING (out_shard)""".stripMargin
+      }),
+
+    // Iterative BPE trainer — q101 computes ONE merge iteration; this
+    // gates the learned MERGE TABLE after 6 iterations (VERDICT r11 #4).
+    // Driver loop over the Zipf-bounded distinct-word relation; each
+    // iteration's winning pair is a 1-row collect (learned-literal
+    // discipline). The oracle is STATIC layered SQL that picks each
+    // iteration's top pair itself and replays the leftmost-greedy merge.
+    ("q142_bpe_train",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.bpeTrain(Cohorts.documents(s, dir), 6),
+      Some(TextSql.bpeTrainSql(6)))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -9,7 +9,10 @@ import org.apache.spark.storage.StorageLevel
   *
   *   1. lexical MinHash dedup keepers ([[Dedup.deduplicated]]),
   *   2. benchmark decontamination ([[Dedup.contaminated]] anti-join),
-  *   3. a quality floor ([[TextAnalysis.qualityScore]]),
+  *   3. a quality floor ([[TextAnalysis.qualityScore]]) — optionally
+  *      followed by the MODEL-based floor
+  *      ([[TextAnalysis.modelQualityScore]], the fastText/CCNet-style
+  *      frozen-weight classifier stage),
   *   4. SemDeDup on the embedding modality WITHIN the survivors
   *      ([[Similarity.semanticDedupLsh]] — see `exactSemantic`),
   *   5. the best-quality token-budget cut ([[Sampling.tokenBudgetSelect]],
@@ -38,25 +41,30 @@ import org.apache.spark.storage.StorageLevel
   */
 object Curation {
 
-  def curateV2(docs: DataFrame, embeddings: DataFrame,
-               tokenBudget: Long,
-               minhashThreshold: Double = 0.5,
-               benchmarkSource: String = "src0",
-               qualityFloor: Double = 0.4,
-               semanticThreshold: Double = 0.9,
-               exactSemantic: Boolean = false,
-               contamShingleK: Int = 8): DataFrame = {
+  /** Stages 1–2 shared by [[curateV2]] and [[releasePipeline]]: the
+    * persisted lexical-curation survivor frame (full doc columns) and the
+    * SemDeDup keeper doc_ids within it. `modelFloor` threads the optional
+    * classifier stage — the comparison is on the ROUNDED score, exactly
+    * what an oracle twin computes. */
+  private def curatedKeepers(docs: DataFrame, embeddings: DataFrame,
+                             minhashThreshold: Double, benchmarkSource: String,
+                             qualityFloor: Double, modelFloor: Option[Double],
+                             semanticThreshold: Double, exactSemantic: Boolean,
+                             contamShingleK: Int): (DataFrame, DataFrame) = {
     val deduped = Dedup.deduplicated(docs,
       Dedup.minHashPairs(docs, minhashThreshold))
     val contaminatedIds = Dedup.contaminated(
         docs.filter(col("source") =!= benchmarkSource),
         docs.filter(col("source") === benchmarkSource), contamShingleK)
       .select("doc_id")
-    // three consumers (induced pair graph, quality projection, budget
-    // input) — pin the expensive lexical-curation lineage once
-    val stage1 = deduped.filter(col("source") =!= benchmarkSource)
+    val lexical = deduped.filter(col("source") =!= benchmarkSource)
       .join(contaminatedIds, Seq("doc_id"), "left_anti")
       .filter(TextAnalysis.qualityScore(col("text")) >= qualityFloor)
+    // three+ consumers (induced pair graph, quality projection, budget
+    // input, packing re-attach) — pin the expensive lexical lineage once
+    val stage1 = modelFloor
+      .foldLeft(lexical)((df, f) =>
+        df.filter(TextAnalysis.modelQualityScore(col("text")) >= f))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // SemDeDup over the SURVIVORS' embeddings only (the induced pair
     // graph): dedupe among the docs being kept — the correct curation
@@ -67,7 +75,103 @@ object Curation {
     val sem =
       if (exactSemantic) Similarity.semanticDedup(stage1, survEmb, semanticThreshold)
       else Similarity.semanticDedupLsh(stage1, survEmb, semanticThreshold)
-    val semKeepers = sem.filter(col("keep") === 1).select("doc_id")
+    (stage1, sem.filter(col("keep") === 1).select("doc_id"))
+  }
+
+  def curateV2(docs: DataFrame, embeddings: DataFrame,
+               tokenBudget: Long,
+               minhashThreshold: Double = 0.5,
+               benchmarkSource: String = "src0",
+               qualityFloor: Double = 0.4,
+               semanticThreshold: Double = 0.9,
+               exactSemantic: Boolean = false,
+               contamShingleK: Int = 8): DataFrame = {
+    val (stage1, semKeepers) = curatedKeepers(docs, embeddings,
+      minhashThreshold, benchmarkSource, qualityFloor, None,
+      semanticThreshold, exactSemantic, contamShingleK)
     Sampling.tokenBudgetSelect(stage1.join(semKeepers, "doc_id"), tokenBudget)
+  }
+
+  /** The full training-data RELEASE chain as ONE declarative plan — what
+    * [[curateV2]] is to curation, this is to the whole pipeline: proof the
+    * separately-gated operators compose without a driver-side
+    * materialization between stages (reference anchor: the per-date
+    * everything-in-one-process e2e, pipeline.py:200-239).
+    *
+    *   1–2. [[curatedKeepers]]: lexical dedup → decontamination → quality
+    *        floor (+ optional model floor) → SemDeDup keepers;
+    *   3. temperature-α domain rebalance over `lang`
+    *      ([[Sampling.temperatureSample]] — downsample-only,
+    *      content-addressed);
+    *   4. best-quality token-budget cut ([[Sampling.tokenBudgetSelect]] —
+    *      distributed running sum, never a one-task window);
+    *   5. sequence packing ([[Packing.packDocuments]] — sharded greedy
+    *      first-fit chains);
+    *   6. deterministic global shuffle of the PACKS
+    *      ([[Sampling.shuffleOrder]] over the pack key — range-partitioned
+    *      zipWithIndex, no single-task window);
+    *   7. round-robin pack→output-shard assignment (`shuffle_pos mod
+    *      outShards` — balanced by construction because the shuffle order
+    *      is hash-uniform) and the per-shard release MANIFEST: pack/doc/
+    *      token counts plus the source mix as a canonical sorted
+    *      "source:count" string.
+    *
+    * Scale shape: the corpus-sized stages are exactly the gated operators'
+    * plans (their shuffles are the irreducible cost); everything after
+    * packing operates on the PACK relation (|selected docs| / docs-per-pack
+    * rows) and the manifest folds are outShards-sized. The one pin is
+    * stage 1 (see the cache contract above); nothing else is persisted or
+    * collected beyond the operators' own sanctioned 1-row scalars.
+    *
+    * Output: (out_shard, n_packs, n_docs, n_tokens, source_mix), one row
+    * per non-empty output shard. */
+  def releasePipeline(docs: DataFrame, embeddings: DataFrame,
+                      tokenBudget: Long,
+                      packBudget: Long = 256,
+                      packShards: Int = 1,
+                      outShards: Int = 4,
+                      alpha: Double = 0.5,
+                      mixSeed: String = "relmix",
+                      shuffleSeed: String = "relshuf",
+                      minhashThreshold: Double = 0.5,
+                      benchmarkSource: String = "src0",
+                      qualityFloor: Double = 0.4,
+                      modelFloor: Option[Double] = None,
+                      semanticThreshold: Double = 0.9,
+                      exactSemantic: Boolean = false,
+                      contamShingleK: Int = 8): DataFrame = {
+    require(outShards >= 1, s"outShards must be >= 1, got $outShards")
+    val (stage1, semKeepers) = curatedKeepers(docs, embeddings,
+      minhashThreshold, benchmarkSource, qualityFloor, modelFloor,
+      semanticThreshold, exactSemantic, contamShingleK)
+    val kept = stage1.join(semKeepers, "doc_id")
+    val mixed = Sampling.temperatureSample(kept, "lang", "doc_id", alpha, mixSeed)
+    val sel = Sampling.tokenBudgetSelect(mixed, tokenBudget)
+    // J3 re-attach against the pinned survivor frame: packing needs text
+    // (token recount) + lang; the budget output carries only ids
+    val selDocs = stage1.join(sel.select("doc_id"), "doc_id")
+    val packs = Packing.packDocuments(selDocs, packBudget, "lang", packShards)
+      .toDF()
+    val packKey = concat_ws("/", col("lang"), col("shard"), col("pack_id"))
+    val packRel = packs.withColumn("pack_key", packKey)
+    val assigned = Sampling
+      .shuffleOrder(packRel.select("pack_key").distinct(), "pack_key", shuffleSeed)
+      .withColumn("out_shard", pmod(col("shuffle_pos"), lit(outShards.toLong)))
+      .select("pack_key", "out_shard")
+    val docShard = packRel
+      .join(stage1.select("doc_id", "source"), "doc_id")
+      .join(assigned, "pack_key")
+    val bySrc = docShard.groupBy("out_shard", "source")
+      .agg(count(lit(1)).as("__n"), sum("tokens").as("__t"))
+    val packCnt = assigned.groupBy("out_shard")
+      .agg(count(lit(1)).as("n_packs"))
+    bySrc.groupBy("out_shard")
+      .agg(sum("__n").as("n_docs"), sum("__t").as("n_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("source"), col("__n")))),
+            s => concat(s.getField("source"), lit(":"), s.getField("__n"))),
+          ",").as("source_mix"))
+      .join(packCnt, "out_shard")
+      .select("out_shard", "n_packs", "n_docs", "n_tokens", "source_mix")
   }
 }

@@ -9,6 +9,14 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** [[corpusDiff]]'s null-column sentinel: U+0001-framed so it cannot
+    * collide with a cast value (the separator char never appears inside a
+    * cast numeric/date and marks the frame in free text). Oracle SQL
+    * builds the same string as chr(1) || 'null' || chr(1). */
+  val NullSentinel = "\u0001null\u0001"
+  /** The DuckDB spelling of [[NullSentinel]] (oracle parity). */
+  val NullSentinelSql = "chr(1) || 'null' || chr(1)"
+
   /** Shared one-pass profile plan: per column a null-count aggregate plus
     * `distinctAgg(column)` — the only thing the exact and approx forms
     * disagree on — then an array-of-structs explode unpivot of the single
@@ -128,11 +136,16 @@ object Profile {
     * (re-embed / re-dedup only the added+changed slice).
     *
     * Content identity is an md5 fingerprint of `contentCols` (concat_ws
-    * with a U+0001 separator — null columns are skipped, concat_ws
-    * semantics), computed MAP-SIDE so the id-keyed full-outer join carries
-    * a 32-char digest per row, never the document bodies; both sides
-    * shuffle co-partitioned on the id. One scan per snapshot, one join,
-    * one |groups|-row fold — scan-bound at any corpus size. */
+    * with a U+0001 separator), computed MAP-SIDE so the id-keyed
+    * full-outer join carries a 32-char digest per row, never the document
+    * bodies; both sides shuffle co-partitioned on the id. Each column is
+    * coalesced to a U+0001-framed null sentinel BEFORE hashing: concat_ws
+    * silently skips nulls, so without it a NULL column would fingerprint
+    * identically to the empty string (and an all-NULL row to md5(""))
+    * while a SQL twin's md5(NULL) is NULL — NULL and '' must fingerprint
+    * distinctly and identically in both engines (ADVICE r11; oracle twins
+    * mirror the same COALESCE). One scan per snapshot, one join, one
+    * |groups|-row fold — scan-bound at any corpus size. */
   def corpusDiff(prev: DataFrame, cur: DataFrame, idCol: String,
                  contentCols: Seq[String], groupCol: String): DataFrame = {
     require(contentCols.nonEmpty, "corpusDiff needs at least one content column")
@@ -140,7 +153,8 @@ object Profile {
       raw(idCol).as("__id"),
       raw(groupCol).as(s"${p}grp"),
       md5(concat_ws("\u0001",
-        contentCols.map(c => raw(c).cast("string")): _*)).as(s"${p}fp"))
+        contentCols.map(c =>
+          coalesce(raw(c).cast("string"), lit(NullSentinel))): _*)).as(s"${p}fp"))
     fp(prev, "o_").join(fp(cur, "c_"), Seq("__id"), "full_outer")
       .select(coalesce(col("c_grp"), col("o_grp")).as(groupCol),
         when(col("o_fp").isNull, "added")

@@ -979,9 +979,15 @@ object Similarity {
     * codebooks, the [[encodeIvfPq]]/q133 discipline) — reports the
     * per-vector PQ reconstruction error distribution: n, mean and p95 of
     * err² = Σ_m min_cell ‖v_m − c_{m,cell}‖² (each subspace term rounded
-    * 6 dp before the min/sum, the [[pqCodesCol]] convention, so the
-    * numbers replay identically in any engine), plus the norm-normalized
-    * mean err²/‖v‖². A drop row materially above the base row says the
+    * 6 dp before the min/sum, so the numbers replay identically in any
+    * engine), plus the norm-normalized mean err²/‖v‖². NOTE: this is the
+    * OPTIMAL-ASSIGNMENT error — the min is over the rounded FULL d²
+    * including the ‖v_m‖² term, while [[pqCodesCol]] picks cells by the
+    * rounded (‖c‖² − 2·dot) without it; near a rounding tie the monitored
+    * error can belong to a different cell than the one actually encoded.
+    * That is the right monitor semantics (it lower-bounds the encoded
+    * error and is insensitive to encode tie-break drift), but it is not
+    * byte-for-byte "the assigned code's error" (ADVICE r11). A drop row materially above the base row says the
     * frozen codebooks no longer cover the incoming distribution — refit
     * ([[buildIvfPqIndex]]) and re-encode.
     *

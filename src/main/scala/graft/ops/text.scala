@@ -669,6 +669,147 @@ object TextAnalysis {
           log((col("__nst") / col("__ns")) / (col("__nt") / col("__n"))))
           .as("kl"))
   }
+
+  /** Iterative BPE trainer — [[bpePairCounts]] computes ONE merge
+    * iteration; this runs the full loop and returns the learned MERGE
+    * TABLE after `nMerges` iterations: (iter, lhs, rhs, merged, n), the
+    * artifact a tokenizer trainer actually ships. Classic BPE: words
+    * split into character symbols; each iteration counts word-frequency-
+    * weighted ADJACENT symbol pairs, merges the most frequent pair
+    * (count DESC, then lexicographic (lhs, rhs) — fully deterministic)
+    * everywhere LEFTMOST-GREEDILY, and repeats on the merged symbols.
+    *
+    * The merge application is a per-word left fold (`aggregate` HOF): the
+    * pair merges exactly when the accumulator's LAST symbol is `lhs` and
+    * the incoming one is `rhs` — which reproduces sequential leftmost
+    * scanning including the overlapping-run case ("a a a a" with merge
+    * (a,a) → [aa, aa], because the first merge's output "aa" no longer
+    * equals "a").
+    *
+    * Scale shape — the reason this is a DRIVER LOOP and not a giant plan:
+    * the loop state is the DISTINCT-WORD relation (Zipf-bounded: vocab
+    * grows ~O(corpus^0.5), not linearly), persisted and swapped each
+    * iteration; the corpus is scanned ONCE (the initial word count). Per
+    * iteration: one vocab-sized pair explode + partial-agg shuffle, one
+    * 1-row driver collect of the winning pair (the learned-literal
+    * discipline — q44 centroids, q133 codebooks), one narrow merge
+    * projection. Per-iteration cost is vocabulary-bounded, independent of
+    * corpus size. */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, nMerges: Int): org.apache.spark.sql.DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val spark = docs.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    def pairsOf(syms: Column): Column =
+      when(size(syms) >= 2,
+        transform(sequence(lit(0), size(syms) - 2), i =>
+          struct(element_at(syms, i + 1).as("l"),
+            element_at(syms, i + 2).as("r"))))
+        .otherwise(array().cast("array<struct<l:string,r:string>>"))
+    def mergeExpr(syms: Column, a: String, b: String): Column =
+      aggregate(syms, array().cast("array<string>"), (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+    var vocab = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("syms"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var exhausted = false
+    for (it <- 1 to nMerges if !exhausted) {
+      val top = vocab
+        .select(col("cnt"), explode(pairsOf(col("syms"))).as("pr"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum("cnt").as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((it.toLong, a, b, a + b, n))
+        val next = vocab
+          .withColumn("syms", mergeExpr(col("syms"), a, b))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before dropping the parent pin
+        vocab.unpersist()
+        vocab = next
+      }
+    }
+    vocab.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("iter", "lhs", "rhs", "merged", "n")
+  }
+
+  /** Model-based quality score — the fastText/CCNet-style classifier stage
+    * every production curation pipeline runs after the heuristic floor
+    * ([[qualityScore]]): a linear model over HASHED token n-gram features
+    * (unigrams + bigrams, the fastText feature space) with FROZEN literal
+    * weights, squashed through a sigmoid. The weights in [[QualityModel]]
+    * stand in for offline-trained coefficients under the same
+    * frozen-literal discipline as the q133 PQ codebooks: training happens
+    * elsewhere; the ENGINE's job is deterministic bulk inference, and the
+    * oracle replays the same literals in SQL.
+    *
+    * score = σ(mean_g w[polyHash(g) mod D] + bias) over the doc's feature
+    * grams g; a featureless doc scores σ(bias). The pre-sigmoid logit is
+    * rounded 9 dp so both engines feed BIT-IDENTICAL doubles to exp (sum
+    * order can differ by ulps); the score rounds 6 dp and the keep flag
+    * compares THE ROUNDED score to the threshold, so flag parity follows
+    * from score parity.
+    *
+    * Plan shape: a pure NARROW projection — tokenize, two HOF passes
+    * (transform + aggregate) over the gram list with the weight array as a
+    * literal, no explode, no shuffle, no join. Scan-bound at any corpus
+    * size; composes as a filter stage anywhere (see
+    * [[graft.ops.Curation.releasePipeline]]). */
+  def modelQualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val grams = concat(toks, shingles(toks, 2))
+    val wl = array(QualityModel.Weights.map(lit): _*)
+    val hits = aggregate(grams, lit(0.0), (acc, g) =>
+      acc + element_at(wl,
+        pmod(polyHash(g), lit(QualityModel.Dim.toLong)).cast("int") + 1))
+    val z = graft.Num.rnd(
+      when(size(grams) === 0, lit(0.0)).otherwise(hits / size(grams))
+        + lit(QualityModel.Bias), 9)
+    graft.Num.rnd(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
+
+  /** Per-doc model-quality inference over a documents frame: (doc_id,
+    * n_feats, model_quality, keep) — `keep` decided on the ROUNDED score
+    * vs [[QualityModel.Threshold]] (cast to BIGINT: flag columns hash
+    * engine-stably as integers). */
+  def modelQuality(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col("text"))
+    val nFeats = (size(toks) + size(shingles(toks, 2))).cast("long")
+    docs.select(col("doc_id"), nFeats.as("n_feats"),
+        modelQualityScore(col("text")).as("model_quality"))
+      .withColumn("keep",
+        (col("model_quality") >= QualityModel.Threshold).cast("long"))
+  }
+}
+
+/** Frozen parameters of [[TextAnalysis.modelQualityScore]] — the
+  * offline-trained-elsewhere linear quality classifier. Compile-time
+  * constants, so the oracle twin ([[TextSql.modelQualityCtes]]) is STATIC
+  * SQL embedding the same literals. */
+object QualityModel {
+  /** Hashed feature dimension (weight-vector length). */
+  val Dim = 64
+  /** Intercept. */
+  val Bias = 0.0
+  /** Keep-flag decision threshold on the rounded sigmoid score. */
+  val Threshold = 0.5
+  /** Frozen weights in [-1, 1): a SplitMix-style integer mix of the
+    * feature index — deterministic, engine-independent, and embedded
+    * digit-for-digit in the SQL twin via Double.toString round-trip. */
+  val Weights: Array[Double] = Array.tabulate(Dim) { i =>
+    val h = (i.toLong * 2654435761L + 1013904223L) % 1000003L
+    (h.toDouble / 1000003.0 - 0.5) * 2.0
+  }
 }
 
 /** DuckDB SQL twins of [[TextAnalysis]] — fragment builders interpolated
@@ -715,4 +856,89 @@ object TextSql {
     * [[TextAnalysis.qualityScore]], rounded like every oracle double. */
   val qualityScoreFromM: String =
     "ROUND(1e-9 + least(1.0, n / 100) * 0.4 + (stop / n) * 0.3 + ttr * 0.3, 4)"
+
+  /** SQL twin of [[TextAnalysis.bpeTrain]]: STATIC layered SQL — one CTE
+    * block per merge iteration, each of which (a) counts adjacent symbol
+    * pairs over the previous layer's symbol lists (two aligned unnests of
+    * shifted slices), (b) picks the top pair itself (count DESC, then
+    * (lhs, rhs) — no learned literals needed), and (c) applies it
+    * leftmost-greedily: candidate positions are gaps-and-islands grouped
+    * (pos − row_number within candidates), EVEN offsets within each
+    * consecutive run merge — exactly the left-fold semantics of the
+    * engine's `aggregate` merge (runs of overlapping candidates only
+    * arise when lhs = rhs, where sequential scanning merges alternate
+    * positions). Window-over-window steps are staged in separate CTEs
+    * (DuckDB rejects nesting). */
+  def bpeTrainSql(nMerges: Int): String = {
+    val layers = (1 to nMerges).map { k =>
+      val s = s"s${k - 1}"
+      s"""p$k AS (SELECT cnt,
+         |            unnest(list_slice(syms, 1, len(syms) - 1)) AS l,
+         |            unnest(list_slice(syms, 2, len(syms))) AS r
+         |       FROM $s WHERE len(syms) >= 2),
+         |b$k AS MATERIALIZED (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS n
+         |       FROM p$k GROUP BY l, r ORDER BY n DESC, l, r LIMIT 1),
+         |e$k AS (SELECT wid, cnt, unnest(range(len(syms))) AS pos,
+         |              unnest(syms) AS s
+         |       FROM $s),
+         |c$k AS MATERIALIZED (SELECT e.wid, e.cnt, e.pos, e.s, b.l AS bl, b.r AS br,
+         |              COALESCE(e.s = b.l AND lead(e.s) OVER (
+         |                PARTITION BY e.wid ORDER BY e.pos) = b.r, FALSE) AS cand
+         |       FROM e$k e CROSS JOIN b$k b),
+         |r$k AS (SELECT *, pos - row_number() OVER (
+         |              PARTITION BY wid, cand ORDER BY pos) AS grp
+         |       FROM c$k),
+         |sel$k AS MATERIALIZED (SELECT wid, pos FROM (
+         |         SELECT wid, pos, row_number() OVER (
+         |                PARTITION BY wid, grp ORDER BY pos) - 1 AS off
+         |         FROM r$k WHERE cand) WHERE off % 2 = 0),
+         |s$k AS MATERIALIZED (SELECT c.wid, min(c.cnt) AS cnt,
+         |            list(CASE WHEN m.pos IS NOT NULL THEN c.bl || c.br
+         |                      ELSE c.s END ORDER BY c.pos) AS syms
+         |       FROM c$k c
+         |       LEFT JOIN sel$k m ON m.wid = c.wid AND m.pos = c.pos
+         |       LEFT JOIN sel$k m2 ON m2.wid = c.wid AND m2.pos = c.pos - 1
+         |       WHERE m2.pos IS NULL
+         |       GROUP BY c.wid)""".stripMargin
+    }
+    val union = (1 to nMerges).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS iter, l AS lhs, r AS rhs, " +
+        s"l || r AS merged, n FROM b$k"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $toksCte,
+       |tok AS (SELECT unnest(t) AS w FROM toks),
+       |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w),
+       |s0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY w) AS BIGINT) AS wid, cnt,
+       |              list_transform(range(length(w)),
+       |                i -> substr(w, CAST(i + 1 AS INT), 1)) AS syms
+       |       FROM wc),
+       |${layers.mkString(",\n")}
+       |$union""".stripMargin
+  }
+
+  /** SQL twin of [[TextAnalysis.modelQualityScore]] over the toks CTE:
+    * CTEs `g` (unigram+bigram feature grams), `wt` (the frozen
+    * [[QualityModel.Weights]] as a literal array — Double.toString
+    * round-trips the exact IEEE value through DuckDB's parser) and `mq`
+    * (doc_id, n_feats, model_quality). The logit sum is an explicit
+    * LEFT FOLD (list_reduce with a prepended 0.0) in gram order — the
+    * exact addition sequence of Spark's `aggregate` HOF — so the
+    * pre-round logit is bit-identical in both engines and the 9 dp round
+    * + sigmoid + 6 dp round can only diverge on an exp() ulp. */
+  def modelQualityCtes: String = {
+    val wl = QualityModel.Weights.map(_.toString).mkString(", ")
+    s"""g AS (SELECT doc_id, list_concat(t, ${shingleStrings("t", 2)}) AS g
+       |      FROM toks),
+       |wt AS (SELECT [$wl]::DOUBLE[] AS w),
+       |zz AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n_feats,
+       |             ROUND(1e-9 + CASE WHEN len(g) = 0 THEN 0.0
+       |               ELSE list_reduce(list_prepend(0.0, list_transform(g,
+       |                      x -> w[CAST(${polyHash("x")} % ${QualityModel.Dim} AS INT) + 1])),
+       |                      (a, b) -> a + b) / len(g)
+       |               END + ${QualityModel.Bias}, 9) AS z
+       |      FROM g, wt),
+       |mq AS (SELECT doc_id, n_feats,
+       |              ROUND(1e-9 + 1.0 / (1.0 + exp(-z)), 6) AS model_quality
+       |       FROM zz)""".stripMargin
+  }
 }

@@ -2587,6 +2587,22 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq(("s1", 0L, 0L, 1L, 1L), ("s2", 1L, 1L, 0L, 1L)))
   }
 
+  test("corpusDiff fingerprints NULL, empty and sentinel-colliding content distinctly (ADVICE r11)") {
+    // doc 1: NULL -> '' is a CHANGE (concat_ws alone would hash both to
+    // md5("")); doc 2: NULL -> NULL is unchanged; doc 3: content equal to
+    // the sentinel string itself stays unchanged (framing chars can't be
+    // produced by a cast, so no false 'changed'); doc 4: '' -> '' unchanged.
+    val prev = Seq((1L, None, "s"), (2L, None, "s"),
+      (3L, Some(Profile.NullSentinel), "s"), (4L, Some(""), "s"))
+      .toDF("doc_id", "text", "source")
+    val cur = Seq((1L, Some(""), "s"), (2L, None, "s"),
+      (3L, Some(Profile.NullSentinel), "s"), (4L, Some(""), "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Profile.corpusDiff(prev, cur, "doc_id", Seq("text"), "source")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("s", 0L, 0L, 1L, 3L)))
+  }
+
   test("distributionDrift emits every bin, clamps out-of-range, and is ~0 on identical sides") {
     val ref = (0 until 100).map(i => i.toDouble).toDF("value")
     val same = Profile.distributionDrift(ref, ref, "value", 10)
@@ -2675,5 +2691,92 @@ class OpsSpec extends SparkSpec {
       .as[(String, Long, Double, Double, Double)].collect()
       .map(r => r._1 -> r).toMap
     assert(again == out) // deterministic fit + stable rounding
+  }
+
+  test("bpeTrain learns hand-checked merges, leftmost-greedy on overlapping runs, stops when exhausted") {
+    // corpus: aaab x3, ab x2, aaaa x1
+    val docs = Seq((1L, "aaab aaab aaab ab ab aaaa")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(docs, 6)
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    // iter1: (a,a) 2*3+3*1=9 beats (a,b) 5. "aaaa" merges LEFTMOST pairs
+    // only -> [aa,aa] (the overlap case); "aaab" -> [aa,a,b].
+    // iter2: (a,b) 3+2=5 beats (aa,a) 3. iter3: (aa,ab) 3. iter4: (aa,aa) 1.
+    // iter5: no pairs left -> trainer stops at 4 merges despite nMerges=6.
+    assert(out == Seq(
+      (1L, "a", "a", "aa", 9L),
+      (2L, "a", "b", "ab", 5L),
+      (3L, "aa", "ab", "aaab", 3L),
+      (4L, "aa", "aa", "aaaa", 1L)))
+  }
+
+  test("releasePipeline manifest: conservation, budget bound, shard range, deterministic") {
+    val rng = new scala.util.Random(7)
+    // 60 docs, 2 langs, benchmark source src0; docs 50-54 duplicate 0-4's
+    // text (lexical dups). 30 distinct tokens each: quality = 0.3·1 (ttr)
+    // + 0.4·0.3 (length) = 0.42, just above the 0.4 floor
+    val docs = (0L until 60L).map { i =>
+      val base = if (i >= 50 && i < 55) i - 50 else i
+      val text = (0 until 30).map(j => s"w${base}x$j").mkString(" ")
+      (i, if (i % 2 == 0) "en" else "zh",
+        if (i % 20 == 19) "src0" else s"src${i % 3}", text.length.toLong, text)
+    }.toDF("doc_id", "lang", "source", "n_chars", "text")
+    // embeddings: docs 6 and 16 share one vector (semantic pair); rest far
+    val emb = (0L until 60L).map { i =>
+      val v = if (i == 16L) Array.fill(8)(0.9f)
+        else if (i == 6L) Array.fill(8)(0.9f)
+        else Array.tabulate(8)(d => rng.nextFloat() * 2 - 1)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    def run() = Curation.releasePipeline(docs, emb, tokenBudget = 500,
+        packBudget = 64, packShards = 2, outShards = 3, alpha = 0.5,
+        modelFloor = Some(0.0))
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val out = run()
+    assert(out.nonEmpty && out.forall(r => r._1 >= 0 && r._1 < 3))
+    // inclusive token budget bound holds across the whole release
+    assert(out.map(_._4).sum <= 500L)
+    // source_mix counts reconcile with n_docs per shard
+    out.foreach { case (_, nPacks, nDocs, _, mix) =>
+      assert(nPacks >= 1 && nDocs >= nPacks) // packs are non-empty
+      val cnt = mix.split(",").map(_.split(":")(1).toLong).sum
+      assert(cnt == nDocs)
+      // canonical order: sources strictly increasing
+      val srcs = mix.split(",").map(_.split(":")(0)).toSeq
+      assert(srcs == srcs.sorted && srcs.distinct == srcs)
+    }
+    // benchmark source never ships
+    assert(out.forall(!_._5.contains("src0:")))
+    assert(run() == out) // content-addressed end to end
+    spark.catalog.clearCache()
+  }
+
+  test("modelQuality scores with frozen weights: hand-checked logit, flag from rounded score, no shuffle") {
+    val docs = Seq((1L, "aa bb aa"), (2L, ""), (3L, "xyz"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.modelQuality(docs)
+      .as[(Long, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 1: grams = [aa, bb, aa, "aa bb", "bb aa"] (3 unigrams + 2 bigrams)
+    assert(out(1L)._2 == 5L)
+    def w(g: String): Double = {
+      val h = g.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+      QualityModel.Weights((h % QualityModel.Dim).toInt)
+    }
+    val z = BigDecimal(1e-9 +
+        (0.0 + w("aa") + w("bb") + w("aa") + w("aa bb") + w("bb aa")) / 5.0
+        + QualityModel.Bias)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = BigDecimal(1e-9 + 1.0 / (1.0 + math.exp(-z)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._3 == expected)
+    // featureless doc: logit = bias, score = sigmoid(bias)
+    val sb = BigDecimal(1e-9 + 1.0 / (1.0 + math.exp(-(1e-9 + QualityModel.Bias))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(2L)._3 == sb)
+    // flag is the rounded score vs threshold, as 0/1 long
+    out.values.foreach { case (_, _, s, f) =>
+      assert(f == (if (s >= QualityModel.Threshold) 1L else 0L)) }
+    // narrow plan: no exchange anywhere
+    val plan = TextAnalysis.modelQuality(docs).queryExecution.executedPlan
+    assert(!plan.toString.contains("Exchange"))
   }
 }
