@@ -133,6 +133,17 @@ object BenchOne {
           graft.ops.Similarity.ivfPqTopK(e, q, graft.ops.Similarity.AnnK),
           graft.ops.Similarity.AnnK)
       }),
+      // refine re-rank at deployment parameters: the q136 gate inherits
+      // q132's oracle-sized nCells=16 (each probe sweeps nProbe/nCells =
+      // 1/4 of the corpus); at nlist ~ sqrt(n) the candidate pool shrinks
+      // 8x and the refine join stays O(|Q|*r*k) either way
+      "x_ivfpq_refine_deploy" -> ((s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val e = Cohorts.embeddings(s, dir)
+        graft.ops.Similarity.ivfPqRefineTopK(e,
+          e.filter(col("vec_id") % 50 === 0), 10,
+          refineFactor = 4, nCells = 256, nProbe = 8)
+      }),
       "x_ann_ingest_deploy" -> ((s, dir) => {
         import org.apache.spark.sql.functions.col
         val e = Cohorts.embeddings(s, dir)

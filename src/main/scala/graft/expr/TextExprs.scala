@@ -78,6 +78,37 @@ object TextKernels {
     ArrayData.toArrayData(out)
   }
 
+  /** Σ over unigram+bigram feature grams of `weights[polyHash(gram) mod
+    * dim]` — the hashed-n-gram linear-model logit numerator
+    * ([[graft.ops.TextAnalysis.modelQualityScore]]) as ONE JVM loop.
+    * Addition order is unigrams left-to-right THEN bigrams left-to-right:
+    * exactly the left fold of the oracle twin (and of the HOF composition
+    * this replaces, which paid an interpreted lambda + element_at per gram
+    * — measured 81 s single-task on a 5.5k-doc scan vs milliseconds here).
+    * Bigram hashes fold token, ' ', token without building the joined
+    * string ([[windowHash]]). */
+  def ngramWeightSum(tokens: ArrayData, weights: Array[Double], dim: Int): Double = {
+    val n = tokens.numElements()
+    val strs = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      strs(i) = if (tokens.isNullAt(i)) "" else tokens.getUTF8String(i).toString
+      i += 1
+    }
+    var sum = 0.0
+    i = 0
+    while (i < n) {
+      sum += weights((windowHash(strs, i, 1) % dim).toInt)
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      sum += weights((windowHash(strs, i, 2) % dim).toInt)
+      i += 1
+    }
+    sum
+  }
+
   /** 30-bit SimHash over a hash array: bit j set iff Σ over hashes of
     * (2·bit_j − 1) is positive. */
   def simHashBits(hashes: ArrayData): Long = {
@@ -134,6 +165,32 @@ case class TokenShingleHashes(child: Expression, k: Int) extends UnaryExpression
   override protected def withNewChildInternal(newChild: Expression): TokenShingleHashes =
     copy(child = newChild)
   override def prettyName: String = "shingle_hashes"
+}
+
+/** ngram_weight_sum(array<string>, frozen weights, dim) → double: the
+  * hashed unigram+bigram linear-model logit numerator in one codegen'd
+  * static call. Weights ride as a Seq (value equality keeps plan
+  * canonicalization sound) and reach generated code via addReferenceObj. */
+case class NgramWeightSum(child: Expression, weights: Seq[Double], dim: Int)
+    extends UnaryExpression {
+  require(dim >= 1 && weights.size == dim,
+    s"ngram_weight_sum needs |weights| == dim >= 1, got ${weights.size}/$dim")
+  @transient private lazy val warr: Array[Double] = weights.toArray
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ngram_weight_sum expects array<string>, got ${t.sql}")
+  }
+  override def nullSafeEval(ts: Any): Any =
+    TextKernels.ngramWeightSum(ts.asInstanceOf[ArrayData], warr, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ngramWeights", warr, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextKernels.ngramWeightSum($c, $ref, $dim)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NgramWeightSum =
+    copy(child = newChild)
+  override def prettyName: String = "ngram_weight_sum"
 }
 
 /** simhash30(array<long>) → long. */

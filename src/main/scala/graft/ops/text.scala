@@ -760,20 +760,25 @@ object TextAnalysis {
     * compares THE ROUNDED score to the threshold, so flag parity follows
     * from score parity.
     *
-    * Plan shape: a pure NARROW projection — tokenize, two HOF passes
-    * (transform + aggregate) over the gram list with the weight array as a
-    * literal, no explode, no shuffle, no join. Scan-bound at any corpus
-    * size; composes as a filter stage anywhere (see
+    * Plan shape: a pure NARROW projection — tokenize, then ONE codegen'd
+    * kernel call ([[graft.expr.NgramWeightSum]]) computing the whole
+    * hashed-feature logit numerator per doc; no explode, no shuffle, no
+    * join. The first cut composed built-in HOFs (transform + aggregate
+    * over the gram list) and paid an interpreted lambda + element_at PER
+    * GRAM — 81 s on a single-task 5.5k-doc scan; the fused kernel is the
+    * [[polyHash]] lesson applied again. Scan-bound at any corpus size;
+    * composes as a filter stage anywhere (see
     * [[graft.ops.Curation.releasePipeline]]). */
   def modelQualityScore(text: Column): Column = {
     val toks = tokens(text)
-    val grams = concat(toks, shingles(toks, 2))
-    val wl = array(QualityModel.Weights.map(lit): _*)
-    val hits = aggregate(grams, lit(0.0), (acc, g) =>
-      acc + element_at(wl,
-        pmod(polyHash(g), lit(QualityModel.Dim.toLong)).cast("int") + 1))
+    // n unigrams + max(n-1, 0) bigrams — arithmetic, not a second pass
+    val nFeats = size(toks) + greatest(size(toks) - 1, lit(0))
+    val hits = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expr.NgramWeightSum(
+        org.apache.spark.sql.graftbridge.Bridge.expression(toks),
+        QualityModel.Weights.toSeq, QualityModel.Dim))
     val z = graft.Num.rnd(
-      when(size(grams) === 0, lit(0.0)).otherwise(hits / size(grams))
+      when(nFeats === 0, lit(0.0)).otherwise(hits / nFeats)
         + lit(QualityModel.Bias), 9)
     graft.Num.rnd(lit(1.0) / (lit(1.0) + exp(-z)), 6)
   }
@@ -784,7 +789,7 @@ object TextAnalysis {
     * engine-stably as integers). */
   def modelQuality(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val toks = tokens(col("text"))
-    val nFeats = (size(toks) + size(shingles(toks, 2))).cast("long")
+    val nFeats = (size(toks) + greatest(size(toks) - 1, lit(0))).cast("long")
     docs.select(col("doc_id"), nFeats.as("n_feats"),
         modelQualityScore(col("text")).as("model_quality"))
       .withColumn("keep",
