@@ -3287,7 +3287,27 @@ object SparkEntry {
     ("q142_bpe_train",
       (s: SparkSession, dir: String) =>
         TextAnalysis.bpeTrain(Cohorts.documents(s, dir), 6),
-      Some(TextSql.bpeTrainSql(6)))
+      Some(TextSql.bpeTrainSql(6))),
+
+    // BPE segmentation — the CONSUMER of q142's merge table: train the 6
+    // merges (driver loop, learned-literal collects), then segment the
+    // corpus with them and report per-doc token economics (word count,
+    // BPE token count, chars-per-token). Segmentation runs on the
+    // Zipf-bounded DISTINCT-WORD relation, never per token. The oracle
+    // re-trains in SQL (q142's layer prefix picks each top pair itself)
+    // and applies s6 — so the gate pins train+apply end-to-end.
+    // Precondition: the corpus supports >= 6 merges (q142's own 6-row
+    // gate asserts this per fixture; an early-exhausted corpus would
+    // segment with fewer merges than the oracle's fixed 6 layers).
+    ("q143_bpe_segment",
+      (s: SparkSession, dir: String) => {
+        val d = Cohorts.documents(s, dir)
+        val merges = TextAnalysis.bpeTrain(d, 6)
+          .orderBy("iter").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        TextAnalysis.bpeSegment(d, merges)
+      },
+      Some(TextSql.bpeSegmentSql(6)))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -106,6 +106,71 @@ object Io {
   def writeParquetPerDate(df: DataFrame, dateCol: String, outDir: String): Unit =
     perDate(df, dateCol).parquet(outDir)
 
+  /** Training-data RELEASE sink — the write leg of
+    * [[graft.ops.Curation.releasePipeline]]: given the doc-level
+    * assignment frame ([[graft.ops.Curation.releaseAssignments]]), ships
+    *
+    *   `<outDir>/shard-<k>.parquet`   one file per output shard
+    *   `<outDir>/manifest.csv`        one row per shard (the q141 manifest)
+    *
+    * with EXACT artifact names (the [[writeCsvExact]] discipline — a
+    * training loader globs `shard-*.parquet` and reads `manifest.csv`,
+    * so staged `out_shard=`-partitioned directories won't do). Rows
+    * within each shard are sorted by the packs' deterministic shuffle
+    * position (then pack chain order), so the artifact BYTES are
+    * reproducible run-over-run — the property that lets two release
+    * builds be diffed by checksum. One distributed write repartitioned
+    * on the shard id (one writer task per shard — shard count is chosen
+    * by the caller to bound file size, so a single writer per file is
+    * the intended parallelism), then a driver-side rename pass that is
+    * O(shards), never O(rows). The manifest is computed from the SAME
+    * assignment frame being written ([[graft.ops.Curation.manifestOf]]),
+    * so the two artifacts cannot drift. */
+  def writeReleaseShards(assignments: DataFrame, outDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = assignments.sparkSession
+    val staging = s"$outDir/.staging_release"
+    assignments
+      .repartition(col("out_shard"))
+      .sortWithinPartitions(col("out_shard"), col("shuffle_pos"),
+        col("pack_id"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("out_shard")
+      .option("maxRecordsPerFile", 0)
+      .parquet(staging)
+    val conf = spark.sessionState.newHadoopConf()
+    val stagingPath = new Path(staging)
+    val fs = stagingPath.getFileSystem(conf)
+    fs.listStatus(stagingPath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("out_shard="))
+      .foreach { d =>
+        val shard = d.getPath.getName.stripPrefix("out_shard=")
+        val parts = fs.listStatus(d.getPath)
+          .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        require(parts.length == 1,
+          s"expected exactly one part file for shard $shard, got ${parts.length} " +
+            "(the shard repartition guarantees one writer per shard)")
+        val dest = new Path(s"$outDir/shard-$shard.parquet")
+        if (fs.exists(dest)) fs.delete(dest, false)
+        require(fs.rename(parts.head.getPath, dest), s"rename to $dest failed")
+      }
+    fs.delete(stagingPath, true)
+    // manifest.csv: exactly one header + |shards| rows, exact name
+    val mStaging = s"$outDir/.staging_manifest"
+    graft.ops.Curation.manifestOf(assignments)
+      .orderBy("out_shard")
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(mStaging)
+    val mPath = new Path(mStaging)
+    val mParts = fs.listStatus(mPath)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    require(mParts.length == 1,
+      s"expected one manifest part file, got ${mParts.length}")
+    val mDest = new Path(s"$outDir/manifest.csv")
+    if (fs.exists(mDest)) fs.delete(mDest, false)
+    require(fs.rename(mParts.head.getPath, mDest), s"rename to $mDest failed")
+    fs.delete(mPath, true)
+  }
+
   /** Bucketed parquet table sink — the co-located-join scale path. Rows are
     * hash-distributed into `buckets` files on `bucketCol` and sorted within
     * each bucket; two tables written with the same (column, bucket count)

@@ -140,6 +140,34 @@ object Curation {
                       semanticThreshold: Double = 0.9,
                       exactSemantic: Boolean = false,
                       contamShingleK: Int = 8): DataFrame = {
+    selectManifest(releaseAssignments(docs, embeddings, tokenBudget,
+      packBudget, packShards, outShards, alpha, mixSeed, shuffleSeed,
+      minhashThreshold, benchmarkSource, qualityFloor, modelFloor,
+      semanticThreshold, exactSemantic, contamShingleK))
+  }
+
+  /** The DOC-LEVEL release assignment behind [[releasePipeline]]: one row
+    * per shipped document — (doc_id, lang, shard, tokens, pack_id,
+    * pack_key, source, shuffle_pos, out_shard). This is what a release
+    * WRITES ([[graft.Io.writeReleaseShards]]): rows ordered by the packs'
+    * deterministic shuffle position within each output shard, so the
+    * artifact bytes are reproducible run-over-run. The manifest
+    * ([[releasePipeline]]) is a fold over this frame. */
+  def releaseAssignments(docs: DataFrame, embeddings: DataFrame,
+                         tokenBudget: Long,
+                         packBudget: Long = 256,
+                         packShards: Int = 1,
+                         outShards: Int = 4,
+                         alpha: Double = 0.5,
+                         mixSeed: String = "relmix",
+                         shuffleSeed: String = "relshuf",
+                         minhashThreshold: Double = 0.5,
+                         benchmarkSource: String = "src0",
+                         qualityFloor: Double = 0.4,
+                         modelFloor: Option[Double] = None,
+                         semanticThreshold: Double = 0.9,
+                         exactSemantic: Boolean = false,
+                         contamShingleK: Int = 8): DataFrame = {
     require(outShards >= 1, s"outShards must be >= 1, got $outShards")
     val (stage1, semKeepers) = curatedKeepers(docs, embeddings,
       minhashThreshold, benchmarkSource, qualityFloor, modelFloor,
@@ -157,14 +185,18 @@ object Curation {
     val assigned = Sampling
       .shuffleOrder(packRel.select("pack_key").distinct(), "pack_key", shuffleSeed)
       .withColumn("out_shard", pmod(col("shuffle_pos"), lit(outShards.toLong)))
-      .select("pack_key", "out_shard")
-    val docShard = packRel
+      .select("pack_key", "shuffle_pos", "out_shard")
+    packRel
       .join(stage1.select("doc_id", "source"), "doc_id")
       .join(assigned, "pack_key")
+  }
+
+  /** The per-shard manifest fold over [[releaseAssignments]]. */
+  private def selectManifest(docShard: DataFrame): DataFrame = {
     val bySrc = docShard.groupBy("out_shard", "source")
       .agg(count(lit(1)).as("__n"), sum("tokens").as("__t"))
-    val packCnt = assigned.groupBy("out_shard")
-      .agg(count(lit(1)).as("n_packs"))
+    val packCnt = docShard.select("out_shard", "pack_key").distinct()
+      .groupBy("out_shard").agg(count(lit(1)).as("n_packs"))
     bySrc.groupBy("out_shard")
       .agg(sum("__n").as("n_docs"), sum("__t").as("n_tokens"),
         array_join(
@@ -174,4 +206,10 @@ object Curation {
       .join(packCnt, "out_shard")
       .select("out_shard", "n_packs", "n_docs", "n_tokens", "source_mix")
   }
+
+  /** Public manifest fold for callers that already hold an assignment
+    * frame (e.g. to write manifest + shards from ONE computed assignment —
+    * [[graft.Io.writeReleaseShards]] composes exactly this way). */
+  def manifestOf(assignments: DataFrame): DataFrame =
+    selectManifest(assignments)
 }

@@ -695,6 +695,21 @@ object TextAnalysis {
     * discipline — q44 centroids, q133 codebooks), one narrow merge
     * projection. Per-iteration cost is vocabulary-bounded, independent of
     * corpus size. */
+  /** Leftmost-greedy single-merge application over a symbol array — the
+    * per-word left fold shared by [[bpeTrain]] and [[bpeSegment]]: the
+    * pair merges exactly when the accumulator's LAST symbol is `a` and
+    * the incoming one is `b` (reproduces sequential scanning including
+    * the a==b overlapping-run case). */
+  private[ops] def bpeMergeExpr(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Character symbols of a word — BPE's layer-0 segmentation. */
+  private[ops] def charSyms(w: Column): Column =
+    transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+
   def bpeTrain(docs: org.apache.spark.sql.DataFrame, nMerges: Int): org.apache.spark.sql.DataFrame = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val spark = docs.sparkSession
@@ -706,16 +721,11 @@ object TextAnalysis {
             element_at(syms, i + 2).as("r"))))
         .otherwise(array().cast("array<struct<l:string,r:string>>"))
     def mergeExpr(syms: Column, a: String, b: String): Column =
-      aggregate(syms, array().cast("array<string>"), (acc, x) =>
-        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-          .otherwise(concat(acc, array(x))))
+      bpeMergeExpr(syms, a, b)
     var vocab = docs
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(col("cnt"),
-        transform(sequence(lit(1), length(col("w"))),
-          i => col("w").substr(i, lit(1))).as("syms"))
+      .select(col("cnt"), charSyms(col("w")).as("syms"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     var exhausted = false
@@ -741,6 +751,39 @@ object TextAnalysis {
     vocab.unpersist()
     import spark.implicits._
     merges.toSeq.toDF("iter", "lhs", "rhs", "merged", "n")
+  }
+
+  /** BPE segmentation — the CONSUMER of [[bpeTrain]]'s merge table: apply
+    * the learned merges in order to the corpus and report per-doc token
+    * economics: word count, BPE token count, and chars-per-BPE-token (the
+    * compression number a tokenizer is tuned on). Depth-2 tokenizer story:
+    * q142 trains the table, this segments with it.
+    *
+    * Scale shape: segmentation happens on the DISTINCT-WORD relation
+    * (Zipf-bounded), not per token — chars → N chained leftmost-greedy
+    * merge folds ([[bpeMergeExpr]]), all narrow projections over the
+    * vocabulary. The corpus is then one tokenize+explode pass equi-joined
+    * to the segmented vocab on the word (vocab-sized build side —
+    * Catalyst/AQE broadcasts when it fits, degrades to a token-keyed
+    * shuffle join at web scale) and folded per doc. Two corpus scans
+    * total (the trainer's word count + this join), never a per-token
+    * merge loop. */
+  def bpeSegment(docs: org.apache.spark.sql.DataFrame,
+                 merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val vocab0 = docs.select(explode(tokens(col("text"))).as("w")).distinct()
+    val seg = merges
+      .foldLeft(vocab0.select(col("w"), charSyms(col("w")).as("syms"))) {
+        case (df, (a, b)) => df.withColumn("syms", bpeMergeExpr(col("syms"), a, b))
+      }
+      .select(col("w"), size(col("syms")).cast("long").as("n_syms"),
+        length(col("w")).cast("long").as("n_chars"))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .join(seg, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_syms").as("n_bpe_tokens"),
+        graft.Num.rnd(
+          sum("n_chars").cast("double") / sum("n_syms"), 4).as("chars_per_token"))
   }
 
   /** Model-based quality score — the fastText/CCNet-style classifier stage
@@ -874,7 +917,13 @@ object TextSql {
     * arise when lhs = rhs, where sequential scanning merges alternate
     * positions). Window-over-window steps are staged in separate CTEs
     * (DuckDB rejects nesting). */
-  def bpeTrainSql(nMerges: Int): String = {
+  /** Shared BPE layer prefix: toks → word counts → layer-0 character
+    * symbols (s0, which also carries the word string for segmentation
+    * consumers) → one CTE block per merge iteration producing s1..sN.
+    * Multiply-referenced CTEs are MATERIALIZED — DuckDB re-inlines
+    * per reference and the layered fan-out is otherwise exponential
+    * (measured: >15 min → 1.3 s at sf0.01). */
+  private def bpeLayersSql(nMerges: Int): String = {
     val layers = (1 to nMerges).map { k =>
       val s = s"s${k - 1}"
       s"""p$k AS (SELECT cnt,
@@ -906,19 +955,42 @@ object TextSql {
          |       WHERE m2.pos IS NULL
          |       GROUP BY c.wid)""".stripMargin
     }
+    s"""WITH $toksCte,
+       |tok AS (SELECT unnest(t) AS w FROM toks),
+       |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w),
+       |s0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY w) AS BIGINT) AS wid,
+       |              w, cnt,
+       |              list_transform(range(length(w)),
+       |                i -> substr(w, CAST(i + 1 AS INT), 1)) AS syms
+       |       FROM wc),
+       |${layers.mkString(",\n")}""".stripMargin
+  }
+
+  def bpeTrainSql(nMerges: Int): String = {
     val union = (1 to nMerges).map { k =>
       s"SELECT CAST($k AS BIGINT) AS iter, l AS lhs, r AS rhs, " +
         s"l || r AS merged, n FROM b$k"
     }.mkString("\nUNION ALL\n")
-    s"""WITH $toksCte,
-       |tok AS (SELECT unnest(t) AS w FROM toks),
-       |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w),
-       |s0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY w) AS BIGINT) AS wid, cnt,
-       |              list_transform(range(length(w)),
-       |                i -> substr(w, CAST(i + 1 AS INT), 1)) AS syms
-       |       FROM wc),
-       |${layers.mkString(",\n")}
+    s"""${bpeLayersSql(nMerges)}
        |$union""".stripMargin
+  }
+
+  /** SQL twin of [[TextAnalysis.bpeSegment]] fed by [[bpeTrainSql]]'s own
+    * learned merges: the same layer prefix trains AND applies (the engine
+    * side trains via the gated q142 loop, so the composition is pinned
+    * end-to-end), then the segmented vocabulary (sN, joined back to s0
+    * for the word string) prices every document's tokens. */
+  def bpeSegmentSql(nMerges: Int): String = {
+    s"""${bpeLayersSql(nMerges)},
+       |wn AS (SELECT s0.w, CAST(len(sN.syms) AS BIGINT) AS n_syms,
+       |              CAST(length(s0.w) AS BIGINT) AS n_chars
+       |       FROM s$nMerges sN JOIN s0 USING (wid)),
+       |tokw AS (SELECT doc_id, unnest(t) AS w FROM toks)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+       |       ROUND(1e-9 + CAST(sum(n_chars) AS DOUBLE) / sum(n_syms), 4)
+       |         AS chars_per_token
+       |FROM tokw JOIN wn USING (w) GROUP BY doc_id""".stripMargin
   }
 
   /** SQL twin of [[TextAnalysis.modelQualityScore]] over the toks CTE:

@@ -18,6 +18,60 @@ class IoSpec extends SparkSpec {
     assert(dates.sorted.toSeq == Seq("2021-11-20", "2021-11-21"))
   }
 
+  test("writeReleaseShards ships exact shard-<k>.parquet artifacts + manifest.csv that reconcile") {
+    val dir = tmpDir()
+    val rng = new scala.util.Random(7)
+    val docs = (0L until 60L).map { i =>
+      val base = if (i >= 50 && i < 55) i - 50 else i
+      val text = (0 until 30).map(j => s"w${base}x$j").mkString(" ")
+      (i, if (i % 2 == 0) "en" else "zh",
+        if (i % 20 == 19) "src0" else s"src${i % 3}", text.length.toLong, text)
+    }.toDF("doc_id", "lang", "source", "n_chars", "text")
+    val emb = (0L until 60L).map { i =>
+      val v = if (i == 16L || i == 6L) Array.fill(8)(0.9f)
+        else Array.tabulate(8)(_ => rng.nextFloat() * 2 - 1)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val assign = graft.ops.Curation.releaseAssignments(docs, emb,
+      tokenBudget = 500, packBudget = 64, packShards = 2, outShards = 3,
+      alpha = 0.5, modelFloor = Some(0.0))
+    Io.writeReleaseShards(assign, s"$dir/release")
+    spark.catalog.clearCache()
+    // manifest.csv exists under its exact name, one row per non-empty shard
+    val manifest = spark.read.option("header", "true").csv(s"$dir/release/manifest.csv")
+      .collect().map(r => r.getString(0) -> (r.getString(2).toLong, r.getString(3).toLong)).toMap
+    assert(manifest.nonEmpty)
+    // each manifest shard has its exact-named parquet whose rows/tokens
+    // reconcile with the manifest
+    manifest.foreach { case (shard, (nDocs, nTokens)) =>
+      val f = new java.io.File(s"$dir/release/shard-$shard.parquet")
+      assert(f.isFile, s"missing artifact ${f.getPath}")
+      val rows = spark.read.parquet(f.getPath)
+      assert(rows.count() == nDocs)
+      assert(rows.agg(sum("tokens")).head.getLong(0) == nTokens)
+    }
+    // no staging leftovers or extra shard files beyond the manifest
+    // (dot-prefixed .crc sidecars are LocalFileSystem checksum artifacts)
+    val files = new java.io.File(s"$dir/release").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).toSet
+    assert(files == manifest.keySet.map(s => s"shard-$s.parquet") + "manifest.csv")
+    // byte-reproducible: a second write of the same assignment produces
+    // identical shard files
+    val before = manifest.keySet.map { s =>
+      s -> java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/release/shard-$s.parquet")).toSeq
+    }.toMap
+    Io.writeReleaseShards(graft.ops.Curation.releaseAssignments(docs, emb,
+      tokenBudget = 500, packBudget = 64, packShards = 2, outShards = 3,
+      alpha = 0.5, modelFloor = Some(0.0)), s"$dir/release")
+    spark.catalog.clearCache()
+    before.foreach { case (s, bytes) =>
+      assert(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/release/shard-$s.parquet")).toSeq == bytes,
+        s"shard $s bytes not reproducible")
+    }
+  }
+
   test("S2: date-range scan pushes the predicate to the parquet source") {
     val df = Io.scanDateRange(spark, "/root/testdata/sf0.001/orders.parquet",
       "o_orderdate", "1995-01-01", "1995-02-01")

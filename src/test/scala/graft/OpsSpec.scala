@@ -2709,6 +2709,19 @@ class OpsSpec extends SparkSpec {
       (4L, "aa", "aa", "aaaa", 1L)))
   }
 
+  test("bpeSegment applies learned merges on the vocab: hand-checked token economics") {
+    val docs = Seq((1L, "aaab aaab aaab ab ab aaaa")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, 2)
+      .orderBy("iter").as[(Long, String, String, String, Long)].collect()
+      .map(r => (r._2, r._3)).toSeq
+    assert(merges == Seq(("a", "a"), ("a", "b")))
+    // aaab -> [aa, ab] (2), ab -> [ab] (1), aaaa -> [aa, aa] (2 — the
+    // leftmost-greedy overlap case); 6 words, 10 BPE tokens, 20 chars
+    val out = TextAnalysis.bpeSegment(docs, merges)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 6L, 10L, 2.0)))
+  }
+
   test("releasePipeline manifest: conservation, budget bound, shard range, deterministic") {
     val rng = new scala.util.Random(7)
     // 60 docs, 2 langs, benchmark source src0; docs 50-54 duplicate 0-4's
