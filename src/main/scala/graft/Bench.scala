@@ -148,16 +148,19 @@ object Bench {
         name.takeWhile(_ != '_') -> ts.minOption.getOrElse(-1.0)
       }
     }
-    // Host-speed normalization: the same two canaries measured on the r10
-    // driver host (BENCH_r10.json's pass — the round the 2× judgment scale
-    // was last hand-verified against) are FROZEN here as the reference.
-    // total_norm = total × geomean(ref/now) — a judge comparing rounds can
-    // read host drift out of the headline number without an isolated
-    // re-run. Failed canaries (-1) drop out of the mean; if both fail,
-    // total_norm falls back to the raw total.
-    val canaryRef = Map("q09" -> 0.96, "q89" -> 0.30)
-    val ratios = canaries.collect {
-      case (k, v) if v > 0 && canaryRef.contains(k) => canaryRef(k) / v
+    // Host-speed normalization: total_norm = total × geomean(ref/now) over
+    // the two canary queries' IN-SUITE b2b mins, with the reference FROZEN
+    // at the r11 driver pass's in-suite values (BENCH_r11.json "queries").
+    // In-suite-vs-in-suite is the methodology-consistent comparison: the
+    // END-of-suite isolated canaries below vary ~1.8× between sessions on
+    // a same-speed host (r11 measured its isolated canary ABOVE its
+    // in-suite min, this host the reverse), while the in-suite mins
+    // reproduce within ~5% — measured before freezing this. A canary with
+    // no successful run drops out of the mean; if both drop, total_norm
+    // falls back to the raw total.
+    val canaryRefInSuite = Map("q09_knn_topk" -> 1.14, "q89_events_zscore" -> 0.32)
+    val ratios = canaryRefInSuite.toSeq.flatMap { case (name, ref) =>
+      runs.getOrElse(name, Nil).minOption.filter(_ > 0).map(ref / _)
     }
     val hostFactor =
       if (ratios.isEmpty) 1.0
