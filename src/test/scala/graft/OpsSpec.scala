@@ -133,6 +133,27 @@ class OpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("modelQuality is a stateless stream stage: per-row scores equal batch") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val sdf = stream.toDF().toDF("doc_id", "text")
+    // the ingest-time quality gate: the SAME narrow projection applied to
+    // a stream — no state, no watermark, per-row append
+    val q = TextAnalysis.modelQuality(sdf).writeStream
+      .format("memory").queryName("mq_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val rows = Seq((1L, "the quick brown fox"), (2L, ""), (3L, "aa bb aa"))
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("mq_out")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      val batch = TextAnalysis.modelQuality(rows.toDF("doc_id", "text"))
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(streamed == batch && batch.size == 3)
+    } finally q.stop()
+  }
+
   test("repetition stats: most frequent bigram share") {
     // "a a a b": bigrams (a a), (a a), (a b) → n=3, max=2, ratio 0.6667
     val out = TextAnalysis.repetition(docs((1L, "a a a b"), (2L, "solo")))
