@@ -3307,7 +3307,59 @@ object SparkEntry {
           .map(r => (r.getString(1), r.getString(2))).toSeq
         TextAnalysis.bpeSegment(d, merges)
       },
-      Some(TextSql.bpeSegmentSql(6)))
+      Some(TextSql.bpeSegmentSql(6))),
+
+    // Model-quality SCORE drift — the model-monitoring loop over the q140
+    // classifier: PSI (q138's frozen-reference-bin machinery) between the
+    // score distributions of two corpus snapshots (q137's derived prev/cur
+    // — prev carries modified text for the %7 docs, so the scores really
+    // move). A drifting score distribution is the standard retrain/
+    // recalibrate trigger for a frozen quality model. Plan = two narrow
+    // fused-kernel scoring scans + q138's bins-row folds.
+    ("q144_quality_drift",
+      (s: SparkSession, dir: String) => {
+        val d = Cohorts.documents(s, dir)
+        val prev = d.filter(col("doc_id") % 10 =!= 0)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" v1"))).otherwise(col("text")))
+        val cur = d.filter(col("doc_id") % 13 =!= 0)
+        Profile.distributionDrift(
+          TextAnalysis.modelQuality(prev),
+          TextAnalysis.modelQuality(cur), "model_quality", 10)
+      },
+      Some(s"""WITH toks1 AS (
+              |  SELECT doc_id, list_filter(string_split_regex(
+              |    CASE WHEN doc_id % 7 = 0 THEN text || ' v1' ELSE text END,
+              |    '\\s+'), x -> x <> '') AS t
+              |  FROM documents WHERE doc_id % 10 <> 0),
+              |toks2 AS (
+              |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+              |    x -> x <> '') AS t
+              |  FROM documents WHERE doc_id % 13 <> 0),
+              |${TextSql.modelQualityCtesFrom("toks1", "1")},
+              |${TextSql.modelQualityCtesFrom("toks2", "2")},
+              |s AS (SELECT min(model_quality) AS mn, max(model_quality) AS mx
+              |      FROM mq1 WHERE model_quality IS NOT NULL),
+              |rb AS (SELECT CAST(LEAST(GREATEST(FLOOR((model_quality - mn) / ((mx - mn) / 10.0)), 0), 9) AS BIGINT) AS bin
+              |       FROM mq1, s WHERE model_quality IS NOT NULL),
+              |cb AS (SELECT CAST(LEAST(GREATEST(FLOOR((model_quality - mn) / ((mx - mn) / 10.0)), 0), 9) AS BIGINT) AS bin
+              |       FROM mq2, s WHERE model_quality IS NOT NULL),
+              |sp AS (SELECT unnest(range(10)) AS bin),
+              |rc AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_ref FROM rb GROUP BY bin),
+              |cc AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_cur FROM cb GROUP BY bin),
+              |j AS (SELECT sp.bin, COALESCE(rc.n_ref, 0) AS n_ref, COALESCE(cc.n_cur, 0) AS n_cur
+              |      FROM sp LEFT JOIN rc ON sp.bin = rc.bin LEFT JOIN cc ON sp.bin = cc.bin),
+              |t AS (SELECT bin, n_ref, n_cur,
+              |             sum(n_ref) OVER () AS tr, sum(n_cur) OVER () AS tc FROM j)
+              |SELECT bin,
+              |       ROUND(1e-9 + mn + bin * ((mx - mn) / 10.0), 4) AS bin_lo,
+              |       ROUND(1e-9 + mn + (bin + 1) * ((mx - mn) / 10.0), 4) AS bin_hi,
+              |       n_ref, n_cur,
+              |       ROUND(1e-9 + (CAST(n_ref + 1 AS DOUBLE) / (tr + 10)
+              |                     - CAST(n_cur + 1 AS DOUBLE) / (tc + 10))
+              |             * ln((CAST(n_ref + 1 AS DOUBLE) / (tr + 10))
+              |                  / (CAST(n_cur + 1 AS DOUBLE) / (tc + 10))), 6) AS psi_term
+              |FROM t, s""".stripMargin))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

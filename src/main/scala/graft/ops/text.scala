@@ -1002,20 +1002,25 @@ object TextSql {
     * exact addition sequence of Spark's `aggregate` HOF — so the
     * pre-round logit is bit-identical in both engines and the 9 dp round
     * + sigmoid + 6 dp round can only diverge on an exp() ulp. */
-  def modelQualityCtes: String = {
+  def modelQualityCtes: String = modelQualityCtesFrom("toks", "")
+
+  /** [[modelQualityCtes]] over an arbitrary token relation (`doc_id`, `t`)
+    * with suffixed CTE names — lets one query score TWO snapshots side by
+    * side (q144's score-drift monitor). */
+  def modelQualityCtesFrom(toksRel: String, sfx: String): String = {
     val wl = QualityModel.Weights.map(_.toString).mkString(", ")
-    s"""g AS (SELECT doc_id, list_concat(t, ${shingleStrings("t", 2)}) AS g
-       |      FROM toks),
-       |wt AS (SELECT [$wl]::DOUBLE[] AS w),
-       |zz AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n_feats,
+    s"""g$sfx AS (SELECT doc_id, list_concat(t, ${shingleStrings("t", 2)}) AS g
+       |      FROM $toksRel),
+       |wt$sfx AS (SELECT [$wl]::DOUBLE[] AS w),
+       |zz$sfx AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n_feats,
        |             ROUND(1e-9 + CASE WHEN len(g) = 0 THEN 0.0
        |               ELSE list_reduce(list_prepend(0.0, list_transform(g,
        |                      x -> w[CAST(${polyHash("x")} % ${QualityModel.Dim} AS INT) + 1])),
        |                      (a, b) -> a + b) / len(g)
        |               END + ${QualityModel.Bias}, 9) AS z
-       |      FROM g, wt),
-       |mq AS (SELECT doc_id, n_feats,
+       |      FROM g$sfx, wt$sfx),
+       |mq$sfx AS (SELECT doc_id, n_feats,
        |              ROUND(1e-9 + 1.0 / (1.0 + exp(-z)), 6) AS model_quality
-       |       FROM zz)""".stripMargin
+       |       FROM zz$sfx)""".stripMargin
   }
 }
