@@ -10,9 +10,12 @@ import org.apache.spark.sql.SparkSession
   * "details":path,"sf":...}. Per-query times (full names, every run,
   * attempt counts) go to the `details` side file — the stdout line stays
   * under ~1 kB at any query count because the harness parses it out of a
-  * 2000-char stream tail. total_norm is the canary-normalized total
-  * (frozen r10-host reference), so cross-round comparisons read host
-  * drift out of the headline number.
+  * 2000-char stream tail. total_norm is the canary-normalized total —
+  * reference FROZEN at the r11 IN-SUITE canary mins (q09 1.14, q89 0.32;
+  * see canaryRefInSuite below, provenance field "canary_ref" in the
+  * emitted JSON) — so cross-round comparisons read host drift out of the
+  * headline number. Re-freeze policy: the reference moves only when the
+  * canary queries' own code changes, never per round.
   *
   * Retry strategy: this host shows transient stall waves (40-80 s freezes
   * at ~idle CPU) and first-execution janino/JIT compile storms, neither of
@@ -22,12 +25,18 @@ import org.apache.spark.sql.SparkSession
   * for a ~2 s query). Instead: run every query twice back-to-back (the
   * second run is JIT/codegen-warm for that query ⇒ near steady state for
   * EVERY query, including the fast ones a single contended sample
-  * distorted in r8), then GREEDILY re-run the currently-slowest suspicious
-  * queries (min ≥ RetryThresholdSec) while the wall budget lasts,
-  * reporting each query's fastest run.
+  * distorted in r8), then GREEDILY re-run the most suspicious queries —
+  * min ≥ RetryThresholdSec, or min drifted >1.5× vs the prior round's
+  * committed bench_prior.json snapshot — while the wall budget (scaled
+  * with query count) lasts, reporting each query's fastest run.
   */
 object Bench {
-  private val WallBudgetSec = 540.0 // total, incl. first pass
+  // Total wall budget incl. the first pass, SCALED with query count: the
+  // fixed 540 s cap collapsed at 144 queries (pass 1 alone ate ~80% of it
+  // and mid-tier 2-sample mins drifted 2-4× with zero retries — VERDICT
+  // r12 "what's wrong" #2). ~5 s/query keeps the old density the suite
+  // had at ~108 queries, at any suite size.
+  private def wallBudgetSec(nq: Int): Double = math.max(540.0, nq * 5.0)
   // The retry pass gets AT LEAST this much wall after pass 1 even when
   // pass 1 overruns the budget: at 144 queries pass 1 alone costs ~500 s,
   // and with a hard 540 s cap the stall-hit queries (the exact ones
@@ -107,22 +116,51 @@ object Bench {
       System.err.println(f"[bench] $name%-28s ${best.getOrElse(Double.NaN)}%8.2f s  (b2b min)")
     }
 
-    // Pass 2+: spend the remaining wall budget on the slowest suspicious
-    // queries — exactly the ones a stall would have distorted most. A query
-    // with no successful run yet gets ONE extra attempt (enough to clear a
-    // transient crash) and is tried LAST — a deterministic failure must not
-    // burn the budget that stall-distorted successes need.
+    // Prior-round per-query mins (the committed bench_prior.json snapshot
+    // of last round's bench_details.json): a query whose current min
+    // drifted >1.5× vs its prior is a retry candidate even when it sits
+    // below the absolute threshold — at 144 queries the absolute rule
+    // alone left mid-tier 1.5-5 s drifters with 2 samples (VERDICT r12
+    // "what's wrong" #2). Parsed with a line regex (the file is our own
+    // writer's fixed shape); absent/unreadable prior ⇒ empty map and the
+    // absolute rule alone, the pre-r13 behavior.
+    val priorMins: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR",
+        "/root/repo/bench_prior.json")
+      val re = """"(q[^"]+)":\s*\{"min":\s*([0-9.]+)""".r
+      try {
+        val src = scala.io.Source.fromFile(path, "UTF-8")
+        try re.findAllMatchIn(src.mkString)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        finally src.close()
+      } catch { case _: Throwable => Map.empty }
+    }
+    val DriftRatio = 1.5
+
+    // Pass 2+: spend the remaining wall budget on the most suspicious
+    // queries — the ones a stall distorted most. Suspicious = min over
+    // the absolute threshold, OR min drifted >1.5× vs the prior round.
+    // Ordered by EXCESS SECONDS vs prior (min − prior; min itself when no
+    // prior), so the retry budget goes where it can correct the most
+    // total wall. A query with no successful run yet gets ONE extra
+    // attempt (enough to clear a transient crash) and is tried LAST — a
+    // deterministic failure must not burn the budget that stall-distorted
+    // successes need.
     def candidates = queries.filter { case (name, _) =>
       runs.get(name) match {
         case Some(ts) if ts.nonEmpty =>
-          ts.min >= RetryThresholdSec && attempts(name) < MaxRunsPerQuery
+          attempts(name) < MaxRunsPerQuery &&
+            (ts.min >= RetryThresholdSec ||
+              priorMins.get(name).exists(p => ts.min > DriftRatio * p))
         case _ => attempts(name) < 2
       }
     }.sortBy { case (name, _) =>
-      runs.get(name).filter(_.nonEmpty).map(ts => -ts.min).getOrElse(0.0)
+      runs.get(name).filter(_.nonEmpty)
+        .map(ts => -(ts.min - priorMins.getOrElse(name, 0.0))).getOrElse(0.0)
     }
     var cs = candidates
-    val retryDeadline = math.max(WallBudgetSec, elapsed + MinRetryWindowSec)
+    val retryDeadline = math.max(wallBudgetSec(queries.size),
+      elapsed + MinRetryWindowSec)
     while (cs.nonEmpty && elapsed < retryDeadline) {
       val (name, fn) = cs.head
       once(name, fn)
@@ -166,7 +204,10 @@ object Bench {
     // reproduce within ~5% — measured before freezing this. A canary with
     // no successful run drops out of the mean; if both drop, total_norm
     // falls back to the raw total.
+    // Re-freeze ONLY if q09/q89's own code changes (then update the
+    // CanaryRefTag too); a per-round re-freeze would define drift away.
     val canaryRefInSuite = Map("q09_knn_topk" -> 1.14, "q89_events_zscore" -> 0.32)
+    val CanaryRefTag = "r11-insuite"
     val ratios = canaryRefInSuite.toSeq.flatMap { case (name, ref) =>
       runs.getOrElse(name, Nil).minOption.filter(_ > 0).map(ref / _)
     }
@@ -188,6 +229,15 @@ object Bench {
     // "what's wrong" #1). The side file carries full names, every
     // successful run, and the attempt count — richer than the old inline
     // map — at a stable repo path the judge can read directly.
+    // JSON-escaped before interpolation: a path carrying a quote or
+    // backslash must not corrupt the single-line report the harness parses.
+    def jstr(s: String): String =
+      s.flatMap {
+        case '\\' => "\\\\"
+        case '"' => "\\\""
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
     val detailsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAILS",
       "/root/repo/bench_details.json")
     val detailsJson = {
@@ -219,7 +269,7 @@ object Bench {
     val canaryJson = canaries
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     spark.stop()
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_norm":${r3(total * hostFactor)},"host_factor":${r3(hostFactor)},"nq":${results.size},"canaries":$canaryJson,"failed":$failedJson,"details":"$detailsPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_norm":${r3(total * hostFactor)},"host_factor":${r3(hostFactor)},"canary_ref":"$CanaryRefTag","nq":${results.size},"canaries":$canaryJson,"failed":$failedJson,"details":"${jstr(detailsPath)}","sf":"${jstr(sfDir)}"}""")
     System.out.flush()
   }
 }
