@@ -140,6 +140,21 @@ object Io {
     val conf = spark.sessionState.newHadoopConf()
     val stagingPath = new Path(staging)
     val fs = stagingPath.getFileSystem(conf)
+    // A re-release into an existing outDir must leave EXACTLY the
+    // manifest's shard set: empty shards write no file, so a stale
+    // shard-<k>.parquet from a previous (larger or differently-sharded)
+    // release would be globbed by a loader even though manifest.csv no
+    // longer lists it. Drop every pre-existing shard file before the
+    // rename pass — still O(shards), and the staged write above already
+    // committed, so a crash here never loses the new data (ADVICE r12).
+    val outPath = new Path(outDir)
+    if (fs.exists(outPath))
+      fs.listStatus(outPath)
+        .filter { f =>
+          val n = f.getPath.getName
+          f.isFile && n.startsWith("shard-") && n.endsWith(".parquet")
+        }
+        .foreach(f => fs.delete(f.getPath, false))
     fs.listStatus(stagingPath)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("out_shard="))
       .foreach { d =>
@@ -169,6 +184,49 @@ object Io {
     if (fs.exists(mDest)) fs.delete(mDest, false)
     require(fs.rename(mParts.head.getPath, mDest), s"rename to $mDest failed")
     fs.delete(mPath, true)
+  }
+
+  /** Read-back leg of [[writeReleaseShards]] — the training loader's
+    * validating entry point: reads every `shard-<k>.parquet` in a release
+    * dir, reconciles the artifact set against `manifest.csv` (exactly the
+    * manifest's shard ids present on disk — a stale or missing shard file
+    * fails loudly here instead of silently training on the wrong corpus)
+    * and checks each shard's doc count against its manifest row. Returns
+    * the doc-level assignment rows with their `out_shard` re-derived from
+    * the file name. Validation cost is O(shards) driver-side listing plus
+    * one count aggregate per shard's metadata (parquet row counts come
+    * from footers — no data scan). */
+  def readReleaseShards(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    val shardFiles = fs.listStatus(dirPath)
+      .filter { f =>
+        val n = f.getPath.getName
+        f.isFile && n.startsWith("shard-") && n.endsWith(".parquet")
+      }
+      .map { f =>
+        val id = f.getPath.getName
+          .stripPrefix("shard-").stripSuffix(".parquet")
+        id.toLong -> f.getPath.toString
+      }.toMap
+    val manifest = spark.read.option("header", "true").csv(s"$dir/manifest.csv")
+      .select(col("out_shard").cast("long"), col("n_docs").cast("long"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(shardFiles.keySet == manifest.keySet,
+      s"release dir $dir: shard files ${shardFiles.keySet.toSeq.sorted} != " +
+        s"manifest shards ${manifest.keySet.toSeq.sorted} — artifacts and " +
+        "manifest have drifted (partial write or stale files)")
+    val frames = shardFiles.toSeq.sortBy(_._1).map { case (k, path) =>
+      val df = spark.read.parquet(path)
+      val n = df.count()
+      require(n == manifest(k),
+        s"release dir $dir: shard $k has $n rows, manifest says ${manifest(k)}")
+      df.withColumn("out_shard", lit(k))
+    }
+    frames.reduce(_ unionByName _)
   }
 
   /** Bucketed parquet table sink — the co-located-join scale path. Rows are

@@ -72,6 +72,112 @@ class IoSpec extends SparkSpec {
     }
   }
 
+  /** Shared release fixture for the artifact tests: the 60-doc corpus the
+    * writeReleaseShards test uses, buildable on ANY session (the fresh-
+    * session reproducibility leg needs that). */
+  private def releaseFixture(s: org.apache.spark.sql.SparkSession) = {
+    val rng = new scala.util.Random(7)
+    val docRows = (0L until 60L).map { i =>
+      val base = if (i >= 50 && i < 55) i - 50 else i
+      val text = (0 until 30).map(j => s"w${base}x$j").mkString(" ")
+      (i, if (i % 2 == 0) "en" else "zh",
+        if (i % 20 == 19) "src0" else s"src${i % 3}", text.length.toLong, text)
+    }
+    val embRows = (0L until 60L).map { i =>
+      val v = if (i == 16L || i == 6L) Array.fill(8)(0.9f)
+        else Array.tabulate(8)(_ => rng.nextFloat() * 2 - 1)
+      (i, v)
+    }
+    (s.createDataFrame(docRows)
+       .toDF("doc_id", "lang", "source", "n_chars", "text"),
+     s.createDataFrame(embRows).toDF("vec_id", "embedding"))
+  }
+
+  private def releaseAssign(s: org.apache.spark.sql.SparkSession,
+                            outShards: Int = 3) = {
+    val (docs, emb) = releaseFixture(s)
+    graft.ops.Curation.releaseAssignments(docs, emb, tokenBudget = 500,
+      packBudget = 64, packShards = 2, outShards = outShards, alpha = 0.5,
+      modelFloor = Some(0.0))
+  }
+
+  private def md5Of(path: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+      .map("%02x".format(_)).mkString
+  }
+
+  test("release builds are checksum-identical across dirs and a fresh session") {
+    val dirA = tmpDir(); val dirB = tmpDir()
+    Io.writeReleaseShards(releaseAssign(spark), s"$dirA/release")
+    spark.catalog.clearCache()
+    // second build: separate output dir AND a fresh session state — the
+    // byte-reproducibility claim is about the PIPELINE, not one plan
+    // instance reusing cached state
+    val s2 = spark.newSession()
+    Io.writeReleaseShards(releaseAssign(s2), s"$dirB/release")
+    s2.catalog.clearCache()
+    def artifacts(dir: String) = new java.io.File(s"$dir/release").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).sorted.toSeq
+    assert(artifacts(dirA) == artifacts(dirB) && artifacts(dirA).nonEmpty)
+    artifacts(dirA).foreach { f =>
+      assert(md5Of(s"$dirA/release/$f") == md5Of(s"$dirB/release/$f"),
+        s"artifact $f differs between independent builds")
+    }
+  }
+
+  test("re-release into the same dir deletes stale shard files (ADVICE r12)") {
+    val dir = tmpDir()
+    Io.writeReleaseShards(releaseAssign(spark, outShards = 3), s"$dir/release")
+    spark.catalog.clearCache()
+    val before = new java.io.File(s"$dir/release").listFiles()
+      .map(_.getName).filter(_.startsWith("shard-")).toSet
+    assert(before.size > 1, s"fixture should fill >1 shard, got $before")
+    // re-cut with ONE output shard: every old shard-k (k>0) is now stale
+    Io.writeReleaseShards(releaseAssign(spark, outShards = 1), s"$dir/release")
+    spark.catalog.clearCache()
+    val files = new java.io.File(s"$dir/release").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).toSet
+    assert(files == Set("shard-0.parquet", "manifest.csv"),
+      s"stale artifacts survived the re-release: $files")
+    // a loader now sees exactly the manifest's shard set
+    assert(Io.readReleaseShards(spark, s"$dir/release")
+      .select("out_shard").distinct().collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
+  test("readReleaseShards reconciles artifacts with the manifest and fails loudly on drift") {
+    val dir = tmpDir()
+    val assign = releaseAssign(spark)
+    Io.writeReleaseShards(assign, s"$dir/release")
+    val total = assign.count()
+    spark.catalog.clearCache()
+    val back = Io.readReleaseShards(spark, s"$dir/release")
+    assert(back.count() == total)
+    // per-shard rows carry the file's shard id
+    val manifest = spark.read.option("header", "true")
+      .csv(s"$dir/release/manifest.csv")
+      .collect().map(r => r.getString(0).toLong -> r.getString(2).toLong).toMap
+    val counts = back.groupBy("out_shard").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == manifest)
+    // a stale extra shard file fails the reconcile
+    val src = new java.io.File(s"$dir/release").listFiles()
+      .filter(_.getName.startsWith("shard-")).head
+    java.nio.file.Files.copy(src.toPath,
+      java.nio.file.Paths.get(s"$dir/release/shard-99.parquet"))
+    val e = intercept[IllegalArgumentException] {
+      Io.readReleaseShards(spark, s"$dir/release")
+    }
+    assert(e.getMessage.contains("drifted"))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/release/shard-99.parquet"))
+    // a missing shard file fails too
+    java.nio.file.Files.delete(src.toPath)
+    assertThrows[IllegalArgumentException] {
+      Io.readReleaseShards(spark, s"$dir/release")
+    }
+  }
+
   test("S2: date-range scan pushes the predicate to the parquet source") {
     val df = Io.scanDateRange(spark, "/root/testdata/sf0.001/orders.parquet",
       "o_orderdate", "1995-01-01", "1995-02-01")
