@@ -152,6 +152,50 @@ object BenchOne {
         idx.append(e.filter(col("vec_id") % 3 === 0))
           .search(e.filter(col("vec_id") % 50 === 0), 10, nProbe = 8)
       }),
+      // Incremental release economics (VERDICT r12 #1): a FIXED-small delta
+      // (~2% added + ~1% changed) re-cut against a frozen prior release vs
+      // the full rebuild of the same corpus. The delta run's corpus-sized
+      // work is one fingerprint scan per snapshot plus one bucket/SRP pass
+      // over the retained side; every curation kernel runs on the delta —
+      // so x_delta_release must stay far under x_release_rebuild and grow
+      // scan-like, not kernel-like, with corpus size.
+      "x_delta_release" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d0 = Cohorts.documents(s, dir)
+        val e0 = Cohorts.embeddings(s, dir)
+        val prevDocs = d0.filter(col("doc_id") % 50 =!= 0)
+        val curDocs = d0.withColumn("text",
+          when(col("doc_id") % 97 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        val pbase = prevDocs.filter(col("source") =!= "src0")
+          .select(col("doc_id"), col("lang"),
+            pmod(col("doc_id"), lit(4L)).as("shard"),
+            org.apache.spark.sql.functions.size(
+              graft.ops.TextAnalysis.tokens(col("text"))).cast("long").as("tokens"),
+            pmod(col("doc_id"), lit(3L)).as("pack_id"), col("source"))
+          .filter(col("tokens") > 0)
+          .withColumn("pack_key", concat_ws("/", lit("p"), col("lang"),
+            col("shard"), col("pack_id")))
+        val ppos = graft.ops.Sampling.shuffleOrder(
+            pbase.select("pack_key").distinct(), "pack_key", "prevrel")
+          .withColumn("out_shard", pmod(col("shuffle_pos"), lit(4L)))
+        val prevAssign = pbase.join(ppos, "pack_key")
+          .select("doc_id", "lang", "shard", "tokens", "pack_id", "pack_key",
+            "source", "shuffle_pos", "out_shard")
+        graft.ops.Curation.deltaReleaseAssignments(prevAssign, prevDocs,
+          curDocs, e0, deltaTokenBudget = 1000000000L, packBudget = 256,
+          packShards = 8, outShards = 16)
+      }),
+      "x_release_rebuild" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d0 = Cohorts.documents(s, dir)
+        val curDocs = d0.withColumn("text",
+          when(col("doc_id") % 97 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        graft.ops.Curation.releaseAssignments(curDocs,
+          Cohorts.embeddings(s, dir), tokenBudget = 1000000000L,
+          packBudget = 256, packShards = 8, outShards = 16)
+      }),
       // cosine top-k: pruned (quadratic x-interval band) vs dense plan
       "x_cosine_banded" -> ((s, dir) => {
         val (c, nc) = Cohorts.cohorts(s, dir)

@@ -219,6 +219,215 @@ object SparkEntry {
        |       FROM toks WHERE len(t) > 0)""".stripMargin
   }
 
+  /** The q145 "refreshed" model: a SECOND deterministic weight vector —
+    * different mix constants than [[graft.ops.QualityModel.Weights]] — so
+    * the weights-as-data path demonstrably scores differently from the
+    * frozen build. Computed by the same pure arithmetic the q145 gate
+    * evaluates IN-ENGINE over a relation (long ops exact, then one IEEE
+    * divide/sub/mul in fixed order), so the Spark-collected vector, this
+    * oracle-side vector, and DuckDB's parse of its Double.toString
+    * literals are bit-identical. */
+  private lazy val weightsV2: Seq[Double] =
+    (0 until graft.ops.QualityModel.Dim).map { i =>
+      val h = (i.toLong * 2246822519L + 3266489917L) % 1000033L
+      (h.toDouble / 1000033.0 - 0.5) * 1.8
+    }
+  private val BiasV2 = 0.05
+  private val ThresholdV2 = 0.5
+
+  /** q147's oracle: the incremental release replayed in SQL — prior
+    * release fixture, closed-form delta statuses (the fixture's
+    * added/changed/removed sets are modular predicates, so the oracle
+    * needs no md5 replay), then the admission chain in the operator's
+    * exact stage order (floor → decontam → cross-lexical → within-lexical
+    * closure → cross-semantic → within-semantic closure + best-quality
+    * keeper → budget → recursive packing → appended pack shuffle), ending
+    * in retained ∪ fresh. Every lexical/semantic kernel is the EXACT form
+    * (the LSH engine paths are recall-guaranteed / fixture-silent, the
+    * q25/q111/q123/q127/q129 disciplines). Heavily MATERIALIZED — the
+    * layered-CTE re-inlining lesson (q126/q142). */
+  private def deltaReleaseOracleSql: String = {
+    val hu = (e: String, s: String) => Sampling.hashUnitSql(e, s)
+    val jac = (a: String, b: String) =>
+      s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / " +
+        s"(len($a) + len($b) - len(list_intersect($a, $b)))"
+    def cloneCte(name: String, m: Int, off: Long): String =
+      s"""$name AS (SELECT doc_id, lang, 'clone' AS source, n_chars,
+         |       array_to_string(list_transform(range(1, 101),
+         |         i -> 'dx' || doc_id || 't' || i), ' ') AS text
+         |     FROM (SELECT doc_id + $off AS doc_id, lang, n_chars
+         |           FROM documents WHERE doc_id % 20 = $m))""".stripMargin
+    s"""WITH RECURSIVE
+       |${cloneCte("dcx", 1, 1000000L)},
+       |${cloneCte("dwa", 3, 2000000L)},
+       |${cloneCte("dwb", 3, 3000000L)},
+       |dcur AS MATERIALIZED (
+       |  SELECT doc_id, lang, source, n_chars, text FROM documents
+       |  WHERE doc_id % 13 <> 0
+       |  UNION ALL SELECT doc_id, lang, source, n_chars, text FROM dcx
+       |  UNION ALL SELECT doc_id, lang, source, n_chars, text FROM dwa
+       |  UNION ALL SELECT doc_id, lang, source, n_chars, text FROM dwb),
+       |toksp AS (SELECT doc_id, lang, source,
+       |       list_filter(string_split_regex(
+       |         CASE WHEN doc_id % 7 = 0 THEN text || ' v1' ELSE text END,
+       |         '\\s+'), t -> t <> '') AS t
+       |     FROM documents WHERE doc_id % 10 <> 0),
+       |prk AS MATERIALIZED (
+       |  SELECT doc_id, lang, CAST(doc_id % 4 AS BIGINT) AS shard,
+       |         CAST(len(t) AS BIGINT) AS tokens,
+       |         CAST(doc_id % 3 AS BIGINT) AS pack_id, source,
+       |         'p/' || lang || '/' || (doc_id % 4) || '/' || (doc_id % 3)
+       |           AS pack_key
+       |  FROM toksp WHERE source <> 'src0' AND len(t) > 0),
+       |ppos AS (SELECT pack_key, CAST(row_number() OVER (
+       |    ORDER BY ${hu("pack_key", "prevrel")}, pack_key) AS BIGINT) - 1
+       |    AS shuffle_pos
+       |  FROM (SELECT DISTINCT pack_key FROM prk)),
+       |prior AS MATERIALIZED (
+       |  SELECT prk.doc_id, prk.lang, prk.shard, prk.tokens, prk.pack_id,
+       |         prk.pack_key, prk.source, ppos.shuffle_pos,
+       |         ppos.shuffle_pos % 4 AS out_shard
+       |  FROM prk JOIN ppos USING (pack_key)),
+       |retained AS MATERIALIZED (
+       |  SELECT * FROM prior WHERE doc_id % 13 <> 0 AND doc_id % 7 <> 0),
+       |cand0 AS (SELECT * FROM dcur
+       |  WHERE source <> 'src0'
+       |    AND (doc_id >= 1000000 OR doc_id % 10 = 0 OR doc_id % 7 = 0)),
+       |toks AS MATERIALIZED (
+       |  SELECT doc_id, lang, source, n_chars, text,
+       |         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+       |  FROM cand0),
+       |${TextSql.qualitySignalsCte()},
+       |cand1 AS MATERIALIZED (
+       |  SELECT t2.doc_id, t2.lang, t2.source, t2.t
+       |  FROM toks t2 JOIN m USING (doc_id)
+       |  WHERE least(1.0, n / 100) * 0.4 + (stop / n) * 0.3 + ttr * 0.3 >= 0.4),
+       |toksb AS (SELECT doc_id,
+       |       list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+       |     FROM dcur WHERE source = 'src0'),
+       |bm AS (SELECT DISTINCT unnest(${TextSql.shingleHashes("t", 8)}) AS h
+       |       FROM toksb),
+       |contam AS (SELECT DISTINCT doc_id FROM
+       |    (SELECT doc_id, unnest(${TextSql.shingleHashes("t", 8)}) AS h
+       |     FROM cand1) tc
+       |  JOIN bm USING (h)),
+       |cand2 AS MATERIALIZED (SELECT * FROM cand1
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |shc AS MATERIALIZED (SELECT doc_id,
+       |    ${TextSql.shingleHashes("t", 3)} AS s FROM cand2),
+       |toksr AS (SELECT d.doc_id,
+       |       list_filter(string_split_regex(d.text, '\\s+'), t -> t <> '') AS t
+       |     FROM documents d JOIN retained r ON d.doc_id = r.doc_id),
+       |shr AS MATERIALIZED (SELECT doc_id,
+       |    ${TextSql.shingleHashes("t", 3)} AS s FROM toksr),
+       |ckill AS (SELECT DISTINCT c.doc_id
+       |  FROM shc c JOIN shr r
+       |  ON len(c.s) > 0 AND len(r.s) > 0 AND ${jac("c.s", "r.s")} >= 0.5),
+       |cand3 AS MATERIALIZED (SELECT * FROM cand2
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM ckill)),
+       |sh3 AS MATERIALIZED (SELECT shc.doc_id, shc.s
+       |  FROM shc JOIN cand3 USING (doc_id)),
+       |prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id
+       |  WHERE len(a.s) > 0 AND len(b.s) > 0 AND ${jac("a.s", "b.s")} >= 0.5),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+       |          UNION ALL SELECT doc_b, doc_a FROM prs),
+       |reach AS (
+       |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
+       |cl AS (SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+       |       FROM reach GROUP BY u),
+       |cand4 AS MATERIALIZED (SELECT * FROM cand3
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)),
+       |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ecur AS MATERIALIZED (SELECT vec_id, v FROM e0
+       |  UNION ALL SELECT vec_id + 1000000, v FROM e0 WHERE vec_id % 20 = 1
+       |  UNION ALL SELECT vec_id + 2000000, v FROM e0 WHERE vec_id % 20 = 3
+       |  UNION ALL SELECT vec_id + 3000000, v FROM e0 WHERE vec_id % 20 = 3),
+       |retemb AS MATERIALIZED (SELECT e.vec_id, e.v
+       |  FROM ecur e JOIN retained r ON e.vec_id = r.doc_id),
+       |cde AS (SELECT e.vec_id, e.v
+       |  FROM ecur e JOIN cand4 c ON e.vec_id = c.doc_id),
+       |skill AS (SELECT DISTINCT c.vec_id AS doc_id FROM cde c JOIN retemb r
+       |  ON list_cosine_similarity(c.v, r.v) >= 0.9),
+       |cand5 AS MATERIALIZED (SELECT * FROM cand4
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM skill)),
+       |ce5 AS MATERIALIZED (SELECT e.vec_id, e.v
+       |  FROM ecur e JOIN cand5 c ON e.vec_id = c.doc_id),
+       |eprs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM ce5 a JOIN ce5 b ON a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(a.v, b.v) >= 0.9),
+       |eedges AS (SELECT doc_a AS u, doc_b AS v FROM eprs
+       |           UNION ALL SELECT doc_b, doc_a FROM eprs),
+       |ereach AS (
+       |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM eedges)
+       |  UNION
+       |  SELECT e2.u, ereach.r FROM eedges e2 JOIN ereach ON e2.v = ereach.u),
+       |ecl AS (SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+       |        FROM ereach GROUP BY u),
+       |qv AS (SELECT doc_id, ${TextSql.qualityScoreFromM} AS quality FROM m),
+       |mem AS (SELECT c.doc_id, COALESCE(ecl.cluster_id, c.doc_id) AS cluster_id,
+       |               qv.quality
+       |        FROM cand5 c JOIN qv USING (doc_id)
+       |        LEFT JOIN ecl USING (doc_id)),
+       |keepers AS (SELECT doc_id, quality FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY quality DESC, doc_id ASC) AS rn FROM mem)
+       |  WHERE rn = 1),
+       |nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens
+       |       FROM toks WHERE len(t) > 0),
+       |cum AS (SELECT k.doc_id, k.quality, nt.n_tokens,
+       |               sum(nt.n_tokens) OVER (
+       |                 ORDER BY k.quality DESC, k.doc_id ASC
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |                 AS cum_tokens
+       |        FROM keepers k JOIN nt USING (doc_id)),
+       |sel AS (SELECT doc_id FROM cum WHERE cum_tokens <= 3000),
+       |pb0 AS (SELECT s2.doc_id, d.lang,
+       |               CAST(floor(${hu("s2.doc_id", graft.ops.Packing.ShardSeed)} * 2) AS BIGINT) AS shard,
+       |               nt.n_tokens AS tokens
+       |        FROM sel s2 JOIN toks d USING (doc_id) JOIN nt USING (doc_id)),
+       |pb AS (SELECT *, CAST(row_number() OVER (
+       |        PARTITION BY lang, shard ORDER BY doc_id) AS BIGINT) AS rn
+       |       FROM pb0),
+       |prec AS (
+       |  SELECT lang, shard, rn, doc_id, tokens, tokens AS acc,
+       |         CAST(1 AS BIGINT) AS pack_id
+       |  FROM pb WHERE rn = 1
+       |  UNION ALL
+       |  SELECT b.lang, b.shard, b.rn, b.doc_id, b.tokens,
+       |         CASE WHEN r.acc + b.tokens > 256 THEN b.tokens
+       |              ELSE r.acc + b.tokens END,
+       |         CASE WHEN r.acc + b.tokens > 256 THEN r.pack_id + 1
+       |              ELSE r.pack_id END
+       |  FROM pb b JOIN prec r
+       |    ON b.lang = r.lang AND b.shard = r.shard AND b.rn = r.rn + 1),
+       |npk AS (SELECT DISTINCT 'd1/' || lang || '/' || CAST(shard AS VARCHAR)
+       |          || '/' || CAST(pack_id AS VARCHAR) AS pack_key FROM prec),
+       |prevmax AS (SELECT max(shuffle_pos) AS mx FROM prior),
+       |nasn AS (SELECT pack_key,
+       |           CAST(row_number() OVER (
+       |             ORDER BY ${hu("pack_key", "relshuf")}, pack_key)
+       |             AS BIGINT) - 1 + (SELECT mx FROM prevmax) + 1 AS shuffle_pos
+       |         FROM npk),
+       |fresh AS (SELECT p2.doc_id, p2.lang, p2.shard, p2.tokens, p2.pack_id,
+       |                 'd1/' || p2.lang || '/' || CAST(p2.shard AS VARCHAR)
+       |                   || '/' || CAST(p2.pack_id AS VARCHAR) AS pack_key,
+       |                 d.source, a.shuffle_pos, a.shuffle_pos % 4 AS out_shard
+       |          FROM prec p2 JOIN dcur d USING (doc_id)
+       |          JOIN nasn a ON a.pack_key = 'd1/' || p2.lang || '/'
+       |            || CAST(p2.shard AS VARCHAR) || '/'
+       |            || CAST(p2.pack_id AS VARCHAR))
+       |SELECT doc_id, lang, shard, tokens, pack_id, pack_key, source,
+       |       shuffle_pos, out_shard
+       |FROM retained
+       |UNION ALL
+       |SELECT doc_id, lang, shard, tokens, pack_id, pack_key, source,
+       |       shuffle_pos, out_shard
+       |FROM fresh""".stripMargin
+  }
+
   /** Oracle tail shared by q13/q18: shares → scatter-add → left join + naive. */
   private def adjustedTailSql(selCte: String): String =
     s"""${OracleCtes.softmax(selCte)},
@@ -3305,6 +3514,14 @@ object SparkEntry {
         val merges = TextAnalysis.bpeTrain(d, 6)
           .orderBy("iter").collect()
           .map(r => (r.getString(1), r.getString(2))).toSeq
+        // Fail fast on the fixture precondition instead of letting an
+        // early-exhausted corpus surface as a confusing empty-vs-nonempty
+        // oracle diff: bpeTrain silently returns fewer rows when the
+        // corpus runs out of pairs, while the oracle's fixed s6 layer
+        // would then be empty (ADVICE r12).
+        require(merges.size == 6,
+          s"q143 fixture precondition: corpus must support 6 BPE merges, " +
+            s"got ${merges.size} — regenerate/rescale the documents fixture")
         TextAnalysis.bpeSegment(d, merges)
       },
       Some(TextSql.bpeSegmentSql(6))),
@@ -3359,7 +3576,118 @@ object SparkEntry {
               |                     - CAST(n_cur + 1 AS DOUBLE) / (tc + 10))
               |             * ln((CAST(n_ref + 1 AS DOUBLE) / (tr + 10))
               |                  / (CAST(n_cur + 1 AS DOUBLE) / (tc + 10))), 6) AS psi_term
-              |FROM t, s""".stripMargin))
+              |FROM t, s""".stripMargin)),
+
+    // Weights-as-DATA quality model — the deploy leg of the q144 retrain
+    // loop (VERDICT r12 #7): the refreshed classifier arrives as a
+    // RELATION (here derived in-engine from a range — deterministic, so
+    // the oracle replays the identical doubles), is collected (model-sized
+    // bounded collect, the learned-literal discipline) and threaded into
+    // the same fused codegen'd kernel. New weights + bias + threshold,
+    // zero recompilation. OpsSpec separately pins the frozen-vs-with
+    // equivalence on identical weights.
+    ("q145_model_quality_v2",
+      (s: SparkSession, dir: String) => {
+        val wdf = s.range(QualityModel.Dim).select(col("id"),
+          ((((col("id") * lit(2246822519L) + lit(3266489917L)) % lit(1000033L))
+            .cast("double") / lit(1000033.0)) - lit(0.5)) * lit(1.8))
+        val weights = wdf.orderBy("id").collect().map(_.getDouble(1)).toSeq
+        TextAnalysis.modelQualityWith(Cohorts.documents(s, dir), weights,
+          BiasV2, ThresholdV2)
+      },
+      Some(s"""WITH ${TextSql.toksCte},
+              |${TextSql.modelQualityCtesWith("toks", "", weightsV2, BiasV2)}
+              |SELECT doc_id, n_feats, model_quality,
+              |       CAST(model_quality >= $ThresholdV2 AS BIGINT) AS keep
+              |FROM mq""".stripMargin)),
+
+    // Tokenizer artifact lifecycle (VERDICT r12 #2): train the q142 merge
+    // table, persist it as a parquet artifact, RESTORE it, and segment the
+    // corpus with the restored merges — the oracle is q143's train+apply
+    // chain, so the gate pins that the persisted artifact round-trips
+    // bit-exactly into the segmentation path (the AnnIndex
+    // restore-from-parquet discipline for the tokenizer).
+    ("q146_bpe_artifact",
+      (s: SparkSession, dir: String) => {
+        val d = Cohorts.documents(s, dir)
+        val merges = TextAnalysis.bpeTrain(d, 6)
+        val path = s"/tmp/graft_bpe_artifact_${Integer.toHexString(dir.hashCode)}"
+        TextAnalysis.saveBpeMerges(merges, path)
+        val pairs = TextAnalysis.mergePairs(TextAnalysis.loadBpeMerges(s, path))
+        require(pairs.size == 6,
+          s"q146 fixture precondition: corpus must support 6 BPE merges, " +
+            s"got ${pairs.size} — regenerate/rescale the documents fixture")
+        TextAnalysis.bpeSegment(d, pairs)
+      },
+      Some(TextSql.bpeSegmentSql(6))),
+
+    // INCREMENTAL (delta) release build — the q141 release re-cut at the
+    // reference deployment's incremental grain (VERDICT r12 #1,
+    // cloud_function/main.py:34,103-121): prior release assignments +
+    // prev/cur corpus snapshots in, retained-rows ∪ newly-curated-packed
+    // delta out. The fixture plants semantic clones in the delta (cross
+    // clones carrying retained docs' embeddings, within-delta pairs
+    // carrying removed docs' embeddings) so both semantic legs
+    // demonstrably fire; the real corpus is silent at 0.9 (asserted).
+    // Oracle: deltaReleaseOracleSql — the full admission chain replayed
+    // with exact kernels over closed-form fixture statuses.
+    ("q147_release_delta",
+      (s: SparkSession, dir: String) => {
+        requireEmbedSelfSilence(s, dir, "q147")
+        val d0 = Cohorts.documents(s, dir)
+        val e0 = Cohorts.embeddings(s, dir)
+        val prevDocs = d0.filter(col("doc_id") % 10 =!= 0)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" v1"))).otherwise(col("text")))
+        def clones(m: Long, off: Long) = d0.filter(col("doc_id") % 20 === m)
+          .withColumn("doc_id", col("doc_id") + lit(off))
+          .withColumn("source", lit("clone"))
+          .withColumn("text", concat_ws(" ",
+            transform(sequence(lit(1), lit(100)),
+              i => concat(lit("dx"), col("doc_id").cast("string"),
+                lit("t"), i.cast("string")))))
+        def cloneEmb(m: Long, off: Long) = e0.filter(col("vec_id") % 20 === m)
+          .withColumn("vec_id", col("vec_id") + lit(off))
+        // fixture frames are pinned: the operator scans its two snapshots
+        // ~5 times (fingerprints, floors, decontam benchmark, retained
+        // re-attach, fresh source join) and the clone-union construction
+        // (an interpreted 100-token transform per clone row) would
+        // otherwise re-run per scan — fixture tooling, freed by the
+        // harness clearCache like every gate pin
+        val curDocs = d0.filter(col("doc_id") % 13 =!= 0)
+          .unionByName(clones(1L, 1000000L))
+          .unionByName(clones(3L, 2000000L))
+          .unionByName(clones(3L, 3000000L))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val curEmb = e0
+          .unionByName(cloneEmb(1L, 1000000L))
+          .unionByName(cloneEmb(3L, 2000000L))
+          .unionByName(cloneEmb(3L, 3000000L))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // prior release fixture: every non-benchmark prev doc, packed by a
+        // simple modular rule with a deterministic hash-ordered pack
+        // shuffle — the operator contract only needs the assignment SCHEMA
+        // (the full-chain prior is q141's subject, not this gate's)
+        val pbase = prevDocs.filter(col("source") =!= "src0")
+          .select(col("doc_id"), col("lang"),
+            pmod(col("doc_id"), lit(4L)).as("shard"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("tokens"),
+            pmod(col("doc_id"), lit(3L)).as("pack_id"), col("source"))
+          .filter(col("tokens") > 0)
+          .withColumn("pack_key", concat_ws("/", lit("p"), col("lang"),
+            col("shard"), col("pack_id")))
+        val ppos = Sampling.shuffleOrder(pbase.select("pack_key").distinct(),
+            "pack_key", "prevrel")
+          .withColumn("out_shard", pmod(col("shuffle_pos"), lit(4L)))
+        val prevAssign = pbase.join(ppos, "pack_key")
+          .select("doc_id", "lang", "shard", "tokens", "pack_id", "pack_key",
+            "source", "shuffle_pos", "out_shard")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Curation.deltaReleaseAssignments(prevAssign, prevDocs, curDocs,
+          curEmb, deltaTokenBudget = 3000, packBudget = 256, packShards = 2,
+          outShards = 4)
+      },
+      Some(deltaReleaseOracleSql))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

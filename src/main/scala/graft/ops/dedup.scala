@@ -303,6 +303,59 @@ object Dedup {
     newDocs.join(matched, Seq("doc_id"), "left_anti")
   }
 
+  /** [[newAgainstIndex]] composed with the within-slice dedup
+    * ([[deduplicated]] over [[minHashPairs]]) in ONE operator — the
+    * incremental-release admission shape
+    * ([[graft.ops.Curation.deltaReleaseAssignments]]): drop new docs with
+    * an index near-duplicate, then keep one representative (min doc_id)
+    * per near-dup cluster WITHIN the survivors. Semantically identical to
+    * `deduplicated(newAgainstIndex(new, index, t), minHashPairs(
+    * newAgainstIndex(new, index, t), t))` — within-survivor pairs are
+    * exactly the all-new pairs whose BOTH ends survived the cross leg —
+    * but the new side is shingle-hashed and MinHash-bucketed ONCE for both
+    * legs instead of three times (hashing every character is the dominant
+    * per-doc cost; the naive composition re-paid it per leg). */
+  def newAgainstIndexAndSelf(newDocs: DataFrame, indexDocs: DataFrame,
+                             threshold: Double, k: Int = 3): DataFrame = {
+    val setsN = shingleSets(newDocs, k).filter(size(col("shingles")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val setsI = shingleSets(indexDocs, k).filter(size(col("shingles")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bkN = minHashBuckets(setsN, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val crossCand = bkN.as("x")
+      .join(minHashBuckets(setsI, threshold).as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val crossDrop = crossCand
+      .join(setsN.select(col("doc_id").as("doc_a"), col("shingles").as("sa")), "doc_a")
+      .join(setsI.select(col("doc_id").as("doc_b"), col("shingles").as("sb")), "doc_b")
+      .withColumn("inter", org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.expr.LongIntersectSize(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("sa")),
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("sb")))).cast("double"))
+      .filter(col("inter") /
+        (size(col("sa")) + size(col("sb")) - col("inter")) >= threshold)
+      .select(col("doc_a").as("doc_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withinCand = bkN.as("x").join(bkN.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      // pairs among cross-SURVIVORS only: both ends outside the drop list
+      .join(crossDrop.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+      .join(crossDrop.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
+    val withinDrop = dedupClusters(
+        verifyJaccard(withinCand, setsN, threshold).select("doc_a", "doc_b"))
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    newDocs
+      .join(crossDrop, Seq("doc_id"), "left_anti")
+      .join(withinDrop, Seq("doc_id"), "left_anti")
+  }
+
   /** Streaming twin of [[newAgainstIndex]] — the daily-drop shape as it
     * actually deploys: new documents arrive as a STREAM
     * `(ingest_ts, doc_id, text)` while the already-deduped index is the

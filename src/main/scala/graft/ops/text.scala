@@ -812,17 +812,33 @@ object TextAnalysis {
     * [[polyHash]] lesson applied again. Scan-bound at any corpus size;
     * composes as a filter stage anywhere (see
     * [[graft.ops.Curation.releasePipeline]]). */
-  def modelQualityScore(text: Column): Column = {
+  def modelQualityScore(text: Column): Column =
+    modelQualityScoreWith(text, QualityModel.Weights.toSeq, QualityModel.Bias)
+
+  /** Weights-as-DATA variant of [[modelQualityScore]] — the deploy leg of
+    * the model-retrain loop (q144 fires the trigger; this ships the
+    * refreshed model): the weight vector and bias arrive as RUNTIME
+    * arguments (read from a model table / artifact and collected — a
+    * model-sized bounded collect, the learned-literal discipline), not
+    * compile-time constants, so a recalibrated classifier deploys without
+    * recompiling the engine. The hashed feature dimension is
+    * `weights.length`. Same fused codegen'd kernel
+    * ([[graft.expr.NgramWeightSum]] already takes the weights as a Seq),
+    * same two-rounding parity contract as the frozen path — identical
+    * weights give bit-identical scores (OpsSpec pins it). */
+  def modelQualityScoreWith(text: Column, weights: Seq[Double],
+                            bias: Double): Column = {
+    require(weights.nonEmpty, "modelQualityScoreWith needs at least one weight")
     val toks = tokens(text)
     // n unigrams + max(n-1, 0) bigrams — arithmetic, not a second pass
     val nFeats = size(toks) + greatest(size(toks) - 1, lit(0))
     val hits = org.apache.spark.sql.graftbridge.Bridge.column(
       graft.expr.NgramWeightSum(
         org.apache.spark.sql.graftbridge.Bridge.expression(toks),
-        QualityModel.Weights.toSeq, QualityModel.Dim))
+        weights, weights.length))
     val z = graft.Num.rnd(
       when(nFeats === 0, lit(0.0)).otherwise(hits / nFeats)
-        + lit(QualityModel.Bias), 9)
+        + lit(bias), 9)
     graft.Num.rnd(lit(1.0) / (lit(1.0) + exp(-z)), 6)
   }
 
@@ -830,13 +846,79 @@ object TextAnalysis {
     * n_feats, model_quality, keep) — `keep` decided on the ROUNDED score
     * vs [[QualityModel.Threshold]] (cast to BIGINT: flag columns hash
     * engine-stably as integers). */
-  def modelQuality(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def modelQuality(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    modelQualityWith(docs, QualityModel.Weights.toSeq, QualityModel.Bias,
+      QualityModel.Threshold)
+
+  /** [[modelQuality]] under a RUNTIME model ([[modelQualityScoreWith]]):
+    * same (doc_id, n_feats, model_quality, keep) schema, keep decided on
+    * the rounded score vs the caller's threshold. */
+  def modelQualityWith(docs: org.apache.spark.sql.DataFrame,
+                       weights: Seq[Double], bias: Double,
+                       threshold: Double): org.apache.spark.sql.DataFrame = {
     val toks = tokens(col("text"))
     val nFeats = (size(toks) + greatest(size(toks) - 1, lit(0))).cast("long")
     docs.select(col("doc_id"), nFeats.as("n_feats"),
-        modelQualityScore(col("text")).as("model_quality"))
-      .withColumn("keep",
-        (col("model_quality") >= QualityModel.Threshold).cast("long"))
+        modelQualityScoreWith(col("text"), weights, bias).as("model_quality"))
+      .withColumn("keep", (col("model_quality") >= threshold).cast("long"))
+  }
+
+  /** Persist a learned BPE merge table ([[bpeTrain]]'s output) as a plain
+    * parquet artifact — the tokenizer-lifecycle twin of the ANN index's
+    * restore-from-parquet contract: train once, ship the table, segment
+    * forever against the FROZEN merges. One file (the table is
+    * nMerges-sized), exact directory the caller names. */
+  def saveBpeMerges(merges: org.apache.spark.sql.DataFrame, path: String): Unit =
+    merges.coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Restore a persisted merge table. Round-trips [[saveBpeMerges]]
+    * exactly (columnar data, no learned state outside the table). */
+  def loadBpeMerges(spark: org.apache.spark.sql.SparkSession,
+                    path: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(path)
+
+  /** The ordered (lhs, rhs) merge pairs of a merge table — the argument
+    * [[bpeSegment]]/[[bpeSegmentStream]] consume. Merge order IS the
+    * tokenizer (later merges build on earlier ones), so the collect sorts
+    * by `iter`; nMerges-sized bounded collect (learned-literal
+    * discipline). */
+  def mergePairs(merges: org.apache.spark.sql.DataFrame): Seq[(String, String)] =
+    merges.select("iter", "lhs", "rhs").orderBy("iter").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** Streaming twin of [[bpeSegment]] — segment an INCOMING document
+    * stream against a FROZEN merge table (the q133 frozen-quantizer
+    * discipline applied to the tokenizer artifact): per-doc word count,
+    * BPE token count and chars-per-token as a STATELESS narrow projection
+    * (no watermark, no state store — works in append mode on any stream,
+    * and identically on a batch frame, which OpsSpec pins against
+    * [[bpeSegment]]).
+    *
+    * Economics trade, stated honestly: the batch form folds the merges
+    * over the Zipf-bounded DISTINCT-WORD vocabulary and prices the corpus
+    * with one join; a stream has no vocabulary relation, so this twin
+    * folds per token — O(tokens × merges) interpreted-HOF work per doc.
+    * That is the right shape for event-at-a-time online segmentation
+    * economics; BULK reprocessing should use [[bpeSegment]]. Token-less
+    * docs are dropped, matching the batch join semantics. */
+  def bpeSegmentStream(docs: org.apache.spark.sql.DataFrame,
+                       merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col("text"))
+    def segSize(w: Column): Column =
+      size(merges.foldLeft(charSyms(w)) {
+        case (syms, (a, b)) => bpeMergeExpr(syms, a, b)
+      }).cast("long")
+    docs
+      .withColumn("__nw", size(toks).cast("long"))
+      .filter(col("__nw") > 0)
+      .withColumn("__nb",
+        aggregate(toks, lit(0L), (acc, w) => acc + segSize(w)))
+      .withColumn("__nc",
+        aggregate(toks, lit(0L), (acc, w) => acc + length(w).cast("long")))
+      .select(col("doc_id"), col("__nw").as("n_words"),
+        col("__nb").as("n_bpe_tokens"),
+        graft.Num.rnd(col("__nc").cast("double") / col("__nb"), 4)
+          .as("chars_per_token"))
   }
 }
 
@@ -1007,17 +1089,27 @@ object TextSql {
   /** [[modelQualityCtes]] over an arbitrary token relation (`doc_id`, `t`)
     * with suffixed CTE names — lets one query score TWO snapshots side by
     * side (q144's score-drift monitor). */
-  def modelQualityCtesFrom(toksRel: String, sfx: String): String = {
-    val wl = QualityModel.Weights.map(_.toString).mkString(", ")
+  def modelQualityCtesFrom(toksRel: String, sfx: String): String =
+    modelQualityCtesWith(toksRel, sfx, QualityModel.Weights.toSeq,
+      QualityModel.Bias)
+
+  /** [[modelQualityCtesFrom]] under a CALLER-supplied model — the oracle
+    * twin of [[TextAnalysis.modelQualityScoreWith]]: the runtime weight
+    * vector is embedded digit-for-digit (Double.toString round-trips the
+    * exact IEEE value through DuckDB's literal parser), dimension =
+    * weights.length. */
+  def modelQualityCtesWith(toksRel: String, sfx: String,
+                           weights: Seq[Double], bias: Double): String = {
+    val wl = weights.map(_.toString).mkString(", ")
     s"""g$sfx AS (SELECT doc_id, list_concat(t, ${shingleStrings("t", 2)}) AS g
        |      FROM $toksRel),
        |wt$sfx AS (SELECT [$wl]::DOUBLE[] AS w),
        |zz$sfx AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n_feats,
        |             ROUND(1e-9 + CASE WHEN len(g) = 0 THEN 0.0
        |               ELSE list_reduce(list_prepend(0.0, list_transform(g,
-       |                      x -> w[CAST(${polyHash("x")} % ${QualityModel.Dim} AS INT) + 1])),
+       |                      x -> w[CAST(${polyHash("x")} % ${weights.length} AS INT) + 1])),
        |                      (a, b) -> a + b) / len(g)
-       |               END + ${QualityModel.Bias}, 9) AS z
+       |               END + $bias, 9) AS z
        |      FROM g$sfx, wt$sfx),
        |mq$sfx AS (SELECT doc_id, n_feats,
        |              ROUND(1e-9 + 1.0 / (1.0 + exp(-z)), 6) AS model_quality

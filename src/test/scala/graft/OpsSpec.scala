@@ -2813,4 +2813,190 @@ class OpsSpec extends SparkSpec {
     val plan = TextAnalysis.modelQuality(docs).queryExecution.executedPlan
     assert(!plan.toString.contains("Exchange"))
   }
+
+  test("modelQualityWith: frozen weights reproduce modelQuality bit-for-bit; a refreshed model moves scores") {
+    val d = Seq((1L, "aa bb aa"), (2L, ""), (3L, "xyz pq rr ss tt"))
+      .toDF("doc_id", "text")
+    val frozen = TextAnalysis.modelQuality(d)
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1).toSeq
+    val viaData = TextAnalysis.modelQualityWith(d,
+        QualityModel.Weights.toSeq, QualityModel.Bias, QualityModel.Threshold)
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(viaData == frozen) // identical weights ⇒ identical scores/flags
+    // the scalar-Column form agrees too (the composable filter-stage API)
+    val viaCol = d.select(col("doc_id"),
+        TextAnalysis.modelQualityScoreWith(col("text"),
+          QualityModel.Weights.toSeq, QualityModel.Bias).as("s"))
+      .as[(Long, Double)].collect().sortBy(_._1).map(_._2).toSeq
+    assert(viaCol == frozen.map(_._3))
+    // a genuinely different model changes at least one score — the
+    // deploy-without-recompile path is live, not a pass-through
+    val v2 = TextAnalysis.modelQualityWith(d,
+        QualityModel.Weights.toSeq.map(-_), 0.1, 0.5)
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(v2.map(_._2) == frozen.map(_._2)) // n_feats is model-independent
+    assert(v2.map(_._3) != frozen.map(_._3))
+  }
+
+  test("BPE merge table round-trips through parquet; mergePairs preserves merge order") {
+    val d = docs((1L, "abab abab cd"), (2L, "abab cd cd"))
+    val trained = TextAnalysis.bpeTrain(d, 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    TextAnalysis.saveBpeMerges(trained, s"$dir/merges")
+    val restored = TextAnalysis.loadBpeMerges(spark, s"$dir/merges")
+    val a = trained.as[(Long, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    val b = restored.as[(Long, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(a == b && a.nonEmpty)
+    // mergePairs returns (lhs, rhs) in iteration order — order IS the model
+    assert(TextAnalysis.mergePairs(restored) == a.map(r => (r._2, r._3)))
+    // the restored table segments identically to the in-process one
+    val segA = TextAnalysis.bpeSegment(d, a.map(r => (r._2, r._3)))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val segB = TextAnalysis.bpeSegment(d, TextAnalysis.mergePairs(restored))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(segA == segB)
+  }
+
+  test("bpeSegmentStream equals batch bpeSegment against a frozen merge table") {
+    val d = docs((1L, "abab abab cd"), (2L, "abab cd cd"), (3L, "zz zz yy"),
+      (4L, ""))
+    val merges = TextAnalysis.mergePairs(TextAnalysis.bpeTrain(d, 3))
+    val batch = TextAnalysis.bpeSegment(d, merges)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // the stateless twin on the same frame (works identically batch/stream)
+    val twin = TextAnalysis.bpeSegmentStream(d, merges)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(twin == batch)
+    assert(!batch.exists(_._1 == 4L)) // token-less doc dropped on both paths
+    // and genuinely as a stream: stateless projection, append mode, no
+    // watermark or state store required
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = TextAnalysis.bpeSegmentStream(
+        stream.toDF().toDF("doc_id", "text"), merges)
+      .writeStream.format("memory").queryName("bpe_seg_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData((1L, "abab abab cd"), (2L, "abab cd cd"), (3L, "zz zz yy"),
+        (4L, ""))
+      q.processAllAvailable()
+      val streamed = spark.table("bpe_seg_stream")
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("public contract constants: default signature length, PII patterns") {
+    // the default MinHash signature length every sketch in the suite uses
+    assert(Dedup.NumHashes == 32)
+    // the published PII patterns match their canonical shapes (and not
+    // near-misses) — the piiScan surface a caller filters on
+    assert("user.name+tag@example.co.uk".matches(TextAnalysis.EmailRe))
+    assert(!"not-an-email@".matches(TextAnalysis.EmailRe))
+    assert(java.util.regex.Pattern.compile(TextAnalysis.Ipv4Re)
+      .matcher("srv at 10.0.0.1 up").find())
+    assert(!java.util.regex.Pattern.compile(TextAnalysis.Ipv4Re)
+      .matcher("version 1.2").find())
+  }
+
+  test("corpusDelta labels every id across both snapshots with its churn status") {
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val cur = Seq((2L, "b"), (3L, "CHANGED"), (4L, ""), (5L, "new"))
+      .toDF("doc_id", "text")
+    val out = Profile.corpusDelta(prev, cur, "doc_id", Seq("text"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    // NULL and '' fingerprint distinctly (the corpusDiff sentinel contract)
+    assert(out == Seq((1L, "removed"), (2L, "unchanged"), (3L, "changed"),
+      (4L, "changed"), (5L, "added")))
+  }
+
+  test("deltaReleaseAssignments: retained packs stable, removals gone, delta curated against the frozen release") {
+    val rng = new scala.util.Random(7)
+    val docRows = (0L until 60L).map { i =>
+      val base = if (i >= 50 && i < 55) i - 50 else i
+      val text = (0 until 30).map(j => s"w${base}x$j").mkString(" ")
+      (i, if (i % 2 == 0) "en" else "zh",
+        if (i % 20 == 19) "src0" else s"src${i % 3}", text.length.toLong, text)
+    }
+    val embRows = (0L until 60L).map { i =>
+      val v = if (i == 16L || i == 6L) Array.fill(8)(0.9f)
+        else Array.tabulate(8)(_ => rng.nextFloat() * 2 - 1)
+      (i, v)
+    }
+    val docs0 = docRows.toDF("doc_id", "lang", "source", "n_chars", "text")
+    val emb0 = embRows.toDF("vec_id", "embedding")
+    val prior = graft.ops.Curation.releaseAssignments(docs0, emb0,
+      tokenBudget = 1200, packBudget = 64, packShards = 2, outShards = 3,
+      alpha = 0.5)
+    val assignCols = Seq("doc_id", "lang", "shard", "tokens", "pack_id",
+      "pack_key", "source", "shuffle_pos", "out_shard")
+    val priorRows = prior.select(assignCols.map(col): _*)
+      .as[(Long, String, Long, Long, Long, String, String, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    spark.catalog.clearCache()
+    assert(priorRows.size >= 3, s"fixture too thin: ${priorRows.size} prior rows")
+    val shipped = priorRows.map(_._1)
+    val (removedId, changedId) = (shipped(0), shipped(1))
+    val keepId = shipped(2)
+    val keepText = docRows.find(_._1 == keepId).get._5
+    val keepVec = embRows.find(_._1 == keepId).get._2
+    // delta: one shipped doc removed, one changed, three added — a lexical
+    // near-dup of a retained doc (cross-lexical kill), an embedding clone
+    // of a retained doc with fresh text (cross-semantic kill), and a clean
+    // doc (admitted)
+    def freshText(tag: String) = (0 until 30).map(j => s"$tag$j").mkString(" ")
+    val added = Seq(
+      (200L, "en", "src1", 0L, keepText),
+      (201L, "en", "src1", 0L, freshText("semclone")),
+      (202L, "zh", "src2", 0L, freshText("cleanadd")))
+    val curDocs = docRows
+      .filterNot(_._1 == removedId)
+      .map(r => if (r._1 == changedId) r.copy(_5 = r._5 + " edited") else r)
+      .++(added).toDF("doc_id", "lang", "source", "n_chars", "text")
+    val curEmb = (embRows ++ Seq(
+      (200L, Array.tabulate(8)(d => if (d == 0) 1f else 0f)),
+      (201L, keepVec),
+      (202L, Array.tabulate(8)(d => if (d == 1) -1f else 0f))))
+      .filterNot(_._1 == removedId).toDF("vec_id", "embedding")
+    // hermetic prior: the collected assignment rows as a literal frame (a
+    // real deployment hands the operator the PERSISTED prior release, not
+    // its live lineage)
+    val priorDf = priorRows.toDF(assignCols: _*)
+    def run() = graft.ops.Curation.deltaReleaseAssignments(priorDf, docs0,
+        curDocs, curEmb, deltaTokenBudget = 10000, packBudget = 64,
+        packShards = 2, outShards = 3)
+      .select(assignCols.map(col): _*)
+      .as[(Long, String, Long, Long, Long, String, String, Long, Long)]
+      .collect().sortBy(r => (r._1, r._6)).toSeq
+    val out = run()
+    spark.catalog.clearCache()
+    val byId = out.groupBy(_._1)
+    // removed doc gone entirely; changed doc's PRIOR row gone (it may only
+    // re-enter through a generation-tagged fresh pack)
+    assert(!byId.contains(removedId))
+    assert(byId.getOrElse(changedId, Nil).forall(_._6.startsWith("d1/")))
+    // every unchanged prior row passes through VERBATIM (pack stability)
+    val unchangedPrior = priorRows.filterNot(r =>
+      r._1 == removedId || r._1 == changedId)
+    unchangedPrior.foreach(r => assert(byId(r._1).contains(r),
+      s"retained row for doc ${r._1} not stable"))
+    // fresh rows: generation-tagged keys, positions strictly after the
+    // prior max, round-robin out_shard of the new position
+    val prevMax = priorRows.map(_._8).max
+    val fresh = out.filterNot(unchangedPrior.contains)
+    assert(fresh.nonEmpty)
+    fresh.foreach { r =>
+      assert(r._6.startsWith("d1/"), s"fresh row without generation tag: $r")
+      assert(r._8 > prevMax, s"fresh pos not appended after $prevMax: $r")
+      assert(r._9 == r._8 % 3, s"fresh out_shard not round-robin: $r")
+    }
+    // cross-side kills: the lexical near-dup and the semantic clone never
+    // ship; the clean added doc does
+    assert(!byId.contains(200L) && !byId.contains(201L))
+    assert(byId.contains(202L))
+    // content-addressed end to end
+    assert(run() == out)
+    spark.catalog.clearCache()
+  }
 }
