@@ -244,9 +244,10 @@ object Curation {
     * bucket/SRP pass over the retained side for the cross joins, linear
     * and shuffle-light), and packing/shuffle/manifest are delta-pack-
     * sized: cost scales with the CHANGE, not the corpus (measured in
-    * DESIGN §10's replica table). The candidate slice is pinned
-    * MEMORY_AND_DISK (six downstream consumers) under the stage-1 cache
-    * contract above — the CALLER frees it after materializing.
+    * DESIGN §10's replica table). Stage boundaries are eagerly
+    * materialized into flat-plan RDD-backed copies (see the body
+    * comment) — delta-/id-sized blocks, freed by the ContextCleaner once
+    * the returned frame is discarded.
     *
     * Output: the same doc-level assignment schema as
     * [[releaseAssignments]] — retained rows ∪ newly packed rows — ready
@@ -268,16 +269,30 @@ object Curation {
                               contamShingleK: Int = 8,
                               generation: String = "d1"): DataFrame = {
     require(outShards >= 1, s"outShards must be >= 1, got $outShards")
-    // The delta status (doc_id + status, never bodies) and the retained
-    // assignment rows are consumed by 2-4 downstream stages each; without
-    // a pin every consumer would re-run the two fingerprint scans and the
-    // full-outer join. Both relations are id-sized — trivial to cache at
-    // any corpus size. Same caller-frees cache contract as stage 1.
-    val status = Profile.corpusDelta(prevDocs, curDocs, "doc_id", Seq("text"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val retained = prevAssign.join(
-        status.filter(col("status") === "unchanged").select("doc_id"), "doc_id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Stage boundaries are EAGERLY MATERIALIZED into RDD-backed flat-plan
+    // copies ([[org.apache.spark.sql.graftbridge.Bridge.materialized]],
+    // the dedupClusters discipline) rather than plain persist()ed: the
+    // chain is ~10 composed operators deep and each boundary's logical
+    // plan would otherwise EMBED every upstream boundary's full tree —
+    // the tree doubles per stage, and Spark renders the whole analyzed
+    // plan to a string per action (SparkListenerSQLExecutionStart), which
+    // measured ~88 s of DRIVER time per run at sf0.1 (jstack: all samples
+    // in TreeNode.generateTreeString) against ~17 s of actual stage wall.
+    // The flat LogicalRDD leaves keep every downstream plan
+    // boundary-sized, and the eager count means the chain's eager
+    // internals (driver union-find, running-sum offsets, zipWithIndex)
+    // read blocks instead of re-running the admission prefix. All
+    // materialized relations are delta- or id-sized. Blocks are
+    // RDD-level: spark.catalog.clearCache() does NOT free them — they are
+    // freed by the ContextCleaner once the returned frame is discarded
+    // (the verify/bench lifecycle), or by a caller holding no reference.
+    def mat(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.Bridge
+        .materialized(df, StorageLevel.MEMORY_AND_DISK)._1
+    val status = mat(
+      Profile.corpusDelta(prevDocs, curDocs, "doc_id", Seq("text")))
+    val retained = mat(prevAssign.join(
+      status.filter(col("status") === "unchanged").select("doc_id"), "doc_id"))
     // the shipped docs the delta dedups against, with their (identical-
     // by-definition) current text
     val retainedDocs = curDocs.join(retained.select("doc_id"), "doc_id")
@@ -292,20 +307,9 @@ object Curation {
     val contamIds = Dedup.contaminated(floored,
         curDocs.filter(col("source") === benchmarkSource), contamShingleK)
       .select("doc_id")
-    // six downstream consumers (both lexical legs, both semantic id
-    // joins, the budget input, the packing re-attach) — pin the floored
-    // candidate slice once; delta-sized, caller frees (cache contract)
-    val cand = floored.join(contamIds, Seq("doc_id"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // Each admission stage below is pinned at its boundary: the chain
-    // crosses several EAGER operator internals (dedupClusters' driver
-    // consolidation, embedClustersLsh, the running-sum / zipWithIndex
-    // offset jobs), and every eager step would otherwise re-run the whole
-    // LSH admission prefix from scratch — measured 3× wall at gate SF.
-    // All pinned relations are delta-sized; caller frees (cache contract).
-    val lexSurv = Dedup
-      .newAgainstIndexAndSelf(cand, retainedDocs, minhashThreshold)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = mat(floored.join(contamIds, Seq("doc_id"), "left_anti"))
+    val lexSurv = mat(Dedup
+      .newAgainstIndexAndSelf(cand, retainedDocs, minhashThreshold))
     val lexEmb = curEmbeddings.join(
       lexSurv.select(col("doc_id").as("vec_id")), "vec_id")
     val retEmb = curEmbeddings.join(
@@ -313,22 +317,19 @@ object Curation {
     val semHits = Similarity
       .semanticContaminatedLsh(lexEmb, retEmb, semanticThreshold)
       .select("doc_id")
-    val semCross = lexSurv.join(semHits, Seq("doc_id"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val semCross = mat(lexSurv.join(semHits, Seq("doc_id"), "left_anti"))
     val semEmb = curEmbeddings.join(
       semCross.select(col("doc_id").as("vec_id")), "vec_id")
-    val admitted = semCross.join(
-        Similarity.semanticDedupLsh(semCross, semEmb, semanticThreshold)
-          .filter(col("keep") === 1).select("doc_id"), "doc_id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val admitted = mat(semCross.join(
+      Similarity.semanticDedupLsh(semCross, semEmb, semanticThreshold)
+        .filter(col("keep") === 1).select("doc_id"), "doc_id"))
     val sel = Sampling.tokenBudgetSelect(admitted, deltaTokenBudget)
     val selDocs = cand.join(sel.select("doc_id"), "doc_id")
     val packs = Packing.packDocuments(selDocs, packBudget, "lang", packShards)
       .toDF()
     val packKey = concat_ws("/", lit(generation), col("lang"), col("shard"),
       col("pack_id"))
-    val packRel = packs.withColumn("pack_key", packKey)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val packRel = mat(packs.withColumn("pack_key", packKey))
     // prior max position: 1-row bounded collect (learned-literal
     // discipline); -1 on an empty prior release so positions start at 0
     val prevMax = prevAssign.agg(coalesce(max("shuffle_pos"), lit(-1L)))
