@@ -193,6 +193,35 @@ object BenchOne {
           prevDocs, curDocs, e0, deltaTokenBudget = 1000000000L,
           packBudget = 256, packShards = 8, outShards = 16)
       }),
+      // the deployment shape: same delta re-cut, but the retained side's
+      // dedup kernels come from the RESTORED ReleaseDedupIndex artifact —
+      // the remaining corpus-linear term of x_delta_release (re-hashing
+      // the retained side) disappears
+      "x_delta_indexed" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val d0 = Cohorts.documents(s, dir)
+        val e0 = Cohorts.embeddings(s, dir)
+        val prevDocs = d0.filter(col("doc_id") % 50 =!= 0)
+        val curDocs = d0.withColumn("text",
+          when(col("doc_id") % 97 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        val paPath = s"/tmp/graft_prev_assign_${Integer.toHexString(dir.hashCode)}"
+        require(new java.io.File(paPath).exists(),
+          s"run x_delta_release first to build $paPath")
+        val prevAssign = s.read.parquet(paPath)
+        val ixPath = s"/tmp/graft_prev_index_${Integer.toHexString(dir.hashCode)}"
+        if (!new java.io.File(ixPath).exists()) {
+          val priorIds = prevAssign.select("doc_id")
+          graft.Io.writeReleaseIndex(graft.ops.Curation.buildReleaseIndex(
+            prevDocs.join(priorIds, "doc_id"),
+            e0.join(priorIds.select(col("doc_id").as("vec_id")), "vec_id")),
+            ixPath)
+        }
+        graft.ops.Curation.deltaReleaseAssignments(prevAssign, prevDocs,
+          curDocs, e0, deltaTokenBudget = 1000000000L, packBudget = 256,
+          packShards = 8, outShards = 16,
+          index = Some(graft.Io.readReleaseIndex(s, ixPath)))
+      }),
       "x_release_rebuild" -> ((s, dir) => {
         import org.apache.spark.sql.functions._
         val d0 = Cohorts.documents(s, dir)

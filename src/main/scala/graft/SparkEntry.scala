@@ -3634,61 +3634,97 @@ object SparkEntry {
     ("q147_release_delta",
       (s: SparkSession, dir: String) => {
         requireEmbedSelfSilence(s, dir, "q147")
-        val d0 = Cohorts.documents(s, dir)
-        val e0 = Cohorts.embeddings(s, dir)
-        val prevDocs = d0.filter(col("doc_id") % 10 =!= 0)
-          .withColumn("text", when(col("doc_id") % 7 === 0,
-            concat(col("text"), lit(" v1"))).otherwise(col("text")))
-        def clones(m: Long, off: Long) = d0.filter(col("doc_id") % 20 === m)
-          .withColumn("doc_id", col("doc_id") + lit(off))
-          .withColumn("source", lit("clone"))
-          .withColumn("text", concat_ws(" ",
-            transform(sequence(lit(1), lit(100)),
-              i => concat(lit("dx"), col("doc_id").cast("string"),
-                lit("t"), i.cast("string")))))
-        def cloneEmb(m: Long, off: Long) = e0.filter(col("vec_id") % 20 === m)
-          .withColumn("vec_id", col("vec_id") + lit(off))
-        // fixture frames are pinned: the operator scans its two snapshots
-        // ~5 times (fingerprints, floors, decontam benchmark, retained
-        // re-attach, fresh source join) and the clone-union construction
-        // (an interpreted 100-token transform per clone row) would
-        // otherwise re-run per scan — fixture tooling, freed by the
-        // harness clearCache like every gate pin
-        val curDocs = d0.filter(col("doc_id") % 13 =!= 0)
-          .unionByName(clones(1L, 1000000L))
-          .unionByName(clones(3L, 2000000L))
-          .unionByName(clones(3L, 3000000L))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val curEmb = e0
-          .unionByName(cloneEmb(1L, 1000000L))
-          .unionByName(cloneEmb(3L, 2000000L))
-          .unionByName(cloneEmb(3L, 3000000L))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // prior release fixture: every non-benchmark prev doc, packed by a
-        // simple modular rule with a deterministic hash-ordered pack
-        // shuffle — the operator contract only needs the assignment SCHEMA
-        // (the full-chain prior is q141's subject, not this gate's)
-        val pbase = prevDocs.filter(col("source") =!= "src0")
-          .select(col("doc_id"), col("lang"),
-            pmod(col("doc_id"), lit(4L)).as("shard"),
-            size(TextAnalysis.tokens(col("text"))).cast("long").as("tokens"),
-            pmod(col("doc_id"), lit(3L)).as("pack_id"), col("source"))
-          .filter(col("tokens") > 0)
-          .withColumn("pack_key", concat_ws("/", lit("p"), col("lang"),
-            col("shard"), col("pack_id")))
-        val ppos = Sampling.shuffleOrder(pbase.select("pack_key").distinct(),
-            "pack_key", "prevrel")
-          .withColumn("out_shard", pmod(col("shuffle_pos"), lit(4L)))
-        val prevAssign = pbase.join(ppos, "pack_key")
-          .select("doc_id", "lang", "shard", "tokens", "pack_id", "pack_key",
-            "source", "shuffle_pos", "out_shard")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val (prevDocs, curDocs, curEmb, prevAssign) =
+          deltaReleaseFixture(s, dir)
         Curation.deltaReleaseAssignments(prevAssign, prevDocs, curDocs,
           curEmb, deltaTokenBudget = 3000, packBudget = 256, packShards = 2,
           outShards = 4)
       },
+      Some(deltaReleaseOracleSql)),
+
+    // The q147 re-cut against the RESTORED dedup-index artifact
+    // (VERDICT r12 #1's deployment shape, closed): the prior release's
+    // ReleaseDedupIndex (shingle sets + MinHash sigs, double-cast
+    // embeddings + norms + SRP sigs) is built over the PRIOR release's
+    // docs, shipped to parquet, read back, filtered to the retained ids
+    // at delta time — so the re-cut does no per-character / per-vector
+    // kernel work on the index side. The oracle is q147's EXACT SQL:
+    // the gate pins that the artifact round-trip is bit-neutral.
+    ("q148_release_delta_indexed",
+      (s: SparkSession, dir: String) => {
+        requireEmbedSelfSilence(s, dir, "q148")
+        val (prevDocs, curDocs, curEmb, prevAssign) =
+          deltaReleaseFixture(s, dir)
+        val priorIds = prevAssign.select("doc_id")
+        val ix = Curation.buildReleaseIndex(
+          prevDocs.join(priorIds, "doc_id"),
+          Cohorts.embeddings(s, dir)
+            .join(priorIds.select(col("doc_id").as("vec_id")), "vec_id"))
+        val path = s"/tmp/graft_release_index_${Integer.toHexString(dir.hashCode)}"
+        Io.writeReleaseIndex(ix, path)
+        Curation.deltaReleaseAssignments(prevAssign, prevDocs, curDocs,
+          curEmb, deltaTokenBudget = 3000, packBudget = 256, packShards = 2,
+          outShards = 4, index = Some(Io.readReleaseIndex(s, path)))
+      },
       Some(deltaReleaseOracleSql))
   )
+
+  /** q147/q148 shared fixture: the q137 churn snapshots plus planted
+    * delta clones (cross clones carry retained docs' embeddings, within-
+    * delta pairs carry removed docs' embeddings) and a simple modular
+    * prior-release assignment. Fixture frames are pinned: the operator
+    * scans its snapshots ~5 times (fingerprints, floors, decontam
+    * benchmark, retained re-attach, fresh source join) and the
+    * clone-union construction (an interpreted 100-token transform per
+    * clone row) would otherwise re-run per scan — fixture tooling, freed
+    * by the harness clearCache like every gate pin. */
+  private def deltaReleaseFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val d0 = Cohorts.documents(s, dir)
+    val e0 = Cohorts.embeddings(s, dir)
+    val prevDocs = d0.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" v1"))).otherwise(col("text")))
+    def clones(m: Long, off: Long) = d0.filter(col("doc_id") % 20 === m)
+      .withColumn("doc_id", col("doc_id") + lit(off))
+      .withColumn("source", lit("clone"))
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(1), lit(100)),
+          i => concat(lit("dx"), col("doc_id").cast("string"),
+            lit("t"), i.cast("string")))))
+    def cloneEmb(m: Long, off: Long) = e0.filter(col("vec_id") % 20 === m)
+      .withColumn("vec_id", col("vec_id") + lit(off))
+    val curDocs = d0.filter(col("doc_id") % 13 =!= 0)
+      .unionByName(clones(1L, 1000000L))
+      .unionByName(clones(3L, 2000000L))
+      .unionByName(clones(3L, 3000000L))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val curEmb = e0
+      .unionByName(cloneEmb(1L, 1000000L))
+      .unionByName(cloneEmb(3L, 2000000L))
+      .unionByName(cloneEmb(3L, 3000000L))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // prior release fixture: every non-benchmark prev doc, packed by a
+    // simple modular rule with a deterministic hash-ordered pack shuffle —
+    // the operator contract only needs the assignment SCHEMA (the
+    // full-chain prior is q141's subject, not these gates')
+    val pbase = prevDocs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("lang"),
+        pmod(col("doc_id"), lit(4L)).as("shard"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("tokens"),
+        pmod(col("doc_id"), lit(3L)).as("pack_id"), col("source"))
+      .filter(col("tokens") > 0)
+      .withColumn("pack_key", concat_ws("/", lit("p"), col("lang"),
+        col("shard"), col("pack_id")))
+    val ppos = Sampling.shuffleOrder(pbase.select("pack_key").distinct(),
+        "pack_key", "prevrel")
+      .withColumn("out_shard", pmod(col("shuffle_pos"), lit(4L)))
+    val prevAssign = pbase.join(ppos, "pack_key")
+      .select("doc_id", "lang", "shard", "tokens", "pack_id", "pack_key",
+        "source", "shuffle_pos", "out_shard")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (prevDocs, curDocs, curEmb, prevAssign)
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full CoCoA adjustment under K(3) — scan → clean → encode → kNN →

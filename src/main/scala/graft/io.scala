@@ -229,6 +229,26 @@ object Io {
     frames.reduce(_ unionByName _)
   }
 
+  /** Ship a release's dedup-index artifact
+    * ([[graft.ops.ReleaseDedupIndex]]) next to its shards:
+    * `<dir>/lex-index.parquet` + `<dir>/sem-index.parquet`. Plain
+    * columnar relations — signatures, shingle hash sets and
+    * double-cast embeddings parquet-round-trip exactly, so a re-cut
+    * against the RESTORED index is bit-identical to one against the live
+    * frames (the q148 gate pins this through the oracle hash). */
+  def writeReleaseIndex(index: graft.ops.ReleaseDedupIndex,
+                        dir: String): Unit = {
+    index.lexical.write.mode("overwrite").parquet(s"$dir/lex-index.parquet")
+    index.semantic.write.mode("overwrite").parquet(s"$dir/sem-index.parquet")
+  }
+
+  /** Restore a persisted release dedup index ([[writeReleaseIndex]]). */
+  def readReleaseIndex(spark: SparkSession,
+                       dir: String): graft.ops.ReleaseDedupIndex =
+    graft.ops.ReleaseDedupIndex(
+      spark.read.parquet(s"$dir/lex-index.parquet"),
+      spark.read.parquet(s"$dir/sem-index.parquet"))
+
   /** Bucketed parquet table sink — the co-located-join scale path. Rows are
     * hash-distributed into `buckets` files on `bucketCol` and sorted within
     * each bucket; two tables written with the same (column, bucket count)

@@ -39,7 +39,34 @@ import org.apache.spark.storage.StorageLevel
   * [[Dedup]]'s persisted shingle sets and [[Similarity.pqTopK]]'s code
   * index.
   */
+/** The persisted dedup-index artifact of a shipped release — the pair of
+  * relations the CROSS legs of [[Curation.deltaReleaseAssignments]] need
+  * about the prior release, with every per-document/per-vector kernel
+  * already paid: [[graft.ops.Dedup.buildLexIndex]]'s
+  * (doc_id, shingles, sig) and [[graft.ops.Similarity.buildSemIndex]]'s
+  * (vec_id, embedding, norm, sig). Ships next to the release shards
+  * ([[graft.Io.writeReleaseIndex]]/[[graft.Io.readReleaseIndex]]); at
+  * re-cut time it is filtered to the still-retained ids (an id-keyed
+  * semi-join — no re-hashing) so a delta run's index-side cost is
+  * bucket-derivation arithmetic plus the verify joins, never a
+  * corpus-scale hash pass. The AnnIndex restore discipline applied to
+  * the release's dedup state. */
+final case class ReleaseDedupIndex(lexical: DataFrame, semantic: DataFrame)
+
 object Curation {
+
+  /** Build the [[ReleaseDedupIndex]] for a corpus being shipped — run it
+    * over the RELEASE's docs/embeddings at release-build time, write with
+    * [[graft.Io.writeReleaseIndex]]. `minhashThreshold` must match the
+    * threshold the future delta runs will use (the MinHash signature is
+    * banding-sized). */
+  def buildReleaseIndex(docs: DataFrame, embeddings: DataFrame,
+                        minhashThreshold: Double = 0.5,
+                        shingleK: Int = 3,
+                        srpSeed: Long = 42L): ReleaseDedupIndex =
+    ReleaseDedupIndex(
+      Dedup.buildLexIndex(docs, minhashThreshold, shingleK),
+      Similarity.buildSemIndex(embeddings, srpSeed))
 
   /** Stages 1–2 shared by [[curateV2]] and [[releasePipeline]]: the
     * persisted lexical-curation survivor frame (full doc columns) and the
@@ -267,7 +294,8 @@ object Curation {
                               modelFloor: Option[Double] = None,
                               semanticThreshold: Double = 0.9,
                               contamShingleK: Int = 8,
-                              generation: String = "d1"): DataFrame = {
+                              generation: String = "d1",
+                              index: Option[ReleaseDedupIndex] = None): DataFrame = {
     require(outShards >= 1, s"outShards must be >= 1, got $outShards")
     // Stage boundaries are EAGERLY MATERIALIZED into RDD-backed flat-plan
     // copies ([[org.apache.spark.sql.graftbridge.Bridge.materialized]],
@@ -308,15 +336,28 @@ object Curation {
         curDocs.filter(col("source") === benchmarkSource), contamShingleK)
       .select("doc_id")
     val cand = mat(floored.join(contamIds, Seq("doc_id"), "left_anti"))
-    val lexSurv = mat(Dedup
-      .newAgainstIndexAndSelf(cand, retainedDocs, minhashThreshold))
+    // Cross legs: with a restored [[ReleaseDedupIndex]] the retained side
+    // is the persisted artifact filtered to the retained ids (id-keyed
+    // semi-join) — identical results, no corpus re-hash per re-cut.
+    val lexSurv = mat(index match {
+      case Some(ix) => Dedup.newAgainstLexIndexAndSelf(cand,
+        ix.lexical.join(retained.select("doc_id"), "doc_id"),
+        minhashThreshold)
+      case None =>
+        Dedup.newAgainstIndexAndSelf(cand, retainedDocs, minhashThreshold)
+    })
     val lexEmb = curEmbeddings.join(
       lexSurv.select(col("doc_id").as("vec_id")), "vec_id")
-    val retEmb = curEmbeddings.join(
-      retained.select(col("doc_id").as("vec_id")), "vec_id")
-    val semHits = Similarity
-      .semanticContaminatedLsh(lexEmb, retEmb, semanticThreshold)
-      .select("doc_id")
+    val semHits = (index match {
+      case Some(ix) => Similarity.semanticContaminatedLshIndexed(lexEmb,
+        ix.semantic.join(retained.select(col("doc_id").as("vec_id")),
+          "vec_id"),
+        semanticThreshold)
+      case None =>
+        val retEmb = curEmbeddings.join(
+          retained.select(col("doc_id").as("vec_id")), "vec_id")
+        Similarity.semanticContaminatedLsh(lexEmb, retEmb, semanticThreshold)
+    }).select("doc_id")
     val semCross = mat(lexSurv.join(semHits, Seq("doc_id"), "left_anti"))
     val semEmb = curEmbeddings.join(
       semCross.select(col("doc_id").as("vec_id")), "vec_id")

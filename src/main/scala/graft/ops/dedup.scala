@@ -316,15 +316,38 @@ object Dedup {
     * legs instead of three times (hashing every character is the dominant
     * per-doc cost; the naive composition re-paid it per leg). */
   def newAgainstIndexAndSelf(newDocs: DataFrame, indexDocs: DataFrame,
-                             threshold: Double, k: Int = 3): DataFrame = {
+                             threshold: Double, k: Int = 3): DataFrame =
+    newAgainstLexIndexAndSelf(newDocs, buildLexIndex(indexDocs, threshold, k),
+      threshold, k)
+
+  /** The persisted lexical cross-dedup INDEX of a shipped corpus:
+    * (doc_id, shingles, sig) — every per-document kernel the cross leg of
+    * [[newAgainstIndexAndSelf]] needs (char-level shingle hashing + the
+    * banding-sized MinHash signature), paid ONCE when the corpus ships.
+    * Plain columnar data: write it to parquet next to the release shards,
+    * read it back, filter to the ids still retained, and hand it to
+    * [[newAgainstLexIndexAndSelf]] — the re-cut then does NO per-character
+    * work on the index side (the AnnIndex restore discipline applied to
+    * the dedup index; [[graft.Io.writeReleaseIndex]] ships it). */
+  def buildLexIndex(docs: DataFrame, threshold: Double, k: Int = 3): DataFrame =
+    shingleSets(docs, k).filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), col("shingles"), sigFor(threshold).as("sig"))
+
+  /** [[newAgainstIndexAndSelf]] against a PRECOMPUTED index relation
+    * ([[buildLexIndex]]'s (doc_id, shingles, sig) — possibly filtered to
+    * the currently-retained ids): bit-identical results, but the index
+    * side costs only the bucket-derivation arithmetic and the verify
+    * join, never re-hashing the shipped corpus per re-cut. */
+  def newAgainstLexIndexAndSelf(newDocs: DataFrame, lexIndex: DataFrame,
+                                threshold: Double, k: Int = 3): DataFrame = {
     val setsN = shingleSets(newDocs, k).filter(size(col("shingles")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val setsI = shingleSets(indexDocs, k).filter(size(col("shingles")) > 0)
+    val setsI = lexIndex
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bkN = minHashBuckets(setsN, threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val crossCand = bkN.as("x")
-      .join(minHashBuckets(setsI, threshold).as("y"),
+      .join(bucketsFromSig(setsI.select("doc_id", "sig"), threshold).as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
@@ -423,15 +446,23 @@ object Dedup {
     * [[clustersLsh]]. The band key folds the band's signature slots through
     * xxhash64 — a 64-bit collision can only ADD a candidate (callers verify
     * exactly), never lose one. */
-  private def minHashBuckets(sets: DataFrame, threshold: Double,
-                             carry: Seq[String] = Nil): DataFrame = {
+  /** MinHash signature column at the banding [[bandingFor]] derives for
+    * `threshold` — the per-doc kernel cost ([[graft.expr.MinHashSig]] over
+    * every shingle) that [[buildLexIndex]] pays once at release time. */
+  private def sigFor(threshold: Double): Column = {
     val (bands, rows) = bandingFor(threshold)
     val sigSeeds = Seeds.take(bands * rows)
-    val sigs = sets.select(col("doc_id") +: carry.map(col) :+
-      org.apache.spark.sql.graftbridge.Bridge.column(
-        graft.expr.MinHashSig(
-          org.apache.spark.sql.graftbridge.Bridge.expression(col("shingles")),
-          sigSeeds.map(_._1), sigSeeds.map(_._2))).as("sig"): _*)
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expr.MinHashSig(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("shingles")),
+        sigSeeds.map(_._1), sigSeeds.map(_._2)))
+  }
+
+  /** (doc_id, band, key) LSH buckets from a frame already carrying the
+    * `sig` column — pure bit/hash arithmetic, no per-shingle work. */
+  private def bucketsFromSig(sigs: DataFrame, threshold: Double,
+                             carry: Seq[String] = Nil): DataFrame = {
+    val (bands, rows) = bandingFor(threshold)
     val bandKey = (b: Int) =>
       xxhash64((0 until rows).map(r => col("sig")(b * rows + r)): _*)
     sigs.select(col("doc_id") +: carry.map(col) :+
@@ -440,6 +471,13 @@ object Dedup {
       .select(col("doc_id") +: carry.map(col) :+
         col("bk.band").as("band") :+ col("bk.key").as("key"): _*)
   }
+
+  private def minHashBuckets(sets: DataFrame, threshold: Double,
+                             carry: Seq[String] = Nil): DataFrame =
+    bucketsFromSig(
+      sets.select(col("doc_id") +: carry.map(col) :+
+        sigFor(threshold).as("sig"): _*),
+      threshold, carry)
 
   /** Exact Jaccard over candidate (doc_a, doc_b) pairs. */
   private def verifyJaccard(candidates: DataFrame, sets: DataFrame,

@@ -302,6 +302,58 @@ object Similarity {
         graft.Num.rnd(max(col("sim")), 6).as("max_sim"))
   }
 
+  /** The persisted semantic cross-dedup INDEX of a shipped corpus:
+    * (vec_id, embedding double[], norm, sig) — the per-vector work the
+    * static side of [[semanticContaminatedLsh]] needs (float→double cast,
+    * the norm, and the 64-projection SRP signature), paid ONCE when the
+    * corpus ships. SRP band chunks derive from `sig` by pure bit
+    * arithmetic at use time. Plain columnar data — parquet round-trips it
+    * exactly ([[graft.Io.writeReleaseIndex]]). */
+  def buildSemIndex(embeddings: DataFrame, seed: Long = 42L): DataFrame =
+    prep(embeddings, "").select(col("id").as("vec_id"),
+      col("emb").as("embedding"), col("norm"),
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.expr.CosineLshSig(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("emb")),
+          64, seed)).as("sig"))
+
+  /** [[semanticContaminatedLsh]] against a PRECOMPUTED index
+    * ([[buildSemIndex]]'s relation, possibly filtered to the retained
+    * ids): identical results and candidate generation, but the static
+    * side pays no cast/norm/SRP kernel per re-cut — only the chunk
+    * bit-derivation and the verify join. */
+  def semanticContaminatedLshIndexed(train: DataFrame, semIndex: DataFrame,
+                                     threshold: Double, bands: Int = 8,
+                                     seed: Long = 42L): DataFrame = {
+    require(64 % bands == 0 && bands >= 2,
+      s"bands must divide 64 and be >= 2, got $bands")
+    val width = 64 / bands
+    val idxSigs = semIndex.select(col("vec_id").as("id"), col("sig").as("__sig"))
+    val idxChunks = idxSigs.select(col("id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("__sig"), b * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("chunk"))): _*)).as("bc"))
+      .select(col("id"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    val candBand = srpChunks(train, bands, seed).as("t")
+      .join(idxChunks.as("b"),
+        col("t.band") === col("b.band") && col("t.chunk") === col("b.chunk"))
+      .select(col("t.id").as("a_id"), col("b.id").as("b_id"))
+    val candSig = srpSigs(train, seed).as("t")
+      .join(idxSigs.as("b"), col("t.__sig") === col("b.__sig"))
+      .select(col("t.id").as("a_id"), col("b.id").as("b_id"))
+    val idxPrep = semIndex.select(col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("norm").as("b_norm"))
+    candBand.unionByName(candSig).distinct()
+      .join(prep(train, "a_"), "a_id")
+      .join(idxPrep, "b_id")
+      .withColumn("sim", dotD(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
+      .filter(graft.Num.rnd(col("sim"), 9) >= threshold)
+      .groupBy(col("a_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_bench_hits"),
+        graft.Num.rnd(max(col("sim")), 6).as("max_sim"))
+  }
+
   /** Streaming twin of [[semanticContaminatedLsh]] — the ingest-time
     * deployment: newly embedded documents arrive as a STREAM
     * `(ingest_ts, vec_id, embedding)` and are checked against the STATIC

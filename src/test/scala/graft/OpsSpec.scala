@@ -2998,5 +2998,23 @@ class OpsSpec extends SparkSpec {
     // content-addressed end to end
     assert(run() == out)
     spark.catalog.clearCache()
+    // the restored dedup-index path is bit-neutral: build the prior
+    // release's ReleaseDedupIndex, round-trip it through parquet, re-cut
+    // with it — identical assignment rows (the index side skips every
+    // per-char / per-vector kernel, results must not move)
+    val priorIds = priorDf.select("doc_id")
+    val ixDir = java.nio.file.Files.createTempDirectory("graft-relix").toString
+    Io.writeReleaseIndex(graft.ops.Curation.buildReleaseIndex(
+      docs0.join(priorIds, "doc_id"),
+      emb0.join(priorIds.select(col("doc_id").as("vec_id")), "vec_id")), ixDir)
+    val viaIndex = graft.ops.Curation.deltaReleaseAssignments(priorDf, docs0,
+        curDocs, curEmb, deltaTokenBudget = 10000, packBudget = 64,
+        packShards = 2, outShards = 3,
+        index = Some(Io.readReleaseIndex(spark, ixDir)))
+      .select(assignCols.map(col): _*)
+      .as[(Long, String, Long, Long, Long, String, String, Long, Long)]
+      .collect().sortBy(r => (r._1, r._6)).toSeq
+    assert(viaIndex == out)
+    spark.catalog.clearCache()
   }
 }
