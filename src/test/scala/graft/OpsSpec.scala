@@ -3016,5 +3016,15 @@ class OpsSpec extends SparkSpec {
       .collect().sortBy(r => (r._1, r._6)).toSeq
     assert(viaIndex == out)
     spark.catalog.clearCache()
+    // empty delta (cur == prev): the re-cut is exactly the prior rows —
+    // no fresh packs, no position movement, nothing dropped
+    val noChange = graft.ops.Curation.deltaReleaseAssignments(priorDf, docs0,
+        docs0, emb0, deltaTokenBudget = 10000, packBudget = 64,
+        packShards = 2, outShards = 3)
+      .select(assignCols.map(col): _*)
+      .as[(Long, String, Long, Long, Long, String, String, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(noChange == priorRows)
+    spark.catalog.clearCache()
   }
 }
