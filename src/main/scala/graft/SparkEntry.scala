@@ -3666,7 +3666,35 @@ object SparkEntry {
           curEmb, deltaTokenBudget = 3000, packBudget = 256, packShards = 2,
           outShards = 4, index = Some(Io.readReleaseIndex(s, path)))
       },
-      Some(deltaReleaseOracleSql))
+      Some(deltaReleaseOracleSql)),
+
+    // Per-document churn statuses — the DELTA FRAME behind q147/q148's
+    // incremental re-processing (q137 is the aggregated REPORT; this is
+    // the relation downstream incremental operators join against): one
+    // row per id seen in either snapshot with added/removed/changed/
+    // unchanged, md5 content fingerprints computed map-side.
+    ("q149_corpus_delta",
+      (s: SparkSession, dir: String) => {
+        val d = Cohorts.documents(s, dir)
+        val prev = d.filter(col("doc_id") % 10 =!= 0)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" v1"))).otherwise(col("text")))
+        val cur = d.filter(col("doc_id") % 13 =!= 0)
+        Profile.corpusDelta(prev, cur, "doc_id", Seq("text"))
+      },
+      Some(s"""WITH o AS (SELECT doc_id,
+        |         md5(COALESCE(CASE WHEN doc_id % 7 = 0 THEN text || ' v1'
+        |                           ELSE text END, ${Profile.NullSentinelSql})) AS fp
+        |       FROM documents WHERE doc_id % 10 <> 0),
+        |c AS (SELECT doc_id,
+        |        md5(COALESCE(text, ${Profile.NullSentinelSql})) AS fp
+        |      FROM documents WHERE doc_id % 13 <> 0)
+        |SELECT COALESCE(o.doc_id, c.doc_id) AS doc_id,
+        |       CASE WHEN o.fp IS NULL THEN 'added'
+        |            WHEN c.fp IS NULL THEN 'removed'
+        |            WHEN o.fp <> c.fp THEN 'changed'
+        |            ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN c ON o.doc_id = c.doc_id""".stripMargin))
   )
 
   /** q147/q148 shared fixture: the q137 churn snapshots plus planted
