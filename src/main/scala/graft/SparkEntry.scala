@@ -297,7 +297,7 @@ object SparkEntry {
        |  SELECT doc_id, lang, source, n_chars, text,
        |         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
        |  FROM cand0),
-       |${TextSql.qualitySignalsCte()},
+       |${TextSql.qualitySignalsCte().replace("m AS (", "m AS MATERIALIZED (")},
        |cand1 AS MATERIALIZED (
        |  SELECT t2.doc_id, t2.lang, t2.source, t2.t
        |  FROM toks t2 JOIN m USING (doc_id)
@@ -327,10 +327,10 @@ object SparkEntry {
        |  WHERE doc_id NOT IN (SELECT doc_id FROM ckill)),
        |sh3 AS MATERIALIZED (SELECT shc.doc_id, shc.s
        |  FROM shc JOIN cand3 USING (doc_id)),
-       |prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |prs AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id
        |  WHERE len(a.s) > 0 AND len(b.s) > 0 AND ${jac("a.s", "b.s")} >= 0.5),
-       |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs
+       |edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM prs
        |          UNION ALL SELECT doc_b, doc_a FROM prs),
        |reach AS (
        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
@@ -355,10 +355,10 @@ object SparkEntry {
        |  WHERE doc_id NOT IN (SELECT doc_id FROM skill)),
        |ce5 AS MATERIALIZED (SELECT e.vec_id, e.v
        |  FROM ecur e JOIN cand5 c ON e.vec_id = c.doc_id),
-       |eprs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |eprs AS MATERIALIZED (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
        |  FROM ce5 a JOIN ce5 b ON a.vec_id < b.vec_id
        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.9),
-       |eedges AS (SELECT doc_a AS u, doc_b AS v FROM eprs
+       |eedges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM eprs
        |           UNION ALL SELECT doc_b, doc_a FROM eprs),
        |ereach AS (
        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM eedges)
