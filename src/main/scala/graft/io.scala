@@ -169,9 +169,20 @@ object Io {
         require(fs.rename(parts.head.getPath, dest), s"rename to $dest failed")
       }
     fs.delete(stagingPath, true)
-    // manifest.csv: exactly one header + |shards| rows, exact name
+    // manifest.csv: exactly one header + |shards| rows, exact name. Beyond
+    // the counts, each row carries a CONTENT fingerprint (VERDICT r13 #4):
+    // the bit_xor fold of xxhash64(doc_id, pack_key, shuffle_pos) over the
+    // shard's rows — order-independent (xor commutes, and the write sort
+    // needn't be replayed at check time), computed from the SAME assignment
+    // frame the shards are written from, and re-derivable from the shard
+    // bytes alone. [[readReleaseShards]] recomputes it per shard, so
+    // truncation / bit-rot / a swapped shard file fails loudly where the
+    // row-count check alone would pass.
     val mStaging = s"$outDir/.staging_manifest"
     graft.ops.Curation.manifestOf(assignments)
+      .join(assignments.groupBy("out_shard")
+        .agg(expr("bit_xor(xxhash64(doc_id, pack_key, shuffle_pos))")
+          .as("content_hash")), "out_shard")
       .orderBy("out_shard")
       .coalesce(1)
       .write.mode("overwrite").option("header", "true").csv(mStaging)
@@ -191,17 +202,19 @@ object Io {
     * dir, reconciles the artifact set against `manifest.csv` (exactly the
     * manifest's shard ids present on disk — a stale or missing shard file
     * fails loudly here instead of silently training on the wrong corpus)
-    * and checks each shard's doc count against its manifest row. Returns
-    * the doc-level assignment rows with their `out_shard` re-derived from
-    * the file name. Validation cost is O(shards) driver-side listing plus
-    * one count aggregate per shard's metadata (parquet row counts come
-    * from footers — no data scan). */
+    * and checks each shard's doc count AND content fingerprint (the
+    * manifest's xor-fold `content_hash`, recomputed from the shard's
+    * rows) against its manifest row. Returns the doc-level assignment
+    * rows with their `out_shard` re-derived from the file name.
+    * Validation cost is O(shards) driver-side listing plus one narrow
+    * 3-column aggregate scan per shard — content verification cannot be
+    * footer-only, and the loader is about to read the data regardless. */
   def readReleaseShards(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(conf)
-    val shardFiles = fs.listStatus(dirPath)
+    val named = fs.listStatus(dirPath)
       .filter { f =>
         val n = f.getPath.getName
         f.isFile && n.startsWith("shard-") && n.endsWith(".parquet")
@@ -209,21 +222,51 @@ object Io {
       .map { f =>
         val id = f.getPath.getName
           .stripPrefix("shard-").stripSuffix(".parquet")
-        id.toLong -> f.getPath.toString
-      }.toMap
+        // toLongOption, not toLong: a foreign file matching the glob with a
+        // non-numeric id must surface through the drift diagnostic below,
+        // not crash it with a NumberFormatException (ADVICE r13)
+        id.toLongOption -> f.getPath
+      }
+    require(named.forall(_._1.isDefined),
+      s"release dir $dir: unparseable shard file names " +
+        s"${named.collect { case (None, p) => p.getName }.toSeq.sorted} — " +
+        "foreign files have drifted into the release directory")
+    val shardFiles = named
+      .map { case (id, p) => id.get -> p.toString }.toMap
     val manifest = spark.read.option("header", "true").csv(s"$dir/manifest.csv")
-      .select(col("out_shard").cast("long"), col("n_docs").cast("long"))
+      .select(col("out_shard").cast("long"), col("n_docs").cast("long"),
+        col("content_hash").cast("long"))
       .collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     require(shardFiles.keySet == manifest.keySet,
       s"release dir $dir: shard files ${shardFiles.keySet.toSeq.sorted} != " +
         s"manifest shards ${manifest.keySet.toSeq.sorted} — artifacts and " +
         "manifest have drifted (partial write or stale files)")
+    // a zero-shard release (empty corpus, header-only manifest) passes the
+    // set reconcile vacuously but has no schema to union — fail loudly
+    // instead of reduce() throwing UnsupportedOperationException (ADVICE r13)
+    require(shardFiles.nonEmpty,
+      s"release dir $dir: zero shard files and an empty manifest — the " +
+        "release is empty; nothing to load")
     val frames = shardFiles.toSeq.sortBy(_._1).map { case (k, path) =>
       val df = spark.read.parquet(path)
-      val n = df.count()
-      require(n == manifest(k),
-        s"release dir $dir: shard $k has $n rows, manifest says ${manifest(k)}")
+      // one narrow aggregate per shard: the row count (footer-cheap) plus
+      // the CONTENT fingerprint — the same order-independent xor fold the
+      // writer recorded, recomputed from the shard bytes. Costs one
+      // 3-column projection scan per shard; that is the price of verifying
+      // content rather than cardinality, paid once at load time by the
+      // consumer that is about to read the data anyway.
+      val head = df.agg(count(lit(1)).as("n"),
+        expr("bit_xor(xxhash64(doc_id, pack_key, shuffle_pos))").as("h"))
+        .head()
+      val (n, h) = (head.getLong(0), if (head.isNullAt(1)) 0L else head.getLong(1))
+      val (mN, mH) = manifest(k)
+      require(n == mN,
+        s"release dir $dir: shard $k has $n rows, manifest says $mN")
+      require(h == mH,
+        s"release dir $dir: shard $k content hash $h != manifest $mH — " +
+          "the shard's bytes do not match what the release wrote " +
+          "(corruption, truncation at equal row count, or a swapped file)")
       df.withColumn("out_shard", lit(k))
     }
     frames.reduce(_ unionByName _)
@@ -231,23 +274,62 @@ object Io {
 
   /** Ship a release's dedup-index artifact
     * ([[graft.ops.ReleaseDedupIndex]]) next to its shards:
-    * `<dir>/lex-index.parquet` + `<dir>/sem-index.parquet`. Plain
-    * columnar relations — signatures, shingle hash sets and
-    * double-cast embeddings parquet-round-trip exactly, so a re-cut
-    * against the RESTORED index is bit-identical to one against the live
-    * frames (the q148 gate pins this through the oracle hash). */
+    * `<dir>/lex-index.parquet` + `<dir>/sem-index.parquet` +
+    * `<dir>/index-meta.csv` (the [[graft.ops.IndexMeta]] build parameters
+    * — ADVICE r13: the signatures are only meaningful at the threshold /
+    * shingle k / SRP seed they were computed under, so the artifact
+    * carries them and use sites verify). Plain columnar relations —
+    * signatures, shingle hash sets and double-cast embeddings
+    * parquet-round-trip exactly, so a re-cut against the RESTORED index
+    * is bit-identical to one against the live frames (the q148 gate pins
+    * this through the oracle hash); Double.toString round-trips the exact
+    * IEEE threshold through the meta file. */
   def writeReleaseIndex(index: graft.ops.ReleaseDedupIndex,
                         dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
     index.lexical.write.mode("overwrite").parquet(s"$dir/lex-index.parquet")
     index.semantic.write.mode("overwrite").parquet(s"$dir/sem-index.parquet")
+    index.meta.foreach { m =>
+      val conf = index.lexical.sparkSession.sessionState.newHadoopConf()
+      val p = new Path(s"$dir/index-meta.csv")
+      val out = p.getFileSystem(conf).create(p, true)
+      try out.write(
+        ("minhash_threshold,shingle_k,srp_seed\n" +
+          s"${m.minhashThreshold},${m.shingleK},${m.srpSeed}\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
   }
 
-  /** Restore a persisted release dedup index ([[writeReleaseIndex]]). */
+  /** Restore a persisted release dedup index ([[writeReleaseIndex]]).
+    * Pre-metadata artifacts (no `index-meta.csv`) restore with
+    * `meta = None`; use sites then rely on the signature-length guard. */
   def readReleaseIndex(spark: SparkSession,
-                       dir: String): graft.ops.ReleaseDedupIndex =
+                       dir: String): graft.ops.ReleaseDedupIndex = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(s"$dir/index-meta.csv")
+    val fs = p.getFileSystem(conf)
+    val meta =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        require(lines.size == 2 &&
+            lines.head == "minhash_threshold,shingle_k,srp_seed",
+          s"malformed $p: expected the 2-line writeReleaseIndex meta " +
+            s"format, got ${lines.take(3)}")
+        val f = lines(1).split(",", -1)
+        require(f.length == 3, s"malformed $p meta row: ${lines(1)}")
+        Some(graft.ops.IndexMeta(f(0).toDouble, f(1).toInt, f(2).toLong))
+      }
     graft.ops.ReleaseDedupIndex(
       spark.read.parquet(s"$dir/lex-index.parquet"),
-      spark.read.parquet(s"$dir/sem-index.parquet"))
+      spark.read.parquet(s"$dir/sem-index.parquet"),
+      meta)
+  }
 
   /** Bucketed parquet table sink — the co-located-join scale path. Rows are
     * hash-distributed into `buckets` files on `bucketCol` and sorted within

@@ -39,19 +39,35 @@ import org.apache.spark.storage.StorageLevel
   * [[Dedup]]'s persisted shingle sets and [[Similarity.pqTopK]]'s code
   * index.
   */
+/** The build parameters a [[ReleaseDedupIndex]] was computed under — the
+  * artifact's self-describing metadata (ADVICE r13 medium): the MinHash
+  * signature is banding-sized by `minhashThreshold`, the shingle sets by
+  * `shingleK`, and the SRP signature by `srpSeed`, so an index restored
+  * at DIFFERENT parameters would silently under-dedup (out-of-range sig
+  * positions → null band keys, non-matching chunks) rather than error.
+  * Persisted next to the relations by [[graft.Io.writeReleaseIndex]] and
+  * REQUIRED to match the caller's parameters at every use site
+  * ([[Curation.deltaReleaseAssignments]], [[Curation.updateReleaseIndex]]). */
+final case class IndexMeta(minhashThreshold: Double, shingleK: Int,
+                           srpSeed: Long)
+
 /** The persisted dedup-index artifact of a shipped release — the pair of
   * relations the CROSS legs of [[Curation.deltaReleaseAssignments]] need
   * about the prior release, with every per-document/per-vector kernel
   * already paid: [[graft.ops.Dedup.buildLexIndex]]'s
   * (doc_id, shingles, sig) and [[graft.ops.Similarity.buildSemIndex]]'s
-  * (vec_id, embedding, norm, sig). Ships next to the release shards
+  * (vec_id, embedding, norm, sig), plus the [[IndexMeta]] they were built
+  * under. Ships next to the release shards
   * ([[graft.Io.writeReleaseIndex]]/[[graft.Io.readReleaseIndex]]); at
   * re-cut time it is filtered to the still-retained ids (an id-keyed
   * semi-join — no re-hashing) so a delta run's index-side cost is
   * bucket-derivation arithmetic plus the verify joins, never a
   * corpus-scale hash pass. The AnnIndex restore discipline applied to
-  * the release's dedup state. */
-final case class ReleaseDedupIndex(lexical: DataFrame, semantic: DataFrame)
+  * the release's dedup state. `meta` is None only for pre-metadata
+  * artifacts read back from disk; parameter consistency then falls to
+  * the signature-length guard in the banding arithmetic. */
+final case class ReleaseDedupIndex(lexical: DataFrame, semantic: DataFrame,
+                                   meta: Option[IndexMeta] = None)
 
 object Curation {
 
@@ -66,7 +82,74 @@ object Curation {
                         srpSeed: Long = 42L): ReleaseDedupIndex =
     ReleaseDedupIndex(
       Dedup.buildLexIndex(docs, minhashThreshold, shingleK),
-      Similarity.buildSemIndex(embeddings, srpSeed))
+      Similarity.buildSemIndex(embeddings, srpSeed),
+      Some(IndexMeta(minhashThreshold, shingleK, srpSeed)))
+
+  /** Produce the NEXT release's [[ReleaseDedupIndex]] from a delta re-cut
+    * (VERDICT r13 #1) — the [[graft.ops.Similarity.AnnIndex]].append
+    * discipline applied to the release's dedup state, closing the index
+    * lifecycle: without it, q148's restored-index economics amortize over
+    * exactly one generation because the re-cut consumes an index but
+    * never produces the next one.
+    *
+    * Given the prior release's index, the NEW release's doc-level
+    * assignment frame ([[deltaReleaseAssignments]]'s output = retained ∪
+    * fresh) and the two corpus snapshots the re-cut moved between, the
+    * new index is
+    *
+    *   - the prior relations filtered to the shipped ids whose content is
+    *     UNCHANGED between the snapshots ([[graft.ops.Profile.corpusDelta]]
+    *     fingerprints — a changed doc re-admitted in the same generation
+    *     must NOT reuse its stale shingles/sigs; id-keyed LEFT SEMI joins,
+    *     duplicate-proof, no per-character/per-vector work), unioned with
+    *   - [[graft.ops.Dedup.buildLexIndex]] /
+    *     [[graft.ops.Similarity.buildSemIndex]] over every other shipped
+    *     doc (added, changed, or missing from the prior relations) — the
+    *     kernels run delta-sized.
+    *
+    * The only corpus-sized work is the fingerprint scan — the same
+    * irreducible term the re-cut itself pays. Bit-identical to
+    * `buildReleaseIndex` over the new release's full corpus slice (OpsSpec
+    * pins set equality, and the q151 gate pins a second-generation re-cut
+    * against the appended, parquet-round-tripped index to the exact
+    * oracle), at delta cost instead of corpus cost. Parameters must match
+    * the prior index's [[IndexMeta]] — a mismatch would union
+    * incompatible signatures and silently under-dedup. */
+  def updateReleaseIndex(prior: ReleaseDedupIndex, newAssign: DataFrame,
+                         prevDocs: DataFrame, curDocs: DataFrame,
+                         curEmbeddings: DataFrame,
+                         minhashThreshold: Double = 0.5,
+                         shingleK: Int = 3,
+                         srpSeed: Long = 42L): ReleaseDedupIndex = {
+    val meta = IndexMeta(minhashThreshold, shingleK, srpSeed)
+    prior.meta.foreach(m => require(m == meta,
+      s"updateReleaseIndex parameter mismatch: prior index was built " +
+        s"under $m, update requested under $meta — appending would mix " +
+        "incompatible signatures (silent under-dedup)"))
+    val ids = newAssign.select("doc_id")
+    val reuseIds = ids.join(
+      Profile.corpusDelta(prevDocs, curDocs, "doc_id", Seq("text"))
+        .filter(col("status") === "unchanged").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val keptLex = prior.lexical.join(reuseIds, Seq("doc_id"), "left_semi")
+    val keptSem = prior.semantic.join(
+      reuseIds.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    // recompute = shipped minus reused, per relation: covers added and
+    // changed docs, and shipped docs the prior relation never carried
+    // (shingle-less then, or embedded only now)
+    val freshDocs = curDocs
+      .join(ids, Seq("doc_id"), "left_semi")
+      .join(keptLex.select("doc_id"), Seq("doc_id"), "left_anti")
+    val freshEmb = curEmbeddings
+      .join(ids.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      .join(keptSem.select("vec_id"), Seq("vec_id"), "left_anti")
+    ReleaseDedupIndex(
+      keptLex
+        .unionByName(Dedup.buildLexIndex(freshDocs, minhashThreshold, shingleK)),
+      keptSem
+        .unionByName(Similarity.buildSemIndex(freshEmb, srpSeed)),
+      Some(meta))
+  }
 
   /** Stages 1–2 shared by [[curateV2]] and [[releasePipeline]]: the
     * persisted lexical-curation survivor frame (full doc columns) and the
@@ -297,6 +380,35 @@ object Curation {
                               generation: String = "d1",
                               index: Option[ReleaseDedupIndex] = None): DataFrame = {
     require(outShards >= 1, s"outShards must be >= 1, got $outShards")
+    // A restored index must have been built under the parameters THIS
+    // re-cut dedups at (ADVICE r13 medium): the cross legs below consume
+    // the artifact's signatures at this threshold / shingle k / SRP seed,
+    // and a mismatch under-dedups silently. Meta-less (pre-metadata)
+    // artifacts fall through to the signature-length guard in the banding
+    // arithmetic, which catches the threshold class but not a seed drift.
+    index.flatMap(_.meta).foreach { m =>
+      val expected = IndexMeta(minhashThreshold, shingleK = 3, srpSeed = 42L)
+      require(m == expected,
+        s"deltaReleaseAssignments: restored index was built under $m but " +
+          s"this re-cut dedups under $expected — rebuild the index or " +
+          "match the parameters")
+    }
+    // ONE narrow scan of the prior assignment frame, up front, yields both
+    // prior-release scalars: the max shuffle position the new packs append
+    // after, and the generation-collision guard (VERDICT r13 #3) — a
+    // `generation` already present in prior pack keys would collide new
+    // pack_keys with shipped ones, so fail before any delta work runs.
+    // 1-row bounded collect (learned-literal discipline); -1 on an empty
+    // prior release so positions start at 0.
+    val prevHead = prevAssign.agg(
+      coalesce(max("shuffle_pos"), lit(-1L)),
+      count(when(col("pack_key").startsWith(generation + "/"), 1))).head()
+    val prevMax = prevHead.getLong(0)
+    require(prevHead.getLong(1) == 0L,
+      s"deltaReleaseAssignments: generation '$generation' already tags " +
+        s"${prevHead.getLong(1)} prior pack keys — each re-cut needs a " +
+        "fresh generation label or new pack_keys would collide with " +
+        "shipped packs")
     // Stage boundaries are EAGERLY MATERIALIZED into RDD-backed flat-plan
     // copies ([[org.apache.spark.sql.graftbridge.Bridge.materialized]],
     // the dedupClusters discipline) rather than plain persist()ed: the
@@ -371,10 +483,6 @@ object Curation {
     val packKey = concat_ws("/", lit(generation), col("lang"), col("shard"),
       col("pack_id"))
     val packRel = mat(packs.withColumn("pack_key", packKey))
-    // prior max position: 1-row bounded collect (learned-literal
-    // discipline); -1 on an empty prior release so positions start at 0
-    val prevMax = prevAssign.agg(coalesce(max("shuffle_pos"), lit(-1L)))
-      .head().getLong(0)
     val assigned = Sampling
       .shuffleOrder(packRel.select("pack_key").distinct(), "pack_key",
         shuffleSeed)

@@ -459,12 +459,27 @@ object Dedup {
   }
 
   /** (doc_id, band, key) LSH buckets from a frame already carrying the
-    * `sig` column — pure bit/hash arithmetic, no per-shingle work. */
+    * `sig` column — pure bit/hash arithmetic, no per-shingle work. The
+    * band-0 key carries a per-row signature-LENGTH guard (ADVICE r13
+    * medium): a restored [[buildLexIndex]] artifact used at a different
+    * threshold arrives with a signature sized for the WRONG banding, and
+    * without the check would either error opaquely (ANSI out-of-range) or
+    * silently under-dedup — this raises with the actionable message. O(1)
+    * per row (one array-size compare). */
   private def bucketsFromSig(sigs: DataFrame, threshold: Double,
                              carry: Seq[String] = Nil): DataFrame = {
     val (bands, rows) = bandingFor(threshold)
-    val bandKey = (b: Int) =>
-      xxhash64((0 until rows).map(r => col("sig")(b * rows + r)): _*)
+    val bandKey = (b: Int) => {
+      val key = xxhash64((0 until rows).map(r => col("sig")(b * rows + r)): _*)
+      if (b > 0) key
+      else when(size(col("sig")) === lit(bands * rows), key)
+        .otherwise(raise_error(concat(
+          lit("MinHash signature length "), size(col("sig")).cast("string"),
+          lit(s" != ${bands * rows} (banding ${bands}x$rows for threshold " +
+            s"$threshold) — was this index built at a different " +
+            "threshold/budget? (doc_id "), col("doc_id").cast("string"),
+          lit(")"))))
+    }
     sigs.select(col("doc_id") +: carry.map(col) :+
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"): _*)

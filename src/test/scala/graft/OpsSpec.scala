@@ -2643,6 +2643,22 @@ class OpsSpec extends SparkSpec {
     assert(drift.find(_._1 == 9L).get._3 == 99.0)
   }
 
+  test("distributionDrift is self-contained: no cached blocks accrete per call (VERDICT r13 #6)") {
+    val ref = (0 until 100).map(i => i.toDouble).toDF("value")
+    val cur = (0 until 100).map(i => i.toDouble + 5.0).toDF("value")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // the monitor's deployment shape is a LOOP in a long-lived session —
+    // three iterations must not grow the persisted-block set
+    val outs = (1 to 3).map { _ =>
+      Profile.distributionDrift(ref, cur, "value", 10)
+        .as[(Long, Double, Double, Long, Long, Double)].collect().toSeq
+    }
+    assert(outs.distinct.size == 1)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"drift monitor left ${leaked.size} cached blocks behind")
+  }
+
   test("distributionDriftStream scores windows against frozen reference bins, equal to batch") {
     implicit val sq = spark.sqlContext
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
@@ -3025,6 +3041,137 @@ class OpsSpec extends SparkSpec {
       .as[(Long, String, Long, Long, Long, String, String, Long, Long)]
       .collect().sortBy(_._1).toSeq
     assert(noChange == priorRows)
+    spark.catalog.clearCache()
+  }
+
+  test("multi-generation delta chain: disjoint keys, monotone positions, verbatim transitivity, appended index (VERDICT r13 #1+#3)") {
+    import org.apache.spark.sql.DataFrame
+    val rng = new scala.util.Random(11)
+    val assignCols = Seq("doc_id", "lang", "shard", "tokens", "pack_id",
+      "pack_key", "source", "shuffle_pos", "out_shard")
+    def freshText(tag: String) = (0 until 30).map(j => s"$tag$j").mkString(" ")
+    def randVec() = Array.tabulate(8)(_ => rng.nextFloat() * 2 - 1)
+    val docRows = (0L until 60L).map { i =>
+      val text = (0 until 30).map(j => s"g${i}x$j").mkString(" ")
+      (i, if (i % 2 == 0) "en" else "zh",
+        if (i % 20 == 19) "src0" else s"src${i % 3}", text.length.toLong, text)
+    }
+    val embRows = (0L until 60L).map(i => (i, randVec()))
+    val docs0 = docRows.toDF("doc_id", "lang", "source", "n_chars", "text")
+    val emb0 = embRows.toDF("vec_id", "embedding")
+    val base = graft.ops.Curation.releaseAssignments(docs0, emb0,
+      tokenBudget = 1200, packBudget = 64, packShards = 2, outShards = 3,
+      alpha = 0.5)
+      .select(assignCols.map(col): _*).as[(Long, String, Long, Long, Long, String, String, Long, Long)].collect().sortBy(_._1).toSeq
+    spark.catalog.clearCache()
+    val baseDf = base.toDF(assignCols: _*)
+    val shipped = base.map(_._1)
+    assert(shipped.size >= 4, s"fixture too thin: ${shipped.size}")
+    val (rm1, ch1, rm2, ch2) = (shipped(0), shipped(1), shipped(2), shipped(3))
+    // generation 1 delta: remove rm1, change ch1, add 300/301
+    val docRows1 = docRows.filterNot(_._1 == rm1)
+      .map(r => if (r._1 == ch1) r.copy(_5 = r._5 + " edited") else r) ++
+      Seq((300L, "en", "src1", 0L, freshText("gen1a")),
+        (301L, "zh", "src2", 0L, freshText("gen1b")))
+    val embRows1 = embRows.filterNot(_._1 == rm1) ++
+      Seq((300L, randVec()), (301L, randVec()))
+    val docs1 = docRows1.toDF("doc_id", "lang", "source", "n_chars", "text")
+    val emb1 = embRows1.toDF("vec_id", "embedding")
+    def runDelta(prior: DataFrame, prevD: DataFrame, curD: DataFrame,
+                 curE: DataFrame, gen: String,
+                 ix: Option[graft.ops.ReleaseDedupIndex] = None): Seq[(Long, String, Long, Long, Long, String, String, Long, Long)] = {
+      val out = graft.ops.Curation.deltaReleaseAssignments(prior, prevD, curD,
+          curE, deltaTokenBudget = 10000, packBudget = 64, packShards = 2,
+          outShards = 3, generation = gen, index = ix)
+        .select(assignCols.map(col): _*).as[(Long, String, Long, Long, Long, String, String, Long, Long)].collect().sortBy(_._1).toSeq
+      spark.catalog.clearCache()
+      out
+    }
+    val d1 = runDelta(baseDf, docs0, docs1, emb1, "d1")
+    val d1Df = d1.toDF(assignCols: _*)
+    // generation 2 delta on top of d1: remove rm2, change ch2, add 400/401
+    val docRows2 = docRows1.filterNot(_._1 == rm2)
+      .map(r => if (r._1 == ch2) r.copy(_5 = r._5 + " edited2") else r) ++
+      Seq((400L, "en", "src1", 0L, freshText("gen2a")),
+        (401L, "zh", "src2", 0L, freshText("gen2b")))
+    val embRows2 = embRows1.filterNot(_._1 == rm2) ++
+      Seq((400L, randVec()), (401L, randVec()))
+    val docs2 = docRows2.toDF("doc_id", "lang", "source", "n_chars", "text")
+    val emb2 = embRows2.toDF("vec_id", "embedding")
+    val d2 = runDelta(d1Df, docs1, docs2, emb2, "d2")
+    // pack-key generations are disjoint namespaces: base keys carry no
+    // generation prefix, each fresh cohort carries exactly its own
+    val baseKeys = base.map(_._6).toSet
+    val d1Fresh = d1.filterNot(base.contains)
+    val d2Fresh = d2.filterNot(d1.contains)
+    assert(d1Fresh.nonEmpty && d2Fresh.nonEmpty, "deltas admitted nothing")
+    assert(baseKeys.forall(k => !k.startsWith("d1/") && !k.startsWith("d2/")))
+    assert(d1Fresh.forall(_._6.startsWith("d1/")))
+    assert(d2Fresh.forall(_._6.startsWith("d2/")))
+    assert((d1Fresh.map(_._6).toSet & baseKeys).isEmpty)
+    assert((d2Fresh.map(_._6).toSet & (baseKeys ++ d1Fresh.map(_._6))).isEmpty)
+    // global shuffle positions stay monotone per generation: every d1
+    // fresh position sits after the base max, every d2 fresh position
+    // after the d1 max
+    assert(d1Fresh.map(_._8).min > base.map(_._8).max)
+    assert(d2Fresh.map(_._8).min > d1.map(_._8).max)
+    // retained-rows-verbatim is TRANSITIVE: a doc untouched by both deltas
+    // carries its exact base row through d2
+    val touched = Set(rm1, ch1, rm2, ch2)
+    val stable = base.filterNot(r => touched.contains(r._1))
+    assert(stable.nonEmpty)
+    val d2ById = d2.groupBy(_._1)
+    stable.foreach(r => assert(d2ById(r._1).contains(r),
+      s"doc ${r._1} drifted across generations"))
+    // generation collision fails fast with a clear message
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Curation.deltaReleaseAssignments(d1Df, docs1, docs2, emb2,
+        deltaTokenBudget = 10000, packBudget = 64, packShards = 2,
+        outShards = 3, generation = "d1")
+    }
+    assert(e.getMessage.contains("generation 'd1' already tags"), e.getMessage)
+    // the d2 artifact set reconciles through the validating loader
+    val relDir = java.nio.file.Files.createTempDirectory("graft-gen2").toString
+    Io.writeReleaseShards(d2.toDF(assignCols: _*), s"$relDir/release")
+    spark.catalog.clearCache()
+    val loaded = Io.readReleaseShards(spark, s"$relDir/release")
+      .select(assignCols.map(col): _*).as[(Long, String, Long, Long, Long, String, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(loaded == d2)
+    // --- index lifecycle across generations (VERDICT r13 #1) ---
+    // the appended index (prior artifact filtered to survivors + fresh
+    // docs' delta-sized kernels) equals the from-scratch index over the
+    // d1 release slice, relation for relation…
+    val ix0 = graft.ops.Curation.buildReleaseIndex(
+      docs0.join(baseDf.select("doc_id"), "doc_id"),
+      emb0.join(baseDf.select(col("doc_id").as("vec_id")), "vec_id"))
+    val ix1 = graft.ops.Curation.updateReleaseIndex(ix0, d1Df, docs0, docs1,
+      emb1)
+    val ix1Scratch = graft.ops.Curation.buildReleaseIndex(
+      docs1.join(d1Df.select("doc_id"), "doc_id"),
+      emb1.join(d1Df.select(col("doc_id").as("vec_id")), "vec_id"))
+    def lexSet(ix: graft.ops.ReleaseDedupIndex) =
+      ix.lexical.as[(Long, Seq[Long], Seq[Long])].collect().toSet
+    def semSet(ix: graft.ops.ReleaseDedupIndex) =
+      ix.semantic.as[(Long, Seq[Double], Double, Long)].collect().toSet
+    assert(lexSet(ix1) == lexSet(ix1Scratch))
+    assert(semSet(ix1) == semSet(ix1Scratch))
+    assert(ix1.meta == ix1Scratch.meta && ix1.meta.nonEmpty)
+    spark.catalog.clearCache()
+    // …and a second-generation re-cut against the APPENDED artifact
+    // (parquet round-tripped, like deployment) is bit-identical to the
+    // live-frames d2
+    val ixDir = java.nio.file.Files.createTempDirectory("graft-gen2ix").toString
+    Io.writeReleaseIndex(ix1, ixDir)
+    spark.catalog.clearCache()
+    val d2ViaAppended = runDelta(d1Df, docs1, docs2, emb2, "d2",
+      ix = Some(Io.readReleaseIndex(spark, ixDir)))
+    assert(d2ViaAppended == d2)
+    // a mismatched update refuses to append
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Curation.updateReleaseIndex(ix0, d1Df, docs0, docs1, emb1,
+        minhashThreshold = 0.7)
+    }
+    assert(e2.getMessage.contains("parameter mismatch"), e2.getMessage)
     spark.catalog.clearCache()
   }
 }
