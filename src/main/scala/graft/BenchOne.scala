@@ -1,5 +1,107 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared fixture for the incremental-release / incremental-stats probes:
+  * the %50-removed prev snapshot, the %97-changed cur snapshot, and the
+  * PERSISTED prior-run artifacts a real re-cut restores (prior release
+  * assignment, prior ReleaseDedupIndex, gen-1 delta assignment, appended
+  * gen-2 index, prior stats relation). Artifacts build on first use —
+  * every probe is self-sufficient, no run-order coupling (ADVICE r13) —
+  * and cache in /tmp keyed by a CONTENT fingerprint of the input tables
+  * (names + mtimes + sizes): `dir.hashCode` silently reused a stale
+  * artifact when fixture data was regenerated at the same path, and a
+  * hashCode collision across dirs could serve the wrong artifact. */
+private final case class DeltaProbeFixture(s: SparkSession, dir: String) {
+  import org.apache.spark.sql.functions._
+  val d0: DataFrame = Cohorts.documents(s, dir)
+  val e0: DataFrame = Cohorts.embeddings(s, dir)
+  val prevDocs: DataFrame = d0.filter(col("doc_id") % 50 =!= 0)
+  val curDocs: DataFrame = d0.withColumn("text",
+    when(col("doc_id") % 97 === 0, concat(col("text"), lit(" v2")))
+      .otherwise(col("text")))
+  private val key = DeltaProbeFixture.contentKey(dir)
+  private def cached(tag: String)(build: String => Unit): String = {
+    val path = s"/tmp/graft_${tag}_$key"
+    if (!new java.io.File(path).exists()) build(path)
+    path
+  }
+  /** The gen-0 release artifact: every non-benchmark prev doc packed by a
+    * simple modular rule with a deterministic hash-ordered pack shuffle. */
+  def prevAssign(): DataFrame = s.read.parquet(cached("prev_assign") { path =>
+    val pbase = prevDocs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("lang"),
+        pmod(col("doc_id"), lit(4L)).as("shard"),
+        size(graft.ops.TextAnalysis.tokens(col("text"))).cast("long")
+          .as("tokens"),
+        pmod(col("doc_id"), lit(3L)).as("pack_id"), col("source"))
+      .filter(col("tokens") > 0)
+      .withColumn("pack_key", concat_ws("/", lit("p"), col("lang"),
+        col("shard"), col("pack_id")))
+    val ppos = graft.ops.Sampling.shuffleOrder(
+        pbase.select("pack_key").distinct(), "pack_key", "prevrel")
+      .withColumn("out_shard", pmod(col("shuffle_pos"), lit(4L)))
+    pbase.join(ppos, "pack_key")
+      .select("doc_id", "lang", "shard", "tokens", "pack_id", "pack_key",
+        "source", "shuffle_pos", "out_shard")
+      .write.mode("overwrite").parquet(path)
+  })
+  /** The gen-0 release's persisted ReleaseDedupIndex. */
+  def prevIndex(): graft.ops.ReleaseDedupIndex = {
+    val p = cached("prev_index") { path =>
+      val priorIds = prevAssign().select("doc_id")
+      Io.writeReleaseIndex(graft.ops.Curation.buildReleaseIndex(
+        prevDocs.join(priorIds, "doc_id"),
+        e0.join(priorIds.select(col("doc_id").as("vec_id")), "vec_id")),
+        path)
+    }
+    Io.readReleaseIndex(s, p)
+  }
+  /** The gen-1 re-cut's assignment artifact (what x_delta_release
+    * computes, persisted — gen-2 restores it like a real weekly loop). */
+  def gen1Assign(): DataFrame = s.read.parquet(cached("d1_assign") { path =>
+    graft.ops.Curation.deltaReleaseAssignments(prevAssign(), prevDocs,
+        curDocs, e0, deltaTokenBudget = 1000000000L, packBudget = 256,
+        packShards = 8, outShards = 16, index = Some(prevIndex()))
+      .write.mode("overwrite").parquet(path)
+  })
+  /** The APPENDED index for the gen-1 release (updateReleaseIndex). */
+  def gen2Index(): graft.ops.ReleaseDedupIndex = {
+    val p = cached("gen2_index") { path =>
+      Io.writeReleaseIndex(graft.ops.Curation.updateReleaseIndex(
+        prevIndex(), gen1Assign(), prevDocs, curDocs, e0), path)
+    }
+    Io.readReleaseIndex(s, p)
+  }
+  /** The prev snapshot's per-source stats artifact. */
+  def priorStats(): DataFrame = s.read.parquet(cached("prior_stats") { path =>
+    graft.ops.Profile.sourceStats(prevDocs)
+      .write.mode("overwrite").parquet(path)
+  })
+  /** The persisted corpusDelta status frame (what the weekly loop's
+    * release re-cut computed anyway — the shared-delta stats path). */
+  def deltaFrame(): String = cached("delta_frame") { path =>
+    graft.ops.Profile.corpusDelta(prevDocs, curDocs, "doc_id",
+        Seq("text", "source"))
+      .write.mode("overwrite").parquet(path)
+  }
+}
+
+private object DeltaProbeFixture {
+  def contentKey(dir: String): String = {
+    def sig(f: java.io.File): String =
+      if (f.isDirectory)
+        f.getName + "[" +
+          f.listFiles().sortBy(_.getName).map(sig).mkString(",") + "]"
+      else s"${f.getName}:${f.lastModified}:${f.length}"
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest((dir + "|" +
+        sig(new java.io.File(s"$dir/documents.parquet")) + "|" +
+        sig(new java.io.File(s"$dir/embeddings.parquet")))
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+}
+
 /** Dev tool: time a single query (steady-state, 2 runs) at a given SF. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
@@ -160,37 +262,9 @@ object BenchOne {
       // so x_delta_release must stay far under x_release_rebuild and grow
       // scan-like, not kernel-like, with corpus size.
       "x_delta_release" -> ((s, dir) => {
-        import org.apache.spark.sql.functions._
-        val d0 = Cohorts.documents(s, dir)
-        val e0 = Cohorts.embeddings(s, dir)
-        val prevDocs = d0.filter(col("doc_id") % 50 =!= 0)
-        val curDocs = d0.withColumn("text",
-          when(col("doc_id") % 97 === 0, concat(col("text"), lit(" v2")))
-            .otherwise(col("text")))
-        // the prior release is a PERSISTED artifact in deployment (the
-        // writeReleaseShards output a previous run shipped) — build it
-        // once per dir, read it back as parquet like a real re-cut would
-        val paPath = s"/tmp/graft_prev_assign_${Integer.toHexString(dir.hashCode)}"
-        if (!new java.io.File(paPath).exists()) {
-          val pbase = prevDocs.filter(col("source") =!= "src0")
-            .select(col("doc_id"), col("lang"),
-              pmod(col("doc_id"), lit(4L)).as("shard"),
-              org.apache.spark.sql.functions.size(
-                graft.ops.TextAnalysis.tokens(col("text"))).cast("long").as("tokens"),
-              pmod(col("doc_id"), lit(3L)).as("pack_id"), col("source"))
-            .filter(col("tokens") > 0)
-            .withColumn("pack_key", concat_ws("/", lit("p"), col("lang"),
-              col("shard"), col("pack_id")))
-          val ppos = graft.ops.Sampling.shuffleOrder(
-              pbase.select("pack_key").distinct(), "pack_key", "prevrel")
-            .withColumn("out_shard", pmod(col("shuffle_pos"), lit(4L)))
-          pbase.join(ppos, "pack_key")
-            .select("doc_id", "lang", "shard", "tokens", "pack_id", "pack_key",
-              "source", "shuffle_pos", "out_shard")
-            .write.mode("overwrite").parquet(paPath)
-        }
-        graft.ops.Curation.deltaReleaseAssignments(s.read.parquet(paPath),
-          prevDocs, curDocs, e0, deltaTokenBudget = 1000000000L,
+        val f = DeltaProbeFixture(s, dir)
+        graft.ops.Curation.deltaReleaseAssignments(f.prevAssign(),
+          f.prevDocs, f.curDocs, f.e0, deltaTokenBudget = 1000000000L,
           packBudget = 256, packShards = 8, outShards = 16)
       }),
       // the deployment shape: same delta re-cut, but the retained side's
@@ -198,29 +272,45 @@ object BenchOne {
       // the remaining corpus-linear term of x_delta_release (re-hashing
       // the retained side) disappears
       "x_delta_indexed" -> ((s, dir) => {
+        val f = DeltaProbeFixture(s, dir)
+        graft.ops.Curation.deltaReleaseAssignments(f.prevAssign(), f.prevDocs,
+          f.curDocs, f.e0, deltaTokenBudget = 1000000000L, packBudget = 256,
+          packShards = 8, outShards = 16, index = Some(f.prevIndex()))
+      }),
+      // SECOND-generation economics (VERDICT r13 #1): the d2 re-cut against
+      // the APPENDED index artifact (prior index + gen-1 fresh docs via
+      // updateReleaseIndex, round-tripped through parquet). The 11.7×-vs-
+      // rebuild advantage must persist across generations — the steady
+      // state of a weekly re-cut loop is exactly this probe.
+      "x_delta_indexed_gen2" -> ((s, dir) => {
         import org.apache.spark.sql.functions._
-        val d0 = Cohorts.documents(s, dir)
-        val e0 = Cohorts.embeddings(s, dir)
-        val prevDocs = d0.filter(col("doc_id") % 50 =!= 0)
-        val curDocs = d0.withColumn("text",
-          when(col("doc_id") % 97 === 0, concat(col("text"), lit(" v2")))
+        val f = DeltaProbeFixture(s, dir)
+        val d1 = f.gen1Assign()
+        val cur2Docs = f.curDocs.withColumn("text",
+          when(col("doc_id") % 83 === 0, concat(col("text"), lit(" v3")))
             .otherwise(col("text")))
-        val paPath = s"/tmp/graft_prev_assign_${Integer.toHexString(dir.hashCode)}"
-        require(new java.io.File(paPath).exists(),
-          s"run x_delta_release first to build $paPath")
-        val prevAssign = s.read.parquet(paPath)
-        val ixPath = s"/tmp/graft_prev_index_${Integer.toHexString(dir.hashCode)}"
-        if (!new java.io.File(ixPath).exists()) {
-          val priorIds = prevAssign.select("doc_id")
-          graft.Io.writeReleaseIndex(graft.ops.Curation.buildReleaseIndex(
-            prevDocs.join(priorIds, "doc_id"),
-            e0.join(priorIds.select(col("doc_id").as("vec_id")), "vec_id")),
-            ixPath)
-        }
-        graft.ops.Curation.deltaReleaseAssignments(prevAssign, prevDocs,
-          curDocs, e0, deltaTokenBudget = 1000000000L, packBudget = 256,
-          packShards = 8, outShards = 16,
-          index = Some(graft.Io.readReleaseIndex(s, ixPath)))
+        graft.ops.Curation.deltaReleaseAssignments(d1, f.curDocs, cur2Docs,
+          f.e0, deltaTokenBudget = 1000000000L, packBudget = 256,
+          packShards = 8, outShards = 16, generation = "d2",
+          index = Some(f.gen2Index()))
+      }),
+      // Delta-aware corpus monitor economics (VERDICT r13 #8): per-source
+      // stats updated from the churn vs the full rescan — the delta run's
+      // token/char kernels touch only added/changed/removed rows.
+      "x_stats_rescan" -> ((s, dir) =>
+        graft.ops.Profile.sourceStats(DeltaProbeFixture(s, dir).curDocs)),
+      "x_stats_delta" -> ((s, dir) => {
+        val f = DeltaProbeFixture(s, dir)
+        graft.ops.Profile.sourceStatsDelta(f.priorStats(), f.prevDocs,
+          f.curDocs)
+      }),
+      // the deployment shape: the weekly loop ALREADY computed the status
+      // frame for the release re-cut — the stats update rides it, paying
+      // only the delta-sized kernel slices
+      "x_stats_delta_shared" -> ((s, dir) => {
+        val f = DeltaProbeFixture(s, dir)
+        graft.ops.Profile.sourceStatsDelta(f.priorStats(), f.prevDocs,
+          f.curDocs, sharedDelta = Some(s.read.parquet(f.deltaFrame())))
       }),
       "x_release_rebuild" -> ((s, dir) => {
         import org.apache.spark.sql.functions._

@@ -246,19 +246,25 @@ object SparkEntry {
     * (the LSH engine paths are recall-guaranteed / fixture-silent, the
     * q25/q111/q123/q127/q129 disciplines). Heavily MATERIALIZED — the
     * layered-CTE re-inlining lesson (q126/q142). */
-  private def deltaReleaseOracleSql: String = {
-    val hu = (e: String, s: String) => Sampling.hashUnitSql(e, s)
-    val jac = (a: String, b: String) =>
-      s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / " +
-        s"(len($a) + len($b) - len(list_intersect($a, $b)))"
-    def cloneCte(name: String, m: Int, off: Long): String =
-      s"""$name AS (SELECT doc_id, lang, 'clone' AS source, n_chars,
-         |       array_to_string(list_transform(range(1, 101),
-         |         i -> 'dx' || doc_id || 't' || i), ' ') AS text
-         |     FROM (SELECT doc_id + $off AS doc_id, lang, n_chars
-         |           FROM documents WHERE doc_id % 20 = $m))""".stripMargin
-    s"""WITH RECURSIVE
-       |${cloneCte("dcx", 1, 1000000L)},
+  private val deltaHu = (e: String, sd: String) => Sampling.hashUnitSql(e, sd)
+  private val deltaJac = (a: String, b: String) =>
+    s"CAST(len(list_intersect($a, $b)) AS DOUBLE) / " +
+      s"(len($a) + len($b) - len(list_intersect($a, $b)))"
+
+  /** One planted-clone corpus CTE: 100 id-unique tokens per clone of the
+    * base docs with doc_id % 20 = m, shifted by `off`. */
+  private def cloneCte(name: String, m: Int, off: Long): String =
+    s"""$name AS (SELECT doc_id, lang, 'clone' AS source, n_chars,
+       |       array_to_string(list_transform(range(1, 101),
+       |         i -> 'dx' || doc_id || 't' || i), ' ') AS text
+       |     FROM (SELECT doc_id + $off AS doc_id, lang, n_chars
+       |           FROM documents WHERE doc_id % 20 = $m))""".stripMargin
+
+  /** The q147/q148/q153 fixture CTEs: gen-1 churn snapshots (prev via
+    * modular edits of `documents`, cur = documents%13≠0 ∪ planted clones),
+    * the modular prior-release assignment, and both embedding relations. */
+  private def deltaFixtureCtes: String =
+    s"""${cloneCte("dcx", 1, 1000000L)},
        |${cloneCte("dwa", 3, 2000000L)},
        |${cloneCte("dwb", 3, 3000000L)},
        |dcur AS MATERIALIZED (
@@ -280,7 +286,7 @@ object SparkEntry {
        |           AS pack_key
        |  FROM toksp WHERE source <> 'src0' AND len(t) > 0),
        |ppos AS (SELECT pack_key, CAST(row_number() OVER (
-       |    ORDER BY ${hu("pack_key", "prevrel")}, pack_key) AS BIGINT) - 1
+       |    ORDER BY ${deltaHu("pack_key", "prevrel")}, pack_key) AS BIGINT) - 1
        |    AS shuffle_pos
        |  FROM (SELECT DISTINCT pack_key FROM prk)),
        |prior AS MATERIALIZED (
@@ -288,145 +294,217 @@ object SparkEntry {
        |         prk.pack_key, prk.source, ppos.shuffle_pos,
        |         ppos.shuffle_pos % 4 AS out_shard
        |  FROM prk JOIN ppos USING (pack_key)),
-       |retained AS MATERIALIZED (
-       |  SELECT * FROM prior WHERE doc_id % 13 <> 0 AND doc_id % 7 <> 0),
-       |cand0 AS (SELECT * FROM dcur
-       |  WHERE source <> 'src0'
-       |    AND (doc_id >= 1000000 OR doc_id % 10 = 0 OR doc_id % 7 = 0)),
-       |toks AS MATERIALIZED (
-       |  SELECT doc_id, lang, source, n_chars, text,
-       |         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
-       |  FROM cand0),
-       |${TextSql.qualitySignalsCte().replace("m AS (", "m AS MATERIALIZED (")},
-       |cand1 AS MATERIALIZED (
-       |  SELECT t2.doc_id, t2.lang, t2.source, t2.t
-       |  FROM toks t2 JOIN m USING (doc_id)
-       |  WHERE least(1.0, n / 100) * 0.4 + (stop / n) * 0.3 + ttr * 0.3 >= 0.4),
-       |toksb AS (SELECT doc_id,
-       |       list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
-       |     FROM dcur WHERE source = 'src0'),
-       |bm AS (SELECT DISTINCT unnest(${TextSql.shingleHashes("t", 8)}) AS h
-       |       FROM toksb),
-       |contam AS (SELECT DISTINCT doc_id FROM
-       |    (SELECT doc_id, unnest(${TextSql.shingleHashes("t", 8)}) AS h
-       |     FROM cand1) tc
-       |  JOIN bm USING (h)),
-       |cand2 AS MATERIALIZED (SELECT * FROM cand1
-       |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
-       |shc AS MATERIALIZED (SELECT doc_id,
-       |    ${TextSql.shingleHashes("t", 3)} AS s FROM cand2),
-       |toksr AS (SELECT d.doc_id,
-       |       list_filter(string_split_regex(d.text, '\\s+'), t -> t <> '') AS t
-       |     FROM documents d JOIN retained r ON d.doc_id = r.doc_id),
-       |shr AS MATERIALIZED (SELECT doc_id,
-       |    ${TextSql.shingleHashes("t", 3)} AS s FROM toksr),
-       |ckill AS (SELECT DISTINCT c.doc_id
-       |  FROM shc c JOIN shr r
-       |  ON len(c.s) > 0 AND len(r.s) > 0 AND ${jac("c.s", "r.s")} >= 0.5),
-       |cand3 AS MATERIALIZED (SELECT * FROM cand2
-       |  WHERE doc_id NOT IN (SELECT doc_id FROM ckill)),
-       |sh3 AS MATERIALIZED (SELECT shc.doc_id, shc.s
-       |  FROM shc JOIN cand3 USING (doc_id)),
-       |prs AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id
-       |  WHERE len(a.s) > 0 AND len(b.s) > 0 AND ${jac("a.s", "b.s")} >= 0.5),
-       |edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM prs
-       |          UNION ALL SELECT doc_b, doc_a FROM prs),
-       |reach AS (
-       |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges)
-       |  UNION
-       |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u),
-       |cl AS (SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
-       |       FROM reach GROUP BY u),
-       |cand4 AS MATERIALIZED (SELECT * FROM cand3
-       |  WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)),
        |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |ecur AS MATERIALIZED (SELECT vec_id, v FROM e0
        |  UNION ALL SELECT vec_id + 1000000, v FROM e0 WHERE vec_id % 20 = 1
        |  UNION ALL SELECT vec_id + 2000000, v FROM e0 WHERE vec_id % 20 = 3
-       |  UNION ALL SELECT vec_id + 3000000, v FROM e0 WHERE vec_id % 20 = 3),
-       |retemb AS MATERIALIZED (SELECT e.vec_id, e.v
-       |  FROM ecur e JOIN retained r ON e.vec_id = r.doc_id),
-       |cde AS (SELECT e.vec_id, e.v
-       |  FROM ecur e JOIN cand4 c ON e.vec_id = c.doc_id),
-       |skill AS (SELECT DISTINCT c.vec_id AS doc_id FROM cde c JOIN retemb r
-       |  ON list_cosine_similarity(c.v, r.v) >= 0.9),
-       |cand5 AS MATERIALIZED (SELECT * FROM cand4
-       |  WHERE doc_id NOT IN (SELECT doc_id FROM skill)),
-       |ce5 AS MATERIALIZED (SELECT e.vec_id, e.v
-       |  FROM ecur e JOIN cand5 c ON e.vec_id = c.doc_id),
-       |eprs AS MATERIALIZED (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-       |  FROM ce5 a JOIN ce5 b ON a.vec_id < b.vec_id
-       |  WHERE list_cosine_similarity(a.v, b.v) >= 0.9),
-       |eedges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM eprs
-       |           UNION ALL SELECT doc_b, doc_a FROM eprs),
-       |ereach AS (
-       |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM eedges)
+       |  UNION ALL SELECT vec_id + 3000000, v FROM e0 WHERE vec_id % 20 = 3)""".stripMargin
+
+  /** The delta-release ADMISSION CHAIN replayed in SQL, parameterized so a
+    * second generation can stack on the first (q153): given a prior
+    * assignment relation, a closed-form retained predicate, the current
+    * snapshot/embedding relations and a candidate predicate, emits the
+    * `S`-suffixed CTEs from `retainedS` through `freshS` in the
+    * operator's exact stage order (floor → decontam → cross-lexical →
+    * within-lexical closure → cross-semantic → within-semantic closure +
+    * best-quality keeper → budget → recursive packing → appended pack
+    * shuffle). Exact kernels throughout; multiply-referenced CTEs
+    * MATERIALIZED (the q126/q142 re-inlining lesson). */
+  private def deltaChainCtes(S: String, priorRel: String,
+      retainedPred: String, curRel: String, candPred: String,
+      embRel: String, generation: String, budget: Long,
+      packShards: Int, outShards: Int): String = {
+    val hu = deltaHu; val jac = deltaJac
+    s"""retained$S AS MATERIALIZED (
+       |  SELECT * FROM $priorRel WHERE $retainedPred),
+       |cand0$S AS (SELECT * FROM $curRel
+       |  WHERE source <> 'src0' AND $candPred),
+       |toks$S AS MATERIALIZED (
+       |  SELECT doc_id, lang, source, n_chars, text,
+       |         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+       |  FROM cand0$S),
+       |${TextSql.qualitySignalsCte()
+          .replace("m AS (", s"m$S AS MATERIALIZED (")
+          .replace("FROM toks)", s"FROM toks$S)")},
+       |cand1$S AS MATERIALIZED (
+       |  SELECT t2.doc_id, t2.lang, t2.source, t2.t
+       |  FROM toks$S t2 JOIN m$S USING (doc_id)
+       |  WHERE least(1.0, n / 100) * 0.4 + (stop / n) * 0.3 + ttr * 0.3 >= 0.4),
+       |toksb$S AS (SELECT doc_id,
+       |       list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+       |     FROM $curRel WHERE source = 'src0'),
+       |bm$S AS (SELECT DISTINCT unnest(${TextSql.shingleHashes("t", 8)}) AS h
+       |       FROM toksb$S),
+       |contam$S AS (SELECT DISTINCT doc_id FROM
+       |    (SELECT doc_id, unnest(${TextSql.shingleHashes("t", 8)}) AS h
+       |     FROM cand1$S) tc
+       |  JOIN bm$S USING (h)),
+       |cand2$S AS MATERIALIZED (SELECT * FROM cand1$S
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contam$S)),
+       |shc$S AS MATERIALIZED (SELECT doc_id,
+       |    ${TextSql.shingleHashes("t", 3)} AS s FROM cand2$S),
+       |toksr$S AS (SELECT d.doc_id,
+       |       list_filter(string_split_regex(d.text, '\\s+'), t -> t <> '') AS t
+       |     FROM $curRel d JOIN retained$S r ON d.doc_id = r.doc_id),
+       |shr$S AS MATERIALIZED (SELECT doc_id,
+       |    ${TextSql.shingleHashes("t", 3)} AS s FROM toksr$S),
+       |ckill$S AS (SELECT DISTINCT c.doc_id
+       |  FROM shc$S c JOIN shr$S r
+       |  ON len(c.s) > 0 AND len(r.s) > 0 AND ${jac("c.s", "r.s")} >= 0.5),
+       |cand3$S AS MATERIALIZED (SELECT * FROM cand2$S
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM ckill$S)),
+       |sh3$S AS MATERIALIZED (SELECT shc$S.doc_id, shc$S.s
+       |  FROM shc$S JOIN cand3$S USING (doc_id)),
+       |prs$S AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh3$S a JOIN sh3$S b ON a.doc_id < b.doc_id
+       |  WHERE len(a.s) > 0 AND len(b.s) > 0 AND ${jac("a.s", "b.s")} >= 0.5),
+       |edges$S AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM prs$S
+       |          UNION ALL SELECT doc_b, doc_a FROM prs$S),
+       |reach$S AS (
+       |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges$S)
        |  UNION
-       |  SELECT e2.u, ereach.r FROM eedges e2 JOIN ereach ON e2.v = ereach.u),
-       |ecl AS (SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
-       |        FROM ereach GROUP BY u),
-       |qv AS (SELECT doc_id, ${TextSql.qualityScoreFromM} AS quality FROM m),
-       |mem AS (SELECT c.doc_id, COALESCE(ecl.cluster_id, c.doc_id) AS cluster_id,
-       |               qv.quality
-       |        FROM cand5 c JOIN qv USING (doc_id)
-       |        LEFT JOIN ecl USING (doc_id)),
-       |keepers AS (SELECT doc_id, quality FROM (
+       |  SELECT e.u, reach$S.r FROM edges$S e JOIN reach$S ON e.v = reach$S.u),
+       |cl$S AS (SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+       |       FROM reach$S GROUP BY u),
+       |cand4$S AS MATERIALIZED (SELECT * FROM cand3$S
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM cl$S WHERE doc_id <> cluster_id)),
+       |retemb$S AS MATERIALIZED (SELECT e.vec_id, e.v
+       |  FROM $embRel e JOIN retained$S r ON e.vec_id = r.doc_id),
+       |cde$S AS (SELECT e.vec_id, e.v
+       |  FROM $embRel e JOIN cand4$S c ON e.vec_id = c.doc_id),
+       |skill$S AS (SELECT DISTINCT c.vec_id AS doc_id FROM cde$S c JOIN retemb$S r
+       |  ON list_cosine_similarity(c.v, r.v) >= 0.9),
+       |cand5$S AS MATERIALIZED (SELECT * FROM cand4$S
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM skill$S)),
+       |ce5$S AS MATERIALIZED (SELECT e.vec_id, e.v
+       |  FROM $embRel e JOIN cand5$S c ON e.vec_id = c.doc_id),
+       |eprs$S AS MATERIALIZED (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM ce5$S a JOIN ce5$S b ON a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(a.v, b.v) >= 0.9),
+       |eedges$S AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM eprs$S
+       |           UNION ALL SELECT doc_b, doc_a FROM eprs$S),
+       |ereach$S AS (
+       |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM eedges$S)
+       |  UNION
+       |  SELECT e2.u, ereach$S.r FROM eedges$S e2 JOIN ereach$S ON e2.v = ereach$S.u),
+       |ecl$S AS (SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+       |        FROM ereach$S GROUP BY u),
+       |qv$S AS (SELECT doc_id, ${TextSql.qualityScoreFromM} AS quality FROM m$S),
+       |mem$S AS (SELECT c.doc_id, COALESCE(ecl$S.cluster_id, c.doc_id) AS cluster_id,
+       |               qv$S.quality
+       |        FROM cand5$S c JOIN qv$S USING (doc_id)
+       |        LEFT JOIN ecl$S USING (doc_id)),
+       |keepers$S AS (SELECT doc_id, quality FROM (
        |  SELECT *, row_number() OVER (PARTITION BY cluster_id
-       |    ORDER BY quality DESC, doc_id ASC) AS rn FROM mem)
+       |    ORDER BY quality DESC, doc_id ASC) AS rn FROM mem$S)
        |  WHERE rn = 1),
-       |nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens
-       |       FROM toks WHERE len(t) > 0),
-       |cum AS (SELECT k.doc_id, k.quality, nt.n_tokens,
-       |               sum(nt.n_tokens) OVER (
+       |nt$S AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens
+       |       FROM toks$S WHERE len(t) > 0),
+       |cum$S AS (SELECT k.doc_id, k.quality, nt$S.n_tokens,
+       |               sum(nt$S.n_tokens) OVER (
        |                 ORDER BY k.quality DESC, k.doc_id ASC
        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |                 AS cum_tokens
-       |        FROM keepers k JOIN nt USING (doc_id)),
-       |sel AS (SELECT doc_id FROM cum WHERE cum_tokens <= 3000),
-       |pb0 AS (SELECT s2.doc_id, d.lang,
-       |               CAST(floor(${hu("s2.doc_id", graft.ops.Packing.ShardSeed)} * 2) AS BIGINT) AS shard,
-       |               nt.n_tokens AS tokens
-       |        FROM sel s2 JOIN toks d USING (doc_id) JOIN nt USING (doc_id)),
-       |pb AS (SELECT *, CAST(row_number() OVER (
+       |        FROM keepers$S k JOIN nt$S USING (doc_id)),
+       |sel$S AS (SELECT doc_id FROM cum$S WHERE cum_tokens <= $budget),
+       |pb0$S AS (SELECT s2.doc_id, d.lang,
+       |               CAST(floor(${hu("s2.doc_id", graft.ops.Packing.ShardSeed)} * $packShards) AS BIGINT) AS shard,
+       |               nt$S.n_tokens AS tokens
+       |        FROM sel$S s2 JOIN toks$S d USING (doc_id) JOIN nt$S USING (doc_id)),
+       |pb$S AS (SELECT *, CAST(row_number() OVER (
        |        PARTITION BY lang, shard ORDER BY doc_id) AS BIGINT) AS rn
-       |       FROM pb0),
-       |prec AS (
+       |       FROM pb0$S),
+       |prec$S AS (
        |  SELECT lang, shard, rn, doc_id, tokens, tokens AS acc,
        |         CAST(1 AS BIGINT) AS pack_id
-       |  FROM pb WHERE rn = 1
+       |  FROM pb$S WHERE rn = 1
        |  UNION ALL
        |  SELECT b.lang, b.shard, b.rn, b.doc_id, b.tokens,
        |         CASE WHEN r.acc + b.tokens > 256 THEN b.tokens
        |              ELSE r.acc + b.tokens END,
        |         CASE WHEN r.acc + b.tokens > 256 THEN r.pack_id + 1
        |              ELSE r.pack_id END
-       |  FROM pb b JOIN prec r
+       |  FROM pb$S b JOIN prec$S r
        |    ON b.lang = r.lang AND b.shard = r.shard AND b.rn = r.rn + 1),
-       |npk AS (SELECT DISTINCT 'd1/' || lang || '/' || CAST(shard AS VARCHAR)
-       |          || '/' || CAST(pack_id AS VARCHAR) AS pack_key FROM prec),
-       |prevmax AS (SELECT max(shuffle_pos) AS mx FROM prior),
-       |nasn AS (SELECT pack_key,
+       |npk$S AS (SELECT DISTINCT '$generation/' || lang || '/' ||
+       |            CAST(shard AS VARCHAR) ||
+       |            '/' || CAST(pack_id AS VARCHAR) AS pack_key FROM prec$S),
+       |prevmax$S AS (SELECT max(shuffle_pos) AS mx FROM $priorRel),
+       |nasn$S AS (SELECT pack_key,
        |           CAST(row_number() OVER (
        |             ORDER BY ${hu("pack_key", "relshuf")}, pack_key)
-       |             AS BIGINT) - 1 + (SELECT mx FROM prevmax) + 1 AS shuffle_pos
-       |         FROM npk),
-       |fresh AS (SELECT p2.doc_id, p2.lang, p2.shard, p2.tokens, p2.pack_id,
-       |                 'd1/' || p2.lang || '/' || CAST(p2.shard AS VARCHAR)
-       |                   || '/' || CAST(p2.pack_id AS VARCHAR) AS pack_key,
-       |                 d.source, a.shuffle_pos, a.shuffle_pos % 4 AS out_shard
-       |          FROM prec p2 JOIN dcur d USING (doc_id)
-       |          JOIN nasn a ON a.pack_key = 'd1/' || p2.lang || '/'
-       |            || CAST(p2.shard AS VARCHAR) || '/'
-       |            || CAST(p2.pack_id AS VARCHAR))
-       |SELECT doc_id, lang, shard, tokens, pack_id, pack_key, source,
+       |             AS BIGINT) - 1 + (SELECT mx FROM prevmax$S) + 1 AS shuffle_pos
+       |         FROM npk$S),
+       |fresh$S AS (SELECT p2.doc_id, p2.lang, p2.shard, p2.tokens, p2.pack_id,
+       |                 '$generation/' || p2.lang || '/' ||
+       |                   CAST(p2.shard AS VARCHAR) ||
+       |                   '/' || CAST(p2.pack_id AS VARCHAR) AS pack_key,
+       |                 d.source, a.shuffle_pos, a.shuffle_pos % $outShards AS out_shard
+       |          FROM prec$S p2 JOIN $curRel d USING (doc_id)
+       |          JOIN nasn$S a ON a.pack_key = '$generation/' || p2.lang || '/' ||
+       |            CAST(p2.shard AS VARCHAR) || '/' ||
+       |            CAST(p2.pack_id AS VARCHAR))""".stripMargin
+  }
+
+  private def deltaSelect(S: String): String =
+    s"""SELECT doc_id, lang, shard, tokens, pack_id, pack_key, source,
        |       shuffle_pos, out_shard
-       |FROM retained
+       |FROM retained$S
        |UNION ALL
        |SELECT doc_id, lang, shard, tokens, pack_id, pack_key, source,
        |       shuffle_pos, out_shard
-       |FROM fresh""".stripMargin
-  }
+       |FROM fresh$S""".stripMargin
+
+  /** q147/q148's oracle: the incremental release replayed in SQL — prior
+    * release fixture, closed-form delta statuses (the fixture's
+    * added/changed/removed sets are modular predicates, so the oracle
+    * needs no md5 replay), then [[deltaChainCtes]] in the operator's exact
+    * stage order, ending in retained ∪ fresh. */
+  private def deltaReleaseOracleSql: String =
+    s"""WITH RECURSIVE
+       |$deltaFixtureCtes,
+       |${deltaChainCtes("", "prior",
+          "doc_id % 13 <> 0 AND doc_id % 7 <> 0", "dcur",
+          "(doc_id >= 1000000 OR doc_id % 10 = 0 OR doc_id % 7 = 0)",
+          "ecur", "d1", 3000L, 2, 4)}
+       |${deltaSelect("")}""".stripMargin
+
+  /** q153's oracle: TWO stacked generations — the full gen-1 chain as the
+    * `prior2` relation, a second closed-form churn (removed % 17 = 2,
+    * changed % 11 = 5 → ' v3', new planted clones m=7 cross / m=9 within
+    * at offsets 4e6/5e6/6e6), then the chain again with generation 'd2'.
+    * The ENGINE side runs gen-2 against the APPENDED
+    * [[graft.ops.ReleaseDedupIndex]] restored from parquet, so a hash
+    * match pins the whole index lifecycle: build → re-cut → append →
+    * round-trip → re-cut. */
+  private def gen2ReleaseOracleSql: String =
+    s"""WITH RECURSIVE
+       |$deltaFixtureCtes,
+       |${deltaChainCtes("", "prior",
+          "doc_id % 13 <> 0 AND doc_id % 7 <> 0", "dcur",
+          "(doc_id >= 1000000 OR doc_id % 10 = 0 OR doc_id % 7 = 0)",
+          "ecur", "d1", 3000L, 2, 4)},
+       |prior2 AS MATERIALIZED (
+       |${deltaSelect("")}),
+       |${cloneCte("dcg", 7, 4000000L)},
+       |${cloneCte("dha", 9, 5000000L)},
+       |${cloneCte("dhb", 9, 6000000L)},
+       |dcur2 AS MATERIALIZED (
+       |  SELECT doc_id, lang, source, n_chars,
+       |         CASE WHEN doc_id % 11 = 5 THEN text || ' v3' ELSE text END AS text
+       |  FROM dcur WHERE doc_id % 17 <> 2
+       |  UNION ALL SELECT doc_id, lang, source, n_chars, text FROM dcg
+       |  UNION ALL SELECT doc_id, lang, source, n_chars, text FROM dha
+       |  UNION ALL SELECT doc_id, lang, source, n_chars, text FROM dhb),
+       |ecur2 AS MATERIALIZED (SELECT vec_id, v FROM ecur
+       |  UNION ALL SELECT vec_id + 4000000, v FROM e0 WHERE vec_id % 20 = 7
+       |  UNION ALL SELECT vec_id + 5000000, v FROM e0 WHERE vec_id % 20 = 9
+       |  UNION ALL SELECT vec_id + 6000000, v FROM e0 WHERE vec_id % 20 = 9),
+       |${deltaChainCtes("2", "prior2",
+          "doc_id % 17 <> 2 AND doc_id % 11 <> 5", "dcur2",
+          "(doc_id >= 4000000 OR doc_id % 11 = 5)",
+          "ecur2", "d2", 3000L, 2, 4)}
+       |${deltaSelect("2")}""".stripMargin
 
   /** Oracle tail shared by q13/q18: shares → scatter-add → left join + naive. */
   private def adjustedTailSql(selCte: String): String =
@@ -3694,7 +3772,88 @@ object SparkEntry {
         |            WHEN c.fp IS NULL THEN 'removed'
         |            WHEN o.fp <> c.fp THEN 'changed'
         |            ELSE 'unchanged' END AS status
-        |FROM o FULL OUTER JOIN c ON o.doc_id = c.doc_id""".stripMargin))
+        |FROM o FULL OUTER JOIN c ON o.doc_id = c.doc_id""".stripMargin)),
+
+    // In-engine quality-model TRAINER (VERDICT r13 #2) — the missing leg
+    // of the monitor→train→deploy loop: deterministic fixed-iteration
+    // logistic GD over the hashed n-gram feature space, distilling the
+    // heuristic quality score into weak labels. Output = the weights
+    // relation q145's deploy leg consumes (j 0..dim−1 + bias at j = −1).
+    // The oracle replays every iteration's arithmetic as static layered
+    // SQL — forward pass via the gram-order fold, gradients as exact
+    // quantized-integer sums, 9 dp updates — so the gate pins the
+    // LEARNING arithmetic itself, not just an inference pass.
+    ("q150_quality_trainer",
+      (s: SparkSession, dir: String) =>
+        TextAnalysis.trainQualityModel(Cohorts.documents(s, dir)),
+      Some(TextSql.trainerSql(0.4, QualityModel.Dim, 4, 4.0))),
+
+    // Per-source corpus report — integer-additive stats only, exactly so
+    // the incremental twin below can subtract removals (sketches can't).
+    ("q151_source_stats",
+      (s: SparkSession, dir: String) =>
+        Profile.sourceStats(Cohorts.documents(s, dir)),
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+             |    t -> t <> ''))) AS BIGINT) AS n_tokens,
+             |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+             |FROM documents GROUP BY source""".stripMargin)),
+
+    // Delta-aware corpus monitor (VERDICT r13 #8): the per-source report
+    // updated INCREMENTALLY from the churn between the q149 fixture
+    // snapshots — prior stats + added/changed additions − removed/changed
+    // subtractions, fingerprint-classified on (text, source). The oracle
+    // is the FULL RESCAN of the current snapshot, so the gate pins
+    // incremental == rescan row-for-row; cost economics live in the
+    // x_stats_delta / x_stats_rescan probes.
+    ("q152_source_stats_delta",
+      (s: SparkSession, dir: String) => {
+        val d = Cohorts.documents(s, dir)
+        val prev = d.filter(col("doc_id") % 10 =!= 0)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" v1"))).otherwise(col("text")))
+        val cur = d.filter(col("doc_id") % 13 =!= 0)
+        Profile.sourceStatsDelta(Profile.sourceStats(prev), prev, cur)
+      },
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+             |    t -> t <> ''))) AS BIGINT) AS n_tokens,
+             |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+             |FROM documents WHERE doc_id % 13 <> 0 GROUP BY source""".stripMargin)),
+
+    // SECOND-generation delta re-cut against the APPENDED dedup index
+    // (VERDICT r13 #1 closed end-to-end): gen-1 re-cut → buildReleaseIndex
+    // over the gen-0 release → updateReleaseIndex appends the gen-1
+    // release's fresh docs (unchanged entries reused via fingerprints,
+    // changed/added recomputed delta-sized) → artifact round-trips through
+    // parquet → gen-2 re-cut consumes it. Oracle = BOTH admission chains
+    // stacked in exact SQL (deltaChainCtes twice), so a hash match pins
+    // the whole index lifecycle: the weekly-re-cut story now amortizes
+    // across generations instead of exactly one.
+    ("q153_release_gen2",
+      (s: SparkSession, dir: String) => {
+        requireEmbedSelfSilence(s, dir, "q153")
+        val (prevDocs, curDocs, curEmb, prevAssign) =
+          deltaReleaseFixture(s, dir)
+        val d1 = Curation.deltaReleaseAssignments(prevAssign, prevDocs,
+          curDocs, curEmb, deltaTokenBudget = 3000, packBudget = 256,
+          packShards = 2, outShards = 4)
+        val priorIds = prevAssign.select("doc_id")
+        val ix0 = Curation.buildReleaseIndex(
+          prevDocs.join(priorIds, "doc_id"),
+          Cohorts.embeddings(s, dir)
+            .join(priorIds.select(col("doc_id").as("vec_id")), "vec_id"))
+        val ix1 = Curation.updateReleaseIndex(ix0, d1, prevDocs, curDocs,
+          curEmb)
+        val path = s"/tmp/graft_gen2_index_${Integer.toHexString(dir.hashCode)}"
+        Io.writeReleaseIndex(ix1, path)
+        val (cur2Docs, cur2Emb) = gen2DeltaFixture(s, dir, curDocs, curEmb)
+        Curation.deltaReleaseAssignments(d1, curDocs, cur2Docs, cur2Emb,
+          deltaTokenBudget = 3000, packBudget = 256, packShards = 2,
+          outShards = 4, generation = "d2",
+          index = Some(Io.readReleaseIndex(s, path)))
+      },
+      Some(gen2ReleaseOracleSql))
   )
 
   /** q147/q148 shared fixture: the q137 churn snapshots plus planted
@@ -3752,6 +3911,43 @@ object SparkEntry {
         "source", "shuffle_pos", "out_shard")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (prevDocs, curDocs, curEmb, prevAssign)
+  }
+
+  /** q153's SECOND churn on top of [[deltaReleaseFixture]]'s current
+    * snapshot: removed % 17 = 2, changed % 11 = 5 (' v3' appended — the
+    * rules apply to gen-1 clones too, ids are just longs), plus gen-2
+    * planted clones — m=7 @4e6 carrying base embeddings (cross-semantic
+    * kill against docs still retained through BOTH generations) and m=9
+    * @5e6/@6e6 pairs sharing one vector (within-delta SemDeDup; originals
+    * like doc 49 are %7-changed in gen-1 and %11-changed in gen-2, so the
+    * pair is never cross-killed and the within leg demonstrably fires).
+    * Same pinned-fixture discipline as gen-1. */
+  private def gen2DeltaFixture(s: SparkSession, dir: String,
+      curDocs: DataFrame, curEmb: DataFrame): (DataFrame, DataFrame) = {
+    val d0 = Cohorts.documents(s, dir)
+    val e0 = Cohorts.embeddings(s, dir)
+    def clones(m: Long, off: Long) = d0.filter(col("doc_id") % 20 === m)
+      .withColumn("doc_id", col("doc_id") + lit(off))
+      .withColumn("source", lit("clone"))
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(1), lit(100)),
+          i => concat(lit("dx"), col("doc_id").cast("string"),
+            lit("t"), i.cast("string")))))
+    def cloneEmb(m: Long, off: Long) = e0.filter(col("vec_id") % 20 === m)
+      .withColumn("vec_id", col("vec_id") + lit(off))
+    val cur2 = curDocs.filter(col("doc_id") % 17 =!= 2)
+      .withColumn("text", when(col("doc_id") % 11 === 5,
+        concat(col("text"), lit(" v3"))).otherwise(col("text")))
+      .unionByName(clones(7L, 4000000L))
+      .unionByName(clones(9L, 5000000L))
+      .unionByName(clones(9L, 6000000L))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val emb2 = curEmb
+      .unionByName(cloneEmb(7L, 4000000L))
+      .unionByName(cloneEmb(9L, 5000000L))
+      .unionByName(cloneEmb(9L, 6000000L))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (cur2, emb2)
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -194,6 +194,93 @@ object Profile {
           .otherwise("unchanged").as("status"))
   }
 
+  /** Per-source corpus report — the dimension-sized stats relation a
+    * training-data team tracks per drop: document, token and character
+    * counts per `source`. Deliberately INTEGER-additive stats only (no
+    * means/ratios): exact BIGINT sums make the relation incrementally
+    * maintainable ([[sourceStatsDelta]]) and engine-stable without
+    * rounding conventions. One scan, one partial-aggregated shuffle on
+    * the bounded source key. */
+  def sourceStats(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(size(TextAnalysis.tokens(col("text"))).cast("long"),
+          lit(0L))).as("n_tokens"),
+        sum(coalesce(length(col("text")).cast("long"), lit(0L)))
+          .as("n_chars"))
+
+  /** INCREMENTAL [[sourceStats]] — the delta-aware corpus monitor
+    * (VERDICT r13 #8): update the per-source report from the CHANGE
+    * between two snapshots instead of re-scanning the corpus, the way
+    * [[graft.ops.Curation.deltaReleaseAssignments]] composes
+    * [[corpusDelta]] with the release chain. Because every stat is an
+    * exact integer sum, removals subtract cleanly where sketches
+    * (HLL-style distincts) could not:
+    *
+    *   new = prior − stats(prev rows of removed+changed docs)
+    *             + stats(cur rows of added+changed docs),
+    *
+    * with the delta classified on (`text`, `source`) fingerprints — a doc
+    * whose source moved re-files its mass under the new source. Sources
+    * whose count reaches zero drop out, newborn sources appear; the
+    * result is pinned row-identical to the full rescan (the q152 gate).
+    *
+    * Scale shape: the only corpus-sized work is [[corpusDelta]]'s two
+    * fingerprint scans (the irreducible term every incremental operator
+    * here pays); the token/char kernels run on the delta slice only
+    * (id-keyed semi-joins), and the merge is a |sources|-row 3-way
+    * full-outer join. `prior` is the persisted dimension-sized artifact
+    * of the previous run. Honest economics (x_stats_* probes): for stats
+    * THIS cheap (tokenize + length), a standalone delta run is NOT
+    * cheaper than the rescan — fingerprinting ≈ tokenizing per byte. The
+    * operator's win cases are (a) the weekly loop, where
+    * [[graft.ops.Curation.deltaReleaseAssignments]] already computed the
+    * status frame — pass it via `sharedDelta` and the fingerprint scans
+    * vanish, leaving delta-sized kernel work — and (b) stat sets with
+    * expensive kernels (model scores, quality signals) where the rescan
+    * pays the kernel corpus-wide. A `sharedDelta` must have been
+    * classified on content that INCLUDES the source column (a doc whose
+    * source moved must read `changed`), or sources must be immutable
+    * per doc — the text-only release delta satisfies the latter for the
+    * standard corpus contract. */
+  def sourceStatsDelta(prior: DataFrame, prevDocs: DataFrame,
+                       curDocs: DataFrame,
+                       sharedDelta: Option[DataFrame] = None): DataFrame = {
+    val delta = sharedDelta
+      .getOrElse(corpusDelta(prevDocs, curDocs, "doc_id",
+        Seq("text", "source")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gone = delta.filter(col("status").isin("removed", "changed"))
+      .select("doc_id")
+    val came = delta.filter(col("status").isin("added", "changed"))
+      .select("doc_id")
+    def side(stats: DataFrame, p: String) = stats.select(col("source"),
+      col("n_docs").as(s"${p}d"), col("n_tokens").as(s"${p}t"),
+      col("n_chars").as(s"${p}c"))
+    val out = side(prior, "p_")
+      .join(side(sourceStats(
+        prevDocs.join(gone, Seq("doc_id"), "left_semi")), "m_"),
+        Seq("source"), "full_outer")
+      .join(side(sourceStats(
+        curDocs.join(came, Seq("doc_id"), "left_semi")), "a_"),
+        Seq("source"), "full_outer")
+      .select(col("source"),
+        (coalesce(col("p_d"), lit(0L)) - coalesce(col("m_d"), lit(0L))
+          + coalesce(col("a_d"), lit(0L))).as("n_docs"),
+        (coalesce(col("p_t"), lit(0L)) - coalesce(col("m_t"), lit(0L))
+          + coalesce(col("a_t"), lit(0L))).as("n_tokens"),
+        (coalesce(col("p_c"), lit(0L)) - coalesce(col("m_c"), lit(0L))
+          + coalesce(col("a_c"), lit(0L))).as("n_chars"))
+      .filter(col("n_docs") > 0)
+    // the delta relation feeds two consumers (gone/came) — materialize the
+    // |sources|-row result, then free the pin: the monitor is
+    // self-contained like distributionDrift (no blocks accrete per call)
+    val rows = out.collect()
+    delta.unpersist(blocking = false)
+    prior.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Distribution drift (PSI) between two snapshots of a numeric column —
     * the monitoring number data-quality dashboards track per feature
     * between corpus versions: bin the REFERENCE snapshot's value range

@@ -863,6 +863,119 @@ object TextAnalysis {
       .withColumn("keep", (col("model_quality") >= threshold).cast("long"))
   }
 
+  /** In-engine quality-model TRAINER — the missing leg of the
+    * monitor→train→deploy loop (VERDICT r13 #2: q144 fires the retrain
+    * trigger, q145 deploys refreshed weights; this PRODUCES them):
+    * deterministic fixed-iteration batch gradient descent for a logistic
+    * model over the hashed unigram+bigram feature space
+    * [[modelQualityScoreWith]] scores with, distilling the heuristic
+    * [[qualityScore]] into weak labels (the fastText/CCNet production
+    * pattern — train a fast linear classifier against a slower signal).
+    * Reference anchor for the pluggable-learned-stage philosophy:
+    * cocoa/preprocess.py:30-78.
+    *
+    * Semantics, engine-stable by construction (every cross-doc float sum
+    * is INTEGER arithmetic):
+    *
+    *   - training docs: every doc with ≥1 token; label y = 1 iff the
+    *     4 dp-ROUNDED heuristic quality ≥ `labelFloor` (comparison on the
+    *     rounded score — the oracle convention).
+    *   - features: x_j = (count of the doc's unigram+bigram grams with
+    *     polyHash(gram) mod dim = j) / n_feats — exactly the feature map
+    *     of the scoring kernel, so z = w·x + bias reproduces
+    *     [[modelQualityScoreWith]]'s logit.
+    *   - forward pass: THE deployment kernel itself
+    *     ([[modelQualityScoreWith]] under the current weights — 9 dp
+    *     logit, 6 dp sigmoid), so train- and serve-time arithmetic can
+    *     never skew.
+    *   - gradient: per (doc, feature), g_ij = (p_i − y_i)·cnt_ij / n_i,
+    *     QUANTIZED to a long at 1e-9 granularity (round(1e-9 + g·1e9)) —
+    *     the cross-doc reduction is then an exact, order-free integer
+    *     sum, immune to Spark's nondeterministic partition-sum order.
+    *     The bias gradient is DEFINED as Σ_j Q_j (per-doc Σ_j cnt_ij/n_i
+    *     = 1, so it equals Σ_i e_i up to quantization) — one aggregate
+    *     per iteration, replayed exactly by the oracle.
+    *   - update: w_j ← round9(w_j − lr·(Q_j/1e9)/N), computed through the
+    *     SAME Spark expressions the oracle's SQL mirrors (a dim+1-row
+    *     local relation per iteration — never driver math that could
+    *     diverge from engine rounding). Weights start at zero.
+    *
+    * Plan shape: the corpus is scanned once to pin two relations — the
+    * (doc_id, text, n, y) training frame and the (doc_id, j, cnt) feature
+    * counts (one explode + one partial-aggregated shuffle). Each of the
+    * `nIter` iterations is then one narrow kernel projection over the
+    * pinned frame joined to the counts and folded to ≤dim rows — a
+    * dim-sized bounded collect per iteration, the [[bpeTrain]]
+    * learned-literal driver-loop discipline. Pins are freed before
+    * returning.
+    *
+    * Output: the weights RELATION the deploy leg consumes — (j, weight)
+    * for j ∈ 0..dim−1 plus the bias as j = −1; thread through
+    * [[trainedModel]] into [[modelQualityWith]]. */
+  def trainQualityModel(docs: org.apache.spark.sql.DataFrame,
+                        labelFloor: Double = 0.4,
+                        dim: Int = QualityModel.Dim,
+                        nIter: Int = 4,
+                        lr: Double = 4.0): org.apache.spark.sql.DataFrame = {
+    require(dim >= 1 && nIter >= 1, s"need dim >= 1, nIter >= 1; got $dim/$nIter")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val toks = tokens(col("text"))
+    val base = docs.select(col("doc_id"), col("text"),
+        (size(toks) + greatest(size(toks) - 1, lit(0))).cast("long").as("n"),
+        (graft.Num.rnd(qualityScore(col("text")), 4) >= lit(labelFloor))
+          .cast("int").as("y"))
+      .filter(col("n") > 0)
+      .persist(lvl)
+    val fx = docs
+      .select(col("doc_id"), explode(concat(toks, shingles(toks, 2))).as("x"))
+      .select(col("doc_id"),
+        (polyHash(col("x")) % lit(dim.toLong)).cast("int").as("j"))
+      .groupBy("doc_id", "j").agg(count(lit(1)).as("cnt"))
+      .persist(lvl)
+    val nDocs = base.count()
+    require(nDocs > 0, "trainQualityModel: no document has a token")
+    var w = Seq.fill(dim)(0.0)
+    var b = 0.0
+    for (_ <- 1 to nIter) {
+      val scored = base.select(col("doc_id"), col("n"), col("y"),
+        modelQualityScoreWith(col("text"), w, b).as("p"))
+      val grads = fx.join(scored, "doc_id")
+        .withColumn("q", graft.Num.rnd(
+          (col("p") - col("y")) * col("cnt").cast("double") /
+            col("n").cast("double") * lit(1e9), 0).cast("long"))
+        .groupBy("j").agg(sum("q").as("q"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val qb = grads.values.sum
+      val upd = ((0 until dim).map(j => (j.toLong, w(j), grads.getOrElse(j, 0L)))
+          :+ ((-1L, b, qb)))
+        .toDF("j", "w", "q")
+        .select(col("j"), graft.Num.rnd(
+          col("w") - lit(lr) * (col("q").cast("double") / lit(1e9)) /
+            lit(nDocs.toDouble), 9).as("nw"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      w = (0 until dim).map(j => upd(j.toLong))
+      b = upd(-1L)
+    }
+    base.unpersist(blocking = false)
+    fx.unpersist(blocking = false)
+    ((0 until dim).map(j => (j.toLong, w(j))) :+ ((-1L, b)))
+      .toDF("j", "weight")
+  }
+
+  /** Split a [[trainQualityModel]] output relation back into the
+    * (weights, bias) arguments [[modelQualityWith]] deploys — a
+    * dim+1-row bounded collect (learned-literal discipline). */
+  def trainedModel(model: org.apache.spark.sql.DataFrame): (Seq[Double], Double) = {
+    val rows = model.select("j", "weight").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dim = rows.size - 1
+    require(rows.contains(-1L) && (0 until dim).forall(j => rows.contains(j.toLong)),
+      s"malformed model relation: keys ${rows.keySet.toSeq.sorted.take(5)}...")
+    ((0 until dim).map(j => rows(j.toLong)), rows(-1L))
+  }
+
   /** Persist a learned BPE merge table ([[bpeTrain]]'s output) as a plain
     * parquet artifact — the tokenizer-lifecycle twin of the ANN index's
     * restore-from-parquet contract: train once, ship the table, segment
@@ -1114,5 +1227,75 @@ object TextSql {
        |mq$sfx AS (SELECT doc_id, n_feats,
        |              ROUND(1e-9 + 1.0 / (1.0 + exp(-z)), 6) AS model_quality
        |       FROM zz$sfx)""".stripMargin
+  }
+
+  /** SQL twin of [[TextAnalysis.trainQualityModel]]: STATIC layered SQL —
+    * one CTE block per gradient-descent iteration, no learned literals.
+    * `wb0` is the zero model; each block replays the engine's exact
+    * arithmetic: forward pass (the [[modelQualityCtesWith]] gram-order
+    * left fold under the PREVIOUS layer's weights — 9 dp logit, 6 dp
+    * sigmoid), per-(doc, feature) gradient quantized to BIGINT at 1e-9
+    * granularity (cross-doc sums are then exact integer arithmetic — the
+    * property that makes distributed GD oracle-checkable at all), dense
+    * gradient vector via a dim-spine left join, and the 9 dp-rounded
+    * weight/bias update. Every multiply-referenced CTE is MATERIALIZED
+    * (the q126/q142 re-inlining lesson). */
+  def trainerSql(labelFloor: Double, dim: Int, nIter: Int,
+                 lr: Double): String = {
+    val layers = (1 to nIter).map { k =>
+      val pw = s"wb${k - 1}"
+      s"""p$k AS MATERIALIZED (
+         |  SELECT gm.doc_id,
+         |         ROUND(1e-9 + 1.0 / (1.0 + exp(-(ROUND(1e-9 +
+         |           list_reduce(list_prepend(0.0, list_transform(gm.g,
+         |             x -> $pw.w[CAST(${polyHash("x")} % $dim AS INT) + 1])),
+         |             (a, b) -> a + b) / gm.n + $pw.b, 9)))), 6) AS p
+         |  FROM gm, $pw),
+         |gr$k AS MATERIALIZED (
+         |  SELECT fx.j,
+         |         CAST(SUM(CAST(ROUND(1e-9 +
+         |           (p$k.p - lb.y) * fx.cnt / gm.n * 1e9, 0) AS BIGINT))
+         |           AS BIGINT) AS q
+         |  FROM fx JOIN p$k USING (doc_id) JOIN lb USING (doc_id)
+         |       JOIN gm USING (doc_id)
+         |  GROUP BY fx.j),
+         |gv$k AS MATERIALIZED (
+         |  SELECT list(COALESCE(q, 0) ORDER BY sp.j) AS qv,
+         |         CAST(SUM(COALESCE(q, 0)) AS BIGINT) AS qb
+         |  FROM (SELECT unnest(range($dim)) AS j) sp LEFT JOIN gr$k USING (j)),
+         |wb$k AS MATERIALIZED (
+         |  SELECT list_transform(range($dim), i ->
+         |           ROUND(1e-9 + w[CAST(i AS INT) + 1] - $lr *
+         |             (CAST(qv[CAST(i AS INT) + 1] AS DOUBLE) / 1e9) / nn.nd, 9))
+         |           AS w,
+         |         ROUND(1e-9 + b - $lr * (CAST(qb AS DOUBLE) / 1e9) / nn.nd, 9)
+         |           AS b
+         |  FROM $pw, gv$k, nn)""".stripMargin
+    }
+    s"""WITH $toksCte,
+       |${qualitySignalsCte()},
+       |gm AS MATERIALIZED (
+       |  SELECT doc_id, g, CAST(len(g) AS BIGINT) AS n FROM (
+       |    SELECT doc_id, list_concat(t, ${shingleStrings("t", 2)}) AS g
+       |    FROM toks)
+       |  WHERE len(g) > 0),
+       |lb AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CASE WHEN $qualityScoreFromM >= $labelFloor THEN 1 ELSE 0 END
+       |           AS y
+       |  FROM m WHERE n > 0),
+       |fx AS MATERIALIZED (
+       |  SELECT doc_id, j, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT doc_id, CAST(${polyHash("x")} % $dim AS INT) AS j
+       |    FROM (SELECT doc_id, unnest(g) AS x FROM gm))
+       |  GROUP BY doc_id, j),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM gm),
+       |wb0 AS (SELECT list_transform(range($dim), i -> 0.0) AS w,
+       |               CAST(0.0 AS DOUBLE) AS b),
+       |${layers.mkString(",\n")}
+       |SELECT CAST(sp.j AS BIGINT) AS j, w[CAST(sp.j AS INT) + 1] AS weight
+       |FROM wb$nIter, (SELECT unnest(range($dim)) AS j) sp
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT) AS j, b AS weight FROM wb$nIter""".stripMargin
   }
 }
