@@ -120,9 +120,16 @@ object SparkEntry {
         transform(sequence(lit(1), lit(100)),
           i => concat(lit("c"), col("doc_id").cast("string"),
             lit("t"), i.cast("string")))))
-    (d0.unionByName(clones),
+    // Pinned fixture frames (the deltaReleaseFixture discipline): the
+    // curation chain scans its corpus ~4× (minhash sets, decontam train +
+    // benchmark shingles, the dedup re-attach) and each scan would re-run
+    // the interpreted 100-token clone transform. Freed by the harness
+    // clearCache like every gate pin.
+    (d0.unionByName(clones)
+       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       e0.unionByName(e0.filter(col("vec_id") % 10 === 0)
-        .withColumn("vec_id", col("vec_id") + lit(1000000L))))
+        .withColumn("vec_id", col("vec_id") + lit(1000000L)))
+       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
   /** q127/q141 shared oracle prefix over the planted-clone corpus: the
@@ -3835,14 +3842,28 @@ object SparkEntry {
         requireEmbedSelfSilence(s, dir, "q153")
         val (prevDocs, curDocs, curEmb, prevAssign) =
           deltaReleaseFixture(s, dir)
-        val d1 = Curation.deltaReleaseAssignments(prevAssign, prevDocs,
+        // d1 (the gen-1 assignment) is consumed by updateReleaseIndex (ids
+        // ∪ reuse/fresh joins), the artifact write, AND the gen-2 re-cut
+        // (prevHead agg + retained join) — each would re-run its lazy
+        // admission tail. A real weekly loop persists the assignment to
+        // parquet between generations (the x_delta probes do exactly
+        // that); here the in-session equivalent is one flat materialized
+        // boundary. Same for the in-memory prior index relations, which
+        // updateReleaseIndex consumes twice each (kept semi-join + union)
+        // and which a deployment restores from parquet anyway (q148).
+        def m(df: DataFrame): DataFrame = org.apache.spark.sql.graftbridge
+          .Bridge.materialized(df,
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)._1
+        val d1 = m(Curation.deltaReleaseAssignments(prevAssign, prevDocs,
           curDocs, curEmb, deltaTokenBudget = 3000, packBudget = 256,
-          packShards = 2, outShards = 4)
+          packShards = 2, outShards = 4))
         val priorIds = prevAssign.select("doc_id")
-        val ix0 = Curation.buildReleaseIndex(
+        val ix0raw = Curation.buildReleaseIndex(
           prevDocs.join(priorIds, "doc_id"),
           Cohorts.embeddings(s, dir)
             .join(priorIds.select(col("doc_id").as("vec_id")), "vec_id"))
+        val ix0 = graft.ops.ReleaseDedupIndex(
+          m(ix0raw.lexical), m(ix0raw.semantic), ix0raw.meta)
         val ix1 = Curation.updateReleaseIndex(ix0, d1, prevDocs, curDocs,
           curEmb)
         val path = s"/tmp/graft_gen2_index_${Integer.toHexString(dir.hashCode)}"

@@ -71,6 +71,16 @@ final case class ReleaseDedupIndex(lexical: DataFrame, semantic: DataFrame,
 
 object Curation {
 
+  /** Eager flat-plan stage boundary (the [[deltaReleaseAssignments]] body
+    * discipline, shared): materialize into an RDD-backed copy whose blocks
+    * the ContextCleaner frees once the frame is discarded. Used on id- or
+    * delta-sized relations that feed MULTIPLE downstream consumers — each
+    * consumer would otherwise re-run the whole upstream lineage (noop/
+    * write actions do not cache). */
+  private def mat(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.Bridge
+      .materialized(df, StorageLevel.MEMORY_AND_DISK)._1
+
   /** Build the [[ReleaseDedupIndex]] for a corpus being shipped — run it
     * over the RELEASE's docs/embeddings at release-build time, write with
     * [[graft.Io.writeReleaseIndex]]. `minhashThreshold` must match the
@@ -126,11 +136,18 @@ object Curation {
       s"updateReleaseIndex parameter mismatch: prior index was built " +
         s"under $m, update requested under $meta — appending would mix " +
         "incompatible signatures (silent under-dedup)"))
-    val ids = newAssign.select("doc_id")
-    val reuseIds = ids.join(
+    // Both id relations are consumed by SEVERAL joins below (ids: reuse +
+    // both fresh semi-joins; reuseIds: both kept semi-joins, and through
+    // them both fresh anti-joins). `newAssign` is typically the LAZY tail
+    // of a delta re-cut and corpusDelta re-scans two corpus snapshots —
+    // materialize each ONCE (id-sized blocks, ContextCleaner-freed) so the
+    // artifact write pays one evaluation per input, not one per consumer
+    // (measured on the q153 gate: updateReleaseIndex + write dropped ~2×).
+    val ids = mat(newAssign.select("doc_id"))
+    val reuseIds = mat(ids.join(
       Profile.corpusDelta(prevDocs, curDocs, "doc_id", Seq("text"))
         .filter(col("status") === "unchanged").select("doc_id"),
-      Seq("doc_id"), "left_semi")
+      Seq("doc_id"), "left_semi"))
     val keptLex = prior.lexical.join(reuseIds, Seq("doc_id"), "left_semi")
     val keptSem = prior.semantic.join(
       reuseIds.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
@@ -282,7 +299,12 @@ object Curation {
     val (stage1, semKeepers) = curatedKeepers(docs, embeddings,
       minhashThreshold, benchmarkSource, qualityFloor, modelFloor,
       semanticThreshold, exactSemantic, contamShingleK)
-    val kept = stage1.join(semKeepers, "doc_id")
+    // kept feeds FOUR scans (temperatureSample's count pass + its join
+    // back, tokenBudgetSelect's range-partitioner sample + its real pass)
+    // — without a boundary each re-runs the SemDeDup window + quality
+    // projection. Flat-materialized (selected-docs-sized rows,
+    // ContextCleaner-freed), the deltaReleaseAssignments discipline.
+    val kept = mat(stage1.join(semKeepers, "doc_id"))
     val mixed = Sampling.temperatureSample(kept, "lang", "doc_id", alpha, mixSeed)
     val sel = Sampling.tokenBudgetSelect(mixed, tokenBudget)
     // J3 re-attach against the pinned survivor frame: packing needs text
@@ -291,7 +313,9 @@ object Curation {
     val packs = Packing.packDocuments(selDocs, packBudget, "lang", packShards)
       .toDF()
     val packKey = concat_ws("/", col("lang"), col("shard"), col("pack_id"))
-    val packRel = packs.withColumn("pack_key", packKey)
+    // consumed twice (the distinct pack-key shuffle relation + the final
+    // re-attach) — each would re-run the packing repartition+sort pass
+    val packRel = mat(packs.withColumn("pack_key", packKey))
     val assigned = Sampling
       .shuffleOrder(packRel.select("pack_key").distinct(), "pack_key", shuffleSeed)
       .withColumn("out_shard", pmod(col("shuffle_pos"), lit(outShards.toLong)))
@@ -426,9 +450,7 @@ object Curation {
     // RDD-level: spark.catalog.clearCache() does NOT free them — they are
     // freed by the ContextCleaner once the returned frame is discarded
     // (the verify/bench lifecycle), or by a caller holding no reference.
-    def mat(df: DataFrame): DataFrame =
-      org.apache.spark.sql.graftbridge.Bridge
-        .materialized(df, StorageLevel.MEMORY_AND_DISK)._1
+    // (`mat` is the object-level shared helper.)
     val status = mat(
       Profile.corpusDelta(prevDocs, curDocs, "doc_id", Seq("text")))
     val retained = mat(prevAssign.join(
