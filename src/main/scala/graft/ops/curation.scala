@@ -267,10 +267,15 @@ object Curation {
                       semanticThreshold: Double = 0.9,
                       exactSemantic: Boolean = false,
                       contamShingleK: Int = 8): DataFrame = {
-    selectManifest(releaseAssignments(docs, embeddings, tokenBudget,
+    // the manifest fold scans the assignment twice (per-source stats +
+    // the distinct pack-key count) — materialize the doc-level frame once
+    // for this manifest-only caller (narrow rows; the WRITE path instead
+    // streams the same frame to parquet shards and folds the manifest
+    // from it there, graft.Io.writeReleaseShards)
+    selectManifest(mat(releaseAssignments(docs, embeddings, tokenBudget,
       packBudget, packShards, outShards, alpha, mixSeed, shuffleSeed,
       minhashThreshold, benchmarkSource, qualityFloor, modelFloor,
-      semanticThreshold, exactSemantic, contamShingleK))
+      semanticThreshold, exactSemantic, contamShingleK)))
   }
 
   /** The DOC-LEVEL release assignment behind [[releasePipeline]]: one row

@@ -104,13 +104,28 @@ object Preprocess {
     // for AQE coalescing (small bytes ⇒ one partition ⇒ the single-task
     // stage this op exists to avoid); an explicit count is binding.
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val sorted = df
+    // RangePartitioner's bound sampling is a FULL pass over the input
+    // (reservoir sample per partition), so an uncached lineage — often a
+    // whole kernel-heavy admission chain — would run twice: once for the
+    // sample, once for the shuffle. Pin the input across those two passes
+    // and free it as soon as the counts action has materialized the
+    // sorted RDD (the narrow projection the caller hands in, not the
+    // corpus).
+    // no-op when the caller already pinned the frame (e.g. the banded
+    // prep's cohort projections): unpersisting here would silently drop
+    // the caller's cache entry (uncache matches by plan).
+    val callerPinned =
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val inp = if (callerPinned) df
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sorted = inp
       .repartitionByRange(n, orderCols.map(col(_)): _*)
       .sortWithinPartitions(orderCols.map(col(_)): _*)
     val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = rdd.mapPartitionsWithIndex { case (i, it) =>
       Iterator((i, it.size.toLong))
     }.collect().sortBy(_._1).map(_._2)
+    if (!callerPinned) inp.unpersist(blocking = false)
     val offsets = counts.scanLeft(0L)(_ + _)
     val schema = sorted.schema.add(outCol, org.apache.spark.sql.types.LongType,
       nullable = false)
@@ -149,7 +164,16 @@ object Preprocess {
     require(groupCols.nonEmpty, "groupCols must be non-empty (use withRowIdsDistributed)")
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val keyCols = groupCols ++ orderCols
-    val sorted = df
+    // pinned across the range-sample + shuffle double pass (see
+    // withRowIdsDistributed), freed right after the counts action
+    // no-op when the caller already pinned the frame (e.g. the banded
+    // prep's cohort projections): unpersisting here would silently drop
+    // the caller's cache entry (uncache matches by plan).
+    val callerPinned =
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val inp = if (callerPinned) df
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sorted = inp
       .repartitionByRange(n, keyCols.map(col(_)): _*)
       .sortWithinPartitions(keyCols.map(col(_)): _*)
     val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -164,6 +188,7 @@ object Preprocess {
       }
       m.iterator.map { case (k, c) => (pid, k, c) }
     }.collect()
+    if (!callerPinned) inp.unpersist(blocking = false)
     val offsets: Map[(Int, Seq[Any]), Long] = counts.groupBy(_._2)
       .flatMap { case (g, cs) =>
         val inOrder = cs.sortBy(_._1)
@@ -195,7 +220,16 @@ object Preprocess {
   def withRunningSum(df: DataFrame, orderCols: Seq[String],
                      valueCol: String, outCol: String): DataFrame = {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val sorted = df
+    // pinned across the range-sample + shuffle double pass (see
+    // withRowIdsDistributed), freed right after the sums action
+    // no-op when the caller already pinned the frame (e.g. the banded
+    // prep's cohort projections): unpersisting here would silently drop
+    // the caller's cache entry (uncache matches by plan).
+    val callerPinned =
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val inp = if (callerPinned) df
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sorted = inp
       .repartitionByRange(n, orderCols.map(col(_)): _*)
       .sortWithinPartitions(orderCols.map(col(_)): _*)
     val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -204,6 +238,7 @@ object Preprocess {
     val sums = rdd.mapPartitionsWithIndex { case (i, it) =>
       Iterator((i, it.foldLeft(0L)(_ + v(_))))
     }.collect().sortBy(_._1).map(_._2)
+    if (!callerPinned) inp.unpersist(blocking = false)
     val offsets = sums.scanLeft(0L)(_ + _)
     val schema = sorted.schema.add(outCol, org.apache.spark.sql.types.LongType,
       nullable = false)
@@ -231,7 +266,16 @@ object Preprocess {
   def withRunningFlagCount(df: DataFrame, orderCols: Seq[String],
                            flagCol: String, outCol: String): DataFrame = {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val sorted = df
+    // pinned across the range-sample + shuffle double pass (see
+    // withRowIdsDistributed), freed right after the counts action
+    // no-op when the caller already pinned the frame (e.g. the banded
+    // prep's cohort projections): unpersisting here would silently drop
+    // the caller's cache entry (uncache matches by plan).
+    val callerPinned =
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val inp = if (callerPinned) df
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sorted = inp
       .repartitionByRange(n, orderCols.map(col(_)): _*)
       .sortWithinPartitions(orderCols.map(col(_)): _*)
     val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -241,6 +285,7 @@ object Preprocess {
     val counts = rdd.mapPartitionsWithIndex { case (i, it) =>
       Iterator((i, it.count(flagged).toLong))
     }.collect().sortBy(_._1).map(_._2)
+    if (!callerPinned) inp.unpersist(blocking = false)
     val offsets = counts.scanLeft(0L)(_ + _)
     val schema = sorted.schema.add(outCol, org.apache.spark.sql.types.LongType,
       nullable = false)
