@@ -60,7 +60,8 @@ object Bench {
       // kernel + per-group sort per row) — observed collapsing the window
       // stages to 3 tasks on 32 cores. shuffle.partitions is already sized
       // to the machine.
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       // Typed-Aggregator plans (TopKAggregator) must stay in the object
       // hash map — the 128-key default silently falls back to sort-based
