@@ -3852,18 +3852,28 @@ object SparkEntry {
         // updateReleaseIndex consumes twice each (kept semi-join + union)
         // and which a deployment restores from parquet anyway (q148).
         def m(df: DataFrame): DataFrame = org.apache.spark.sql.graftbridge
-          .Bridge.materialized(df,
-            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)._1
-        val d1 = m(Curation.deltaReleaseAssignments(prevAssign, prevDocs,
-          curDocs, curEmb, deltaTokenBudget = 3000, packBudget = 256,
-          packShards = 2, outShards = 4))
+          .Bridge.materializedAuto(df,
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // The gen-1 re-cut and the gen-0 index build are INDEPENDENT
+        // plans (d1 reads the delta fixture, ix0 only prevDocs/priorIds)
+        // — submit both from driver threads (optimization guide §2.6) so
+        // the index build back-fills the re-cut chain's straggler tails
+        // instead of serializing after it.
         val priorIds = prevAssign.select("doc_id")
         val ix0raw = Curation.buildReleaseIndex(
           prevDocs.join(priorIds, "doc_id"),
           Cohorts.embeddings(s, dir)
             .join(priorIds.select(col("doc_id").as("vec_id")), "vec_id"))
-        val ix0 = graft.ops.ReleaseDedupIndex(
-          m(ix0raw.lexical), m(ix0raw.semantic), ix0raw.meta)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val d1F = Future(m(Curation.deltaReleaseAssignments(prevAssign,
+          prevDocs, curDocs, curEmb, deltaTokenBudget = 3000,
+          packBudget = 256, packShards = 2, outShards = 4)))
+        val ix0F = Future(graft.ops.ReleaseDedupIndex(
+          m(ix0raw.lexical), m(ix0raw.semantic), ix0raw.meta))
+        val d1 = Await.result(d1F, Duration.Inf)
+        val ix0 = Await.result(ix0F, Duration.Inf)
         val ix1 = Curation.updateReleaseIndex(ix0, d1, prevDocs, curDocs,
           curEmb)
         val path = s"/tmp/graft_gen2_index_${Integer.toHexString(dir.hashCode)}"

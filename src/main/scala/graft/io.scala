@@ -287,8 +287,21 @@ object Io {
   def writeReleaseIndex(index: graft.ops.ReleaseDedupIndex,
                         dir: String): Unit = {
     import org.apache.hadoop.fs.Path
-    index.lexical.write.mode("overwrite").parquet(s"$dir/lex-index.parquet")
-    index.semantic.write.mode("overwrite").parquet(s"$dir/sem-index.parquet")
+    // The two relations are INDEPENDENT plans writing to disjoint paths —
+    // submit both write jobs concurrently (optimization guide §2.6:
+    // actions are only sequential because the driver calls them
+    // sequentially) so each leg's straggler/commit tail back-fills the
+    // other: wall ≈ max(leg) instead of sum. Await.result rethrows a
+    // failed leg's exception on the caller thread.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Seq(
+      Future(index.lexical.write.mode("overwrite")
+        .parquet(s"$dir/lex-index.parquet")),
+      Future(index.semantic.write.mode("overwrite")
+        .parquet(s"$dir/sem-index.parquet")))
+      .foreach(Await.result(_, Duration.Inf))
     index.meta.foreach { m =>
       val conf = index.lexical.sparkSession.sessionState.newHadoopConf()
       val p = new Path(s"$dir/index-meta.csv")

@@ -79,7 +79,7 @@ object Curation {
     * write actions do not cache). */
   private def mat(df: DataFrame): DataFrame =
     org.apache.spark.sql.graftbridge.Bridge
-      .materialized(df, StorageLevel.MEMORY_AND_DISK)._1
+      .materializedAuto(df, StorageLevel.MEMORY_AND_DISK)
 
   /** Build the [[ReleaseDedupIndex]] for a corpus being shipped — run it
     * over the RELEASE's docs/embeddings at release-build time, write with

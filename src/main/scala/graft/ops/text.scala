@@ -827,9 +827,20 @@ object TextAnalysis {
     * same two-rounding parity contract as the frozen path — identical
     * weights give bit-identical scores (OpsSpec pins it). */
   def modelQualityScoreWith(text: Column, weights: Seq[Double],
-                            bias: Double): Column = {
+                            bias: Double): Column =
+    modelQualityScoreFromTokens(tokens(text), weights, bias)
+
+  /** [[modelQualityScoreWith]] over a PRE-TOKENIZED document (the token
+    * array [[tokens]] produces) — bit-identical scores, because the kernel
+    * and every rounding step are THE SAME; only the tokenize step is
+    * hoisted to the caller. Exists for iterating consumers that pin the
+    * token arrays once and score repeatedly under changing weights
+    * ([[trainQualityModel]]'s forward pass re-ran split+filter over every
+    * doc's text per GD iteration — 4× the tokenize cost for identical
+    * arrays). */
+  def modelQualityScoreFromTokens(toks: Column, weights: Seq[Double],
+                                  bias: Double): Column = {
     require(weights.nonEmpty, "modelQualityScoreWith needs at least one weight")
-    val toks = tokens(text)
     // n unigrams + max(n-1, 0) bigrams — arithmetic, not a second pass
     val nFeats = size(toks) + greatest(size(toks) - 1, lit(0))
     val hits = org.apache.spark.sql.graftbridge.Bridge.column(
@@ -900,14 +911,15 @@ object TextAnalysis {
     *     local relation per iteration — never driver math that could
     *     diverge from engine rounding). Weights start at zero.
     *
-    * Plan shape: the corpus is scanned once to pin two relations — the
-    * (doc_id, text, n, y) training frame and the (doc_id, j, cnt) feature
-    * counts (one explode + one partial-aggregated shuffle). Each of the
-    * `nIter` iterations is then one narrow kernel projection over the
-    * pinned frame joined to the counts and folded to ≤dim rows — a
-    * dim-sized bounded collect per iteration, the [[bpeTrain]]
-    * learned-literal driver-loop discipline. Pins are freed before
-    * returning.
+    * Plan shape: the corpus is scanned ONCE to pin the (doc_id, toks, n,
+    * y) training frame — token arrays, not raw text, so no iteration
+    * re-tokenizes — and the (doc_id, j, cnt) feature counts derive from
+    * the same pinned arrays (one explode + one partial-aggregated
+    * shuffle). Each of the `nIter` iterations is then one narrow kernel
+    * projection over the pinned frame joined to the counts and folded to
+    * ≤dim rows — a dim-sized bounded collect per iteration, the
+    * [[bpeTrain]] learned-literal driver-loop discipline. Pins are freed
+    * before returning.
     *
     * Output: the weights RELATION the deploy leg consumes — (j, weight)
     * for j ∈ 0..dim−1 plus the bias as j = −1; thread through
@@ -922,14 +934,22 @@ object TextAnalysis {
     import spark.implicits._
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val toks = tokens(col("text"))
-    val base = docs.select(col("doc_id"), col("text"),
+    // Pin the TOKEN ARRAYS, not the raw text: every GD iteration's forward
+    // pass re-scored the corpus, and scoring from cached tokens is
+    // bit-identical ([[modelQualityScoreFromTokens]] — same kernel, same
+    // roundings, same arrays) while skipping the split+filter re-tokenize
+    // per iteration. The feature counts below reuse the same pinned arrays
+    // (docs with n = 0 explode to zero gram rows either way, so building
+    // fx from the filtered base is exactly the unfiltered-docs fx).
+    val base = docs.select(col("doc_id"), toks.as("toks"),
         (size(toks) + greatest(size(toks) - 1, lit(0))).cast("long").as("n"),
         (graft.Num.rnd(qualityScore(col("text")), 4) >= lit(labelFloor))
           .cast("int").as("y"))
       .filter(col("n") > 0)
       .persist(lvl)
-    val fx = docs
-      .select(col("doc_id"), explode(concat(toks, shingles(toks, 2))).as("x"))
+    val tk = col("toks")
+    val fx = base
+      .select(col("doc_id"), explode(concat(tk, shingles(tk, 2))).as("x"))
       .select(col("doc_id"),
         (polyHash(col("x")) % lit(dim.toLong)).cast("int").as("j"))
       .groupBy("doc_id", "j").agg(count(lit(1)).as("cnt"))
@@ -940,7 +960,7 @@ object TextAnalysis {
     var b = 0.0
     for (_ <- 1 to nIter) {
       val scored = base.select(col("doc_id"), col("n"), col("y"),
-        modelQualityScoreWith(col("text"), w, b).as("p"))
+        modelQualityScoreFromTokens(col("toks"), w, b).as("p"))
       val grads = fx.join(scored, "doc_id")
         .withColumn("q", graft.Num.rnd(
           (col("p") - col("y")) * col("cnt").cast("double") /

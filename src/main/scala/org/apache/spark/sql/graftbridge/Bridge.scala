@@ -43,4 +43,37 @@ object Bridge {
     rdd.count() // materialize now: downstream reads hit blocks, not lineage
     (ds.sparkSession.internalCreateDataFrame(rdd, ds.schema), rdd)
   }
+
+  /** The MEASURED storage footprint of a persisted-and-materialized RDD
+    * (memory + disk bytes across its blocks), 0 when unknown. */
+  def storageBytes(rdd: RDD[_]): Long =
+    rdd.context.getRDDStorageInfo.filter(_.id == rdd.id)
+      .map(i => i.memSize + i.diskSize).sum
+
+  /** [[materialized]] + stats repair: the flat `LogicalRDD` boundary
+    * deliberately truncates lineage, but it also ERASES size statistics —
+    * Catalyst assigns it `spark.sql.defaultSizeInBytes` (Long.MaxValue),
+    * so every subsequent join against a materialized stage boundary is
+    * planned sort-merge/shuffled even when the relation is a few KB, and
+    * AQE can only repair the strategy AFTER building both shuffle
+    * exchanges. Since the blocks are already materialized, the TRUE size
+    * is known: when it is positive and at most the session's
+    * autoBroadcastJoinThreshold, attach a broadcast hint so the planner
+    * makes the same decision it would have made with honest stats — no
+    * exchange on either side. Scale-adaptive by construction: the hint is
+    * conditioned on MEASURED bytes, so a corpus-sized boundary at
+    * production scale is never broadcast (and with the threshold set
+    * non-positive the hint is never attached). Join strategy only — the
+    * result rows are identical either way. */
+  def materializedAuto(df: DataFrame,
+                       level: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+      : DataFrame = {
+    val (out, rdd) = materialized(df, level)
+    val threshold = org.apache.spark.sql.internal.SQLConf.get
+      .autoBroadcastJoinThreshold
+    val bytes = storageBytes(rdd)
+    if (threshold > 0 && bytes > 0 && bytes <= threshold)
+      out.hint("broadcast")
+    else out
+  }
 }

@@ -2852,6 +2852,14 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long, Double, Long)].collect().sortBy(_._1).toSeq
     assert(v2.map(_._2) == frozen.map(_._2)) // n_feats is model-independent
     assert(v2.map(_._3) != frozen.map(_._3))
+    // the pre-tokenized form (trainQualityModel's pinned forward pass) is
+    // bit-identical to the text form — same kernel, tokenize hoisted
+    val viaToks = d.select(col("doc_id"),
+        TextAnalysis.modelQualityScoreFromTokens(
+          TextAnalysis.tokens(col("text")),
+          QualityModel.Weights.toSeq, QualityModel.Bias).as("s"))
+      .as[(Long, Double)].collect().sortBy(_._1).map(_._2).toSeq
+    assert(viaToks == frozen.map(_._3))
   }
 
   test("BPE merge table round-trips through parquet; mergePairs preserves merge order") {
