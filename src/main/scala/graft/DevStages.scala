@@ -98,7 +98,6 @@ object DevStages {
       .take(40)
       .foreach { case (tt, w, c, t, n) =>
         println(f"[devs] task ${tt}%7.2f s wall ${w}%6.2f s n=$c%3d tasks=$t%5d  ${n.take(150)}") }
-    import scala.jdk.CollectionConverters._
     execDone.asScala.toSeq.sortBy(_._1).foreach { case (id, d, w) =>
       println(f"[deve] exec $id%4d ${w}%6.2f s  ${d.take(110)}") }
     spark.stop()

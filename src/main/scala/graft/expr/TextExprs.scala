@@ -109,6 +109,122 @@ object TextKernels {
     sum
   }
 
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
+  /** Whitespace tokenize: the non-empty elements of `text.split("\\s+",
+    * -1)` — bit-identical to the Column composition `filter(split(text,
+    * "\\s+"), t => t =!= "")` (Spark's StringSplit delegates to
+    * `String.split(regex, -1)`, i.e. the same java.util.regex Pattern
+    * semantics as this kernel), but the empty-token filter runs inside the
+    * same JVM pass instead of an interpreted ArrayFilter lambda per token
+    * per document — the tokenize step of EVERY text query. */
+  def tokensOf(text: UTF8String): ArrayData = {
+    val parts = Whitespace.split(text.toString, -1)
+    var n = 0
+    var i = 0
+    while (i < parts.length) {
+      if (!parts(i).isEmpty) n += 1
+      i += 1
+    }
+    val out = new Array[AnyRef](n)
+    var j = 0
+    i = 0
+    while (i < parts.length) {
+      if (!parts(i).isEmpty) {
+        out(j) = UTF8String.fromString(parts(i))
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Per-code-point character symbols of a word — BPE's layer-0
+    * segmentation, fused (replaces `transform(sequence(1, length(w)), i =>
+    * w.substr(i, 1))`, an interpreted lambda + substr per character per
+    * word). Identical for any non-empty word (the only callers feed
+    * non-empty tokens); "" yields the empty array. */
+  def charSymbols(w: UTF8String): ArrayData = {
+    val str = w.toString
+    val n = str.codePointCount(0, str.length)
+    val out = new Array[AnyRef](n)
+    var i = 0
+    var j = 0
+    while (j < n) {
+      val cp = str.codePointAt(i)
+      out(j) = UTF8String.fromString(new String(Character.toChars(cp)))
+      i += Character.charCount(cp)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Apply a sequence of BPE merges to a symbol array, each one
+    * LEFTMOST-GREEDILY in a single left-to-right pass — bit-identical to
+    * the `aggregate` HOF fold it replaces ([[graft.ops.TextAnalysis
+    * .bpeMergeExpr]]): position j merges into the output's last symbol
+    * exactly when that last symbol equals lhs(m) and the incoming one
+    * equals rhs(m), which reproduces sequential scanning including the
+    * lhs==rhs overlapping-run case ("a a a a" + (a,a) → [aa, aa], because
+    * the first merge's output no longer equals "a"). One JVM loop per
+    * merge over the word's symbols — versus one interpreted
+    * HigherOrderFunction evaluation per SYMBOL per merge (array slice +
+    * concat allocations per step). Null symbols (impossible from
+    * [[graft.ops.TextAnalysis.charSyms]], possible in a hand-built array)
+    * pass through unmerged, like the fold's null-comparison `otherwise`
+    * branch. */
+  def bpeMergeAll(syms: ArrayData, lhs: Array[UTF8String],
+                  rhs: Array[UTF8String],
+                  merged: Array[UTF8String]): ArrayData = {
+    val n = syms.numElements()
+    val cur = new Array[UTF8String](n)
+    var len = n
+    var i = 0
+    while (i < n) {
+      cur(i) = if (syms.isNullAt(i)) null else syms.getUTF8String(i)
+      i += 1
+    }
+    var m = 0
+    while (m < lhs.length) {
+      val a = lhs(m); val b = rhs(m); val ab = merged(m)
+      var out = 0
+      var j = 0
+      while (j < len) {
+        val x = cur(j)
+        if (out > 0 && x != null && cur(out - 1) != null &&
+            cur(out - 1).equals(a) && x.equals(b))
+          cur(out - 1) = ab
+        else { cur(out) = x; out += 1 }
+        j += 1
+      }
+      len = out
+      m += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(cur.asInstanceOf[Array[AnyRef]], len))
+  }
+
+  /** Adjacent (l, r) symbol pairs of a word — the BPE trainer's pair
+    * relation, one struct row per adjacent position, as a single JVM pass
+    * (replaces `transform(sequence(0, n−2), i => struct(element_at(…)))`,
+    * an interpreted lambda + two element_at per position per word per
+    * iteration). n < 2 yields the empty array, like the `when` guard. */
+  def bpeAdjacentPairs(syms: ArrayData): ArrayData = {
+    val n = syms.numElements()
+    if (n < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        if (syms.isNullAt(i)) null else syms.getUTF8String(i),
+        if (syms.isNullAt(i + 1)) null else syms.getUTF8String(i + 1))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** 30-bit SimHash over a hash array: bit j set iff Σ over hashes of
     * (2·bit_j − 1) is positive. */
   def simHashBits(hashes: ArrayData): Long = {
@@ -191,6 +307,99 @@ case class NgramWeightSum(child: Expression, weights: Seq[Double], dim: Int)
   override protected def withNewChildInternal(newChild: Expression): NgramWeightSum =
     copy(child = newChild)
   override def prettyName: String = "ngram_weight_sum"
+}
+
+/** tokens_of(string) → array<string>: whitespace tokenize, empties dropped,
+  * in one codegen'd call. */
+case class TokensOf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"tokens_of expects string, got ${t.sql}")
+  }
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.tokensOf(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextKernels.tokensOf($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokensOf =
+    copy(child = newChild)
+  override def prettyName: String = "tokens_of"
+}
+
+/** char_symbols(string) → array<string>: per-code-point symbols. */
+case class CharSymbols(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_symbols expects string, got ${t.sql}")
+  }
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.charSymbols(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextKernels.charSymbols($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharSymbols =
+    copy(child = newChild)
+  override def prettyName: String = "char_symbols"
+}
+
+/** bpe_merge_all(array<string>) → array<string>: apply the merge table in
+  * order, each merge leftmost-greedily, in one codegen'd call. Merges ride
+  * as Seq[String] fields (value equality keeps plan canonicalization
+  * sound) and reach generated code via addReferenceObj as UTF8String
+  * arrays, so the hot loop never re-encodes the literals. */
+case class BpeMergeAll(child: Expression, lhs: Seq[String], rhs: Seq[String])
+    extends UnaryExpression {
+  require(lhs.length == rhs.length && lhs.nonEmpty,
+    s"bpe_merge_all needs aligned non-empty merge sides, got " +
+      s"${lhs.length}/${rhs.length}")
+  @transient private lazy val lhsArr: Array[UTF8String] =
+    lhs.map(UTF8String.fromString).toArray
+  @transient private lazy val rhsArr: Array[UTF8String] =
+    rhs.map(UTF8String.fromString).toArray
+  @transient private lazy val mergedArr: Array[UTF8String] =
+    lhs.lazyZip(rhs).map((a, b) => UTF8String.fromString(a + b)).toArray
+  override def dataType: DataType = ArrayType(StringType)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_merge_all expects array<string>, got ${t.sql}")
+  }
+  override def nullSafeEval(syms: Any): Any =
+    TextKernels.bpeMergeAll(syms.asInstanceOf[ArrayData], lhsArr, rhsArr,
+      mergedArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = "org.apache.spark.unsafe.types.UTF8String[]"
+    val l = ctx.addReferenceObj("bpeLhs", lhsArr, cls)
+    val r = ctx.addReferenceObj("bpeRhs", rhsArr, cls)
+    val m = ctx.addReferenceObj("bpeMerged", mergedArr, cls)
+    defineCodeGen(ctx, ev,
+      c => s"graft.expr.TextKernels.bpeMergeAll($c, $l, $r, $m)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeMergeAll =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_merge_all"
+}
+
+/** bpe_adjacent_pairs(array<string>) → array<struct<l:string,r:string>>:
+  * the trainer's adjacent-pair relation in one codegen'd call. */
+case class BpeAdjacentPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("l", StringType), StructField("r", StringType))),
+    containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_adjacent_pairs expects array<string>, got ${t.sql}")
+  }
+  override def nullSafeEval(syms: Any): Any =
+    TextKernels.bpeAdjacentPairs(syms.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextKernels.bpeAdjacentPairs($c)")
+  override protected def withNewChildInternal(newChild: Expression): BpeAdjacentPairs =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_adjacent_pairs"
 }
 
 /** simhash30(array<long>) → long. */

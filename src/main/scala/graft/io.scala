@@ -8,6 +8,29 @@ import org.apache.spark.sql.functions._
   */
 object Io {
 
+  /** Target output-file size for artifact writes (guide §6: 128 MB–1 GB;
+    * the low end — index relations compress well and the measured footprint
+    * below is the UNCOMPRESSED in-memory size, so files land under this).
+    * Env-overridable so a deployment can match its storage's sweet spot. */
+  private[graft] val TargetFileBytes: Long =
+    sys.env.get("SPARK_GRAFT_TARGET_FILE_BYTES").map(_.toLong)
+      .getOrElse(128L << 20)
+
+  /** Output partition count for a relation of MEASURED `bytes` about to be
+    * written: ceil(bytes / target), at least 1, never more than the plan's
+    * own `current` parallelism (coalesce cannot widen, and a corpus-sized
+    * relation must keep its full write parallelism). Unknown footprint
+    * (bytes ≤ 0) keeps `current` — never guess smaller than the plan.
+    * Pure function so the partition math is spec-testable at both tiny and
+    * large stats (VERDICT r14 #5). */
+  private[graft] def outputPartitionsFor(bytes: Long, current: Int,
+      targetBytes: Long = TargetFileBytes): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    if (bytes <= 0 || current <= 1) math.max(1, current)
+    else math.max(1, math.min(current.toLong,
+      (bytes + targetBytes - 1) / targetBytes).toInt)
+  }
+
   /** S1 — newline-separated ISO dates file → Dataset[Date]
     * (reference: pipeline.py:331-333 ReadFromText + fromisoformat). Invalid
     * lines fail the job like `date.fromisoformat` raises — `to_date` under
@@ -291,17 +314,37 @@ object Io {
     // submit both write jobs concurrently (optimization guide §2.6:
     // actions are only sequential because the driver calls them
     // sequentially) so each leg's straggler/commit tail back-fills the
-    // other: wall ≈ max(leg) instead of sum. Await.result rethrows a
-    // failed leg's exception on the caller thread.
+    // other: wall ≈ max(leg) instead of sum.
+    //
+    // Each leg is materialized first (Bridge.materialized — the write then
+    // streams blocks instead of recomputing the union/semi-join lineage, a
+    // wash cost-wise) so the MEASURED footprint can size the output files
+    // (guide §6: aim for 100 MB–1 GB files, never shuffle-partition-count
+    // shards of a few KB): coalesce to ceil(bytes / target), capped at the
+    // plan's own partition count — scale-adaptive by construction, a
+    // corpus-sized index keeps its full write parallelism.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    Seq(
-      Future(index.lexical.write.mode("overwrite")
-        .parquet(s"$dir/lex-index.parquet")),
-      Future(index.semantic.write.mode("overwrite")
-        .parquet(s"$dir/sem-index.parquet")))
-      .foreach(Await.result(_, Duration.Inf))
+    def writeLeg(df: DataFrame, path: String): Unit = {
+      val (out, rdd) = org.apache.spark.sql.graftbridge.Bridge.materialized(df)
+      try {
+        val n = outputPartitionsFor(
+          org.apache.spark.sql.graftbridge.Bridge.storageBytes(rdd),
+          rdd.getNumPartitions)
+        out.coalesce(n).write.mode("overwrite").parquet(path)
+      } finally rdd.unpersist(blocking = false)
+    }
+    val legs = Seq(
+      Future(writeLeg(index.lexical, s"$dir/lex-index.parquet")),
+      Future(writeLeg(index.semantic, s"$dir/sem-index.parquet")))
+    // Await BOTH legs before surfacing a failure (ADVICE r14): Await.result
+    // on the first future rethrows while the sibling write may still be
+    // mutating its output path — a caller's cleanup/retry would then race
+    // a detached in-flight job. Await.ready never throws; the result pass
+    // after it surfaces the first failure with nothing left running.
+    legs.foreach(Await.ready(_, Duration.Inf))
+    legs.foreach(Await.result(_, Duration.Inf))
     index.meta.foreach { m =>
       val conf = index.lexical.sparkSession.sessionState.newHadoopConf()
       val p = new Path(s"$dir/index-meta.csv")

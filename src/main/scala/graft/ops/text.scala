@@ -25,8 +25,15 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans"))
 
   /** Whitespace tokens with empties removed. */
+  /** Whitespace tokens, empties dropped — ONE codegen'd kernel call
+    * ([[graft.expr.TokensOf]]); formerly `filter(split(text, "\\s+"), t =>
+    * t =!= "")`, whose ArrayFilter lambda is interpreted per token per
+    * document in every text query (ExprSpec pins bit-equality to that
+    * composition). */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= "")
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expr.TokensOf(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text)))
 
   /** Polynomial rolling hash of a string: fold (acc*31 + codepoint) % P.
     * Codegen'd kernel ([[graft.expr.PolyHash]]); the equivalent built-in
@@ -679,9 +686,11 @@ object TextAnalysis {
     * (count DESC, then lexicographic (lhs, rhs) — fully deterministic)
     * everywhere LEFTMOST-GREEDILY, and repeats on the merged symbols.
     *
-    * The merge application is a per-word left fold (`aggregate` HOF): the
-    * pair merges exactly when the accumulator's LAST symbol is `lhs` and
-    * the incoming one is `rhs` — which reproduces sequential leftmost
+    * The merge application is a per-word leftmost-greedy pass (the fused
+    * [[graft.expr.BpeMergeAll]] kernel — formerly an interpreted
+    * `aggregate` HOF with identical accumulator semantics): the pair
+    * merges exactly when the output's LAST symbol is `lhs` and the
+    * incoming one is `rhs` — which reproduces sequential leftmost
     * scanning including the overlapping-run case ("a a a a" with merge
     * (a,a) → [aa, aa], because the first merge's output "aa" no longer
     * equals "a").
@@ -701,25 +710,43 @@ object TextAnalysis {
     * the incoming one is `b` (reproduces sequential scanning including
     * the a==b overlapping-run case). */
   private[ops] def bpeMergeExpr(syms: Column, a: String, b: String): Column =
-    aggregate(syms, array().cast("array<string>"), (acc, x) =>
-      when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-        .otherwise(concat(acc, array(x))))
+    bpeMergeAllExpr(syms, Seq((a, b)))
 
-  /** Character symbols of a word — BPE's layer-0 segmentation. */
+  /** Apply a WHOLE merge table in one codegen'd kernel call
+    * ([[graft.expr.BpeMergeAll]]) — bit-identical to folding
+    * [[bpeMergeExpr]] per merge (the kernel replays the same leftmost-
+    * greedy accumulator semantics, OpsSpec pins the equivalence), but one
+    * fused JVM loop instead of one interpreted `aggregate`
+    * HigherOrderFunction per merge per word (VERDICT r14 #4: the last
+    * interpreted expression in a hot projection). */
+  private[ops] def bpeMergeAllExpr(syms: Column,
+                                   merges: Seq[(String, String)]): Column =
+    if (merges.isEmpty) syms
+    else org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expr.BpeMergeAll(
+        org.apache.spark.sql.graftbridge.Bridge.expression(syms),
+        merges.map(_._1), merges.map(_._2)))
+
+  /** Character symbols of a word — BPE's layer-0 segmentation, fused
+    * ([[graft.expr.CharSymbols]]; formerly `transform(sequence(1,
+    * length(w)), i => w.substr(i, 1))`, an interpreted lambda per
+    * character per vocab word per pass). */
   private[ops] def charSyms(w: Column): Column =
-    transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expr.CharSymbols(
+        org.apache.spark.sql.graftbridge.Bridge.expression(w)))
 
   def bpeTrain(docs: org.apache.spark.sql.DataFrame, nMerges: Int): org.apache.spark.sql.DataFrame = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val spark = docs.sparkSession
     import org.apache.spark.storage.StorageLevel
+    // adjacent pairs via the fused kernel (one JVM pass per word) — the
+    // transform+element_at composition paid an interpreted lambda per
+    // position per word per iteration
     def pairsOf(syms: Column): Column =
-      when(size(syms) >= 2,
-        transform(sequence(lit(0), size(syms) - 2), i =>
-          struct(element_at(syms, i + 1).as("l"),
-            element_at(syms, i + 2).as("r"))))
-        .otherwise(array().cast("array<struct<l:string,r:string>>"))
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.expr.BpeAdjacentPairs(
+          org.apache.spark.sql.graftbridge.Bridge.expression(syms)))
     def mergeExpr(syms: Column, a: String, b: String): Column =
       bpeMergeExpr(syms, a, b)
     var vocab = docs
@@ -728,6 +755,14 @@ object TextAnalysis {
       .select(col("cnt"), charSyms(col("w")).as("syms"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    // The parent vocab's pin is dropped LAZILY — one iteration later, right
+    // after the pair-count collect has materialized the child's cache from
+    // the parent's blocks. The former eager shape (next.count() then
+    // unpersist parent) paid one extra materialization job per iteration,
+    // plus a full merge-apply pass for the FINAL vocab, which nothing ever
+    // reads (its merge table is already collected). Same merge table, one
+    // action per iteration instead of two.
+    var parent: Option[org.apache.spark.sql.DataFrame] = None
     var exhausted = false
     for (it <- 1 to nMerges if !exhausted) {
       val top = vocab
@@ -736,6 +771,10 @@ object TextAnalysis {
         .agg(sum("cnt").as("n"))
         .orderBy(col("n").desc, col("l").asc, col("r").asc)
         .limit(1).collect()
+      // the collect above materialized `vocab`'s cache — the parent's
+      // blocks have served their one consumer and can go
+      parent.foreach(_.unpersist(blocking = false))
+      parent = None
       if (top.isEmpty) exhausted = true
       else {
         val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
@@ -743,11 +782,11 @@ object TextAnalysis {
         val next = vocab
           .withColumn("syms", mergeExpr(col("syms"), a, b))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before dropping the parent pin
-        vocab.unpersist()
+        parent = Some(vocab)
         vocab = next
       }
     }
+    parent.foreach(_.unpersist(blocking = false))
     vocab.unpersist()
     import spark.implicits._
     merges.toSeq.toDF("iter", "lhs", "rhs", "merged", "n")
@@ -771,10 +810,9 @@ object TextAnalysis {
   def bpeSegment(docs: org.apache.spark.sql.DataFrame,
                  merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
     val vocab0 = docs.select(explode(tokens(col("text"))).as("w")).distinct()
-    val seg = merges
-      .foldLeft(vocab0.select(col("w"), charSyms(col("w")).as("syms"))) {
-        case (df, (a, b)) => df.withColumn("syms", bpeMergeExpr(col("syms"), a, b))
-      }
+    val seg = vocab0
+      .select(col("w"),
+        bpeMergeAllExpr(charSyms(col("w")), merges).as("syms"))
       .select(col("w"), size(col("syms")).cast("long").as("n_syms"),
         length(col("w")).cast("long").as("n_chars"))
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
@@ -1038,9 +1076,7 @@ object TextAnalysis {
                        merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
     val toks = tokens(col("text"))
     def segSize(w: Column): Column =
-      size(merges.foldLeft(charSyms(w)) {
-        case (syms, (a, b)) => bpeMergeExpr(syms, a, b)
-      }).cast("long")
+      size(bpeMergeAllExpr(charSyms(w), merges)).cast("long")
     docs
       .withColumn("__nw", size(toks).cast("long"))
       .filter(col("__nw") > 0)

@@ -13,7 +13,7 @@ import org.apache.spark.storage.StorageLevel
   * them from inside the sql package — the standard pattern for extension
   * libraries shipping native expressions.
   */
-object Bridge {
+object Bridge extends org.apache.spark.internal.Logging {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
@@ -69,11 +69,23 @@ object Bridge {
                        level: StorageLevel = StorageLevel.MEMORY_AND_DISK)
       : DataFrame = {
     val (out, rdd) = materialized(df, level)
-    val threshold = org.apache.spark.sql.internal.SQLConf.get
-      .autoBroadcastJoinThreshold
+    // Threshold from the DataFrame's OWN session, not SQLConf.get: the
+    // thread-local active session is not inherited by scala global-EC
+    // Future threads (q153 submits materializations from futures), where
+    // SQLConf.get silently falls back to the default conf — ignoring a
+    // session that raised the threshold, or one that disabled broadcasting
+    // with -1 (ADVICE r14 medium). This is deterministic per session
+    // regardless of the calling thread.
+    val threshold = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.conf.autoBroadcastJoinThreshold
     val bytes = storageBytes(rdd)
-    if (threshold > 0 && bytes > 0 && bytes <= threshold)
+    // Log the measured-bytes decision (ADVICE r14: make threshold-edge
+    // plan flips diagnosable — the "no silent caps" discipline).
+    if (threshold > 0 && bytes > 0 && bytes <= threshold) {
+      logInfo(s"materializedAuto: ${bytes} B <= threshold ${threshold} B " +
+        "- broadcast hint attached")
       out.hint("broadcast")
-    else out
+    } else out
   }
 }

@@ -39,6 +39,76 @@ class ExprSpec extends SparkSpec {
     got.collect().foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
 
+  test("tokens_of kernel equals filter(split) incl. schema, whitespace runs, empties") {
+    val df = Seq("a b  c", " leading", "trailing ", "", "   ", "one",
+      "tab\tsep\nand newline").toDF("t")
+    val old = df.select(filter(split(col("t"), "\\s+"), x => x =!= "").as("toks"))
+    val knl = df.select(graft.ops.TextAnalysis.tokens(col("t")).as("toks"))
+    assert(knl.schema == old.schema) // incl. element containsNull
+    assert(knl.as[Seq[String]].collect().toSeq ==
+      old.as[Seq[String]].collect().toSeq)
+  }
+
+  test("char_symbols kernel equals the transform/substr composition on non-empty words") {
+    val df = Seq("a", "ab", "héllo", "x y").toDF("w")
+    val old = df.select(transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1))).as("cs"))
+    val knl = df.select(
+      org.apache.spark.sql.graftbridge.Bridge.column(graft.expr.CharSymbols(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("w")))).as("cs"))
+    assert(knl.as[Seq[String]].collect().toSeq ==
+      old.as[Seq[String]].collect().toSeq)
+  }
+
+  test("bpe_merge_all kernel equals the interpreted aggregate fold per merge") {
+    // the exact fold BpeMergeAll replaced (graft.ops.TextAnalysis
+    // .bpeMergeExpr's former body) — kept here as the reference semantics
+    def foldMerge(syms: org.apache.spark.sql.Column, a: String, b: String) =
+      aggregate(syms, array().cast("array<string>"), (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+    val merges = Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+    val df = Seq(
+      Seq("a", "a", "a", "a"),           // overlapping run: -> [aa, aa] -> [aaaa as (aa,aa)? no merge for that] stays [aa, aa]
+      Seq("a", "a", "a", "b"),           // -> [aa, a, b] -> [aa, ab] -> [aaab]
+      Seq("a", "b"),                     // -> [ab]
+      Seq("b", "a", "b", "a", "a", "b"), // mixed positions
+      Seq("x"),                          // no merge applies
+      Seq.empty[String]                  // empty word
+    ).toDF("syms")
+    val kernel = df.select(
+      org.apache.spark.sql.graftbridge.Bridge.column(graft.expr.BpeMergeAll(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("syms")),
+        merges.map(_._1), merges.map(_._2))).as("out"))
+      .as[Seq[String]].collect().toSeq
+    val fold = df.select(
+      merges.foldLeft(col("syms")) { case (c, (a, b)) => foldMerge(c, a, b) }
+        .as("out"))
+      .as[Seq[String]].collect().toSeq
+    assert(kernel == fold)
+    assert(kernel(1) == Seq("aaab")) // the chained-merge hand check
+  }
+
+  test("bpe_adjacent_pairs kernel equals the transform/element_at composition") {
+    val df = Seq(Seq("a", "b", "c"), Seq("x"), Seq.empty[String])
+      .toDF("syms")
+    val kernel = df.select(
+      org.apache.spark.sql.graftbridge.Bridge.column(graft.expr.BpeAdjacentPairs(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("syms"))))
+        .as("p"))
+      .as[Seq[(String, String)]].collect().toSeq
+    val hof = df.select(
+      when(size(col("syms")) >= 2,
+        transform(sequence(lit(0), size(col("syms")) - 2), i =>
+          struct(element_at(col("syms"), i + 1).as("l"),
+            element_at(col("syms"), i + 2).as("r"))))
+        .otherwise(array().cast("array<struct<l:string,r:string>>")).as("p"))
+      .as[Seq[(String, String)]].collect().toSeq
+    assert(kernel == hof)
+    assert(kernel.head == Seq(("a", "b"), ("b", "c")))
+  }
+
   test("dot product kernel equals the zip_with/aggregate fold bit-for-bit") {
     val df = Seq((Seq(0.1, -2.5, 3.25), Seq(4.0, 0.5, -1.25))).toDF("a", "b")
     val kernel = df.select(

@@ -260,6 +260,44 @@ class IoSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("outputPartitionsFor: size-aware write coalesce math at tiny and large stats") {
+    val target = 128L << 20
+    // tiny relation, wide plan: everything fits one target file
+    assert(Io.outputPartitionsFor(1L << 20, 32, target) == 1)
+    // exactly one target: one file
+    assert(Io.outputPartitionsFor(target, 32, target) == 1)
+    // one byte over a boundary rounds UP
+    assert(Io.outputPartitionsFor(3 * target + 1, 32, target) == 4)
+    // corpus-sized relation: never coalesce below the plan's parallelism
+    assert(Io.outputPartitionsFor(100L << 40, 32, target) == 32)
+    // unknown footprint keeps the plan's parallelism; degenerate inputs
+    assert(Io.outputPartitionsFor(0L, 32, target) == 32)
+    assert(Io.outputPartitionsFor(-1L, 32, target) == 32)
+    assert(Io.outputPartitionsFor(5L << 20, 0, target) == 1)
+    assert(Io.outputPartitionsFor(1L << 50, 1, target) == 1)
+  }
+
+  test("writeReleaseIndex coalesces small relations to few files, round-trips") {
+    val dir = tmpDir()
+    val docs = spark.range(200).select(col("id").as("doc_id"),
+      concat(lit("alpha beta gamma delta token"), col("id").cast("string"))
+        .as("text"))
+    val emb = spark.range(200).select(col("id").as("vec_id"),
+      array(col("id").cast("double"), lit(1.0), lit(2.0)).as("embedding"))
+    val ix = graft.ops.Curation.buildReleaseIndex(docs, emb)
+    Io.writeReleaseIndex(ix, s"$dir/ix")
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    // a few-KB relation must land in ONE file, not shuffle.partitions many
+    assert(parts(s"$dir/ix/lex-index.parquet") == 1)
+    assert(parts(s"$dir/ix/sem-index.parquet") == 1)
+    val back = Io.readReleaseIndex(spark, s"$dir/ix")
+    assert(back.lexical.count() == ix.lexical.count())
+    assert(back.semantic.count() == ix.semantic.count())
+    assert(back.meta == ix.meta)
+    spark.catalog.clearCache()
+  }
+
   test("S2: date-range scan pushes the predicate to the parquet source") {
     val df = Io.scanDateRange(spark, "/root/testdata/sf0.001/orders.parquet",
       "o_orderdate", "1995-01-01", "1995-02-01")
