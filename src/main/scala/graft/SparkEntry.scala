@@ -3849,16 +3849,23 @@ object SparkEntry {
         // parquet between generations (the x_delta probes do exactly
         // that); here the in-session equivalent is one flat materialized
         // boundary. Same for the in-memory prior index relations, which
-        // updateReleaseIndex consumes twice each (kept semi-join + union)
-        // and which a deployment restores from parquet anyway (q148).
+        // the gen-1 re-cut's cross legs and updateReleaseIndex both
+        // consume and which a deployment restores from parquet anyway
+        // (q148).
         def m(df: DataFrame): DataFrame = org.apache.spark.sql.graftbridge
           .Bridge.materializedAuto(df,
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // The gen-1 re-cut and the gen-0 index build are INDEPENDENT
-        // plans (d1 reads the delta fixture, ix0 only prevDocs/priorIds)
-        // — submit both from driver threads (optimization guide §2.6) so
-        // the index build back-fills the re-cut chain's straggler tails
-        // instead of serializing after it.
+        // Shared prep across the generation chain (VERDICT r14 #1):
+        //  - the gen-1 re-cut runs AGAINST ix0 (bit-identical results —
+        //    q147 and q148 pin indexed ≡ non-indexed on this very fixture
+        //    through one shared oracle), so the chain never re-hashes the
+        //    retained corpus that ix0 already carries;
+        //  - the (prevDocs → curDocs) fingerprint status frame is computed
+        //    ONCE and shared by the gen-1 chain and updateReleaseIndex
+        //    (each used to re-scan both snapshots).
+        // ix0's legs and the status frame are INDEPENDENT plans — submit
+        // them from driver threads (guide §2.6) so they back-fill each
+        // other; the gen-1 re-cut consumes both.
         val priorIds = prevAssign.select("doc_id")
         val ix0raw = Curation.buildReleaseIndex(
           prevDocs.join(priorIds, "doc_id"),
@@ -3867,15 +3874,18 @@ object SparkEntry {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         import scala.concurrent.ExecutionContext.Implicits.global
-        val d1F = Future(m(Curation.deltaReleaseAssignments(prevAssign,
-          prevDocs, curDocs, curEmb, deltaTokenBudget = 3000,
-          packBudget = 256, packShards = 2, outShards = 4)))
         val ix0F = Future(graft.ops.ReleaseDedupIndex(
           m(ix0raw.lexical), m(ix0raw.semantic), ix0raw.meta))
-        val d1 = Await.result(d1F, Duration.Inf)
+        val statusF = Future(m(graft.ops.Profile.corpusDelta(
+          prevDocs, curDocs, "doc_id", Seq("text"))))
         val ix0 = Await.result(ix0F, Duration.Inf)
+        val status01 = Await.result(statusF, Duration.Inf)
+        val d1 = m(Curation.deltaReleaseAssignments(prevAssign,
+          prevDocs, curDocs, curEmb, deltaTokenBudget = 3000,
+          packBudget = 256, packShards = 2, outShards = 4,
+          index = Some(ix0), sharedDelta = Some(status01)))
         val ix1 = Curation.updateReleaseIndex(ix0, d1, prevDocs, curDocs,
-          curEmb)
+          curEmb, sharedDelta = Some(status01))
         val path = s"/tmp/graft_gen2_index_${Integer.toHexString(dir.hashCode)}"
         Io.writeReleaseIndex(ix1, path)
         val (cur2Docs, cur2Emb) = gen2DeltaFixture(s, dir, curDocs, curEmb)

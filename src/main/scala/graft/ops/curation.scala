@@ -125,12 +125,21 @@ object Curation {
     * oracle), at delta cost instead of corpus cost. Parameters must match
     * the prior index's [[IndexMeta]] — a mismatch would union
     * incompatible signatures and silently under-dedup. */
+  /** `sharedDelta`: the weekly loop's re-cut already computed (and the
+    * caller typically materialized) exactly the
+    * `Profile.corpusDelta(prevDocs, curDocs, "doc_id", Seq("text"))`
+    * status frame this update needs — pass it to skip the two corpus-
+    * sized fingerprint re-scans (the [[graft.ops.Profile
+    * .sourceStatsDelta]] sharedDelta discipline). The caller GUARANTEES
+    * it equals that expression's result; results are bit-identical by
+    * construction. */
   def updateReleaseIndex(prior: ReleaseDedupIndex, newAssign: DataFrame,
                          prevDocs: DataFrame, curDocs: DataFrame,
                          curEmbeddings: DataFrame,
                          minhashThreshold: Double = 0.5,
                          shingleK: Int = 3,
-                         srpSeed: Long = 42L): ReleaseDedupIndex = {
+                         srpSeed: Long = 42L,
+                         sharedDelta: Option[DataFrame] = None): ReleaseDedupIndex = {
     val meta = IndexMeta(minhashThreshold, shingleK, srpSeed)
     prior.meta.foreach(m => require(m == meta,
       s"updateReleaseIndex parameter mismatch: prior index was built " +
@@ -145,7 +154,8 @@ object Curation {
     // (measured on the q153 gate: updateReleaseIndex + write dropped ~2×).
     val ids = mat(newAssign.select("doc_id"))
     val reuseIds = mat(ids.join(
-      Profile.corpusDelta(prevDocs, curDocs, "doc_id", Seq("text"))
+      sharedDelta.getOrElse(
+          Profile.corpusDelta(prevDocs, curDocs, "doc_id", Seq("text")))
         .filter(col("status") === "unchanged").select("doc_id"),
       Seq("doc_id"), "left_semi"))
     val keptLex = prior.lexical.join(reuseIds, Seq("doc_id"), "left_semi")
@@ -407,7 +417,8 @@ object Curation {
                               semanticThreshold: Double = 0.9,
                               contamShingleK: Int = 8,
                               generation: String = "d1",
-                              index: Option[ReleaseDedupIndex] = None): DataFrame = {
+                              index: Option[ReleaseDedupIndex] = None,
+                              sharedDelta: Option[DataFrame] = None): DataFrame = {
     require(outShards >= 1, s"outShards must be >= 1, got $outShards")
     // A restored index must have been built under the parameters THIS
     // re-cut dedups at (ADVICE r13 medium): the cross legs below consume
@@ -456,8 +467,12 @@ object Curation {
     // freed by the ContextCleaner once the returned frame is discarded
     // (the verify/bench lifecycle), or by a caller holding no reference.
     // (`mat` is the object-level shared helper.)
-    val status = mat(
-      Profile.corpusDelta(prevDocs, curDocs, "doc_id", Seq("text")))
+    // `sharedDelta` (same contract as updateReleaseIndex / sourceStatsDelta):
+    // a caller that already computed-and-materialized THIS corpusDelta
+    // frame passes it in, skipping the chain's two corpus-sized fingerprint
+    // scans — the caller guarantees it equals the expression below.
+    val status = sharedDelta.getOrElse(mat(
+      Profile.corpusDelta(prevDocs, curDocs, "doc_id", Seq("text"))))
     val retained = mat(prevAssign.join(
       status.filter(col("status") === "unchanged").select("doc_id"), "doc_id"))
     // the shipped docs the delta dedups against, with their (identical-
@@ -500,9 +515,14 @@ object Curation {
     val semCross = mat(lexSurv.join(semHits, Seq("doc_id"), "left_anti"))
     val semEmb = curEmbeddings.join(
       semCross.select(col("doc_id").as("vec_id")), "vec_id")
-    val admitted = mat(semCross.join(
+    // admitted has ONE consumer (the budget cut), whose running-sum
+    // primitive pins its own input across the range-sampling double pass —
+    // a mat() here would only add a redundant materialization job (the
+    // SemDeDup labels behind the keep relation are already eager and
+    // RDD-backed, so the plan stays boundary-sized without it)
+    val admitted = semCross.join(
       Similarity.semanticDedupLsh(semCross, semEmb, semanticThreshold)
-        .filter(col("keep") === 1).select("doc_id"), "doc_id"))
+        .filter(col("keep") === 1).select("doc_id"), "doc_id")
     val sel = Sampling.tokenBudgetSelect(admitted, deltaTokenBudget)
     val selDocs = cand.join(sel.select("doc_id"), "doc_id")
     val packs = Packing.packDocuments(selDocs, packBudget, "lang", packShards)

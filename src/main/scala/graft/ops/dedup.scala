@@ -764,18 +764,23 @@ object Dedup {
       .select(col("doc_id"), explode(col("shingles")).as("h"))
     val trPruned = bloomFpp match {
       case Some(fpp) =>
-        // the distinct benchmark hashes feed the count and the bloom build
-        // back to back — persist across those two jobs, then UNPERSIST
-        // eagerly: Dataset.persist entries are pinned by the CacheManager
-        // (not ContextCleaner-managed), so leaving it cached would
-        // accumulate one benchmark-sized relation per call in a long-lived
-        // session. The exact join below recomputes bm from lineage — it is
-        // benchmark-sized by contract, the cheap side of this operator.
-        val bmP = bm.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val bloom = try {
-          val n = math.max(1L, bmP.count())
-          bmP.stat.bloomFilter("h", n, fpp)
-        } finally bmP.unpersist()
+        // Bloom sizing + build WITHOUT the distinct exchange or a pinned
+        // relation (the former shape persisted the distinct hashes across
+        // a count job and the build): insertion is idempotent, so building
+        // over the NON-distinct exploded hashes yields the identical
+        // member set, and expectedNumItems only needs an UPPER BOUND on
+        // the distinct count — the map-only per-doc set-size sum is one
+        // (per-doc sets are distinct; cross-doc repeats only overcount).
+        // One narrow 1-row aggregate + one build scan, no shuffle, no
+        // persist bookkeeping; the bound can only LOWER the realized fpp,
+        // and false positives only pass extra rows to the exact join —
+        // results identical (OpsSpec pins bloom-on ≡ bloom-off).
+        val bmSets = shingleSets(benchmark, k)
+        val nUB = math.max(1L, Option(bmSets
+            .agg(sum(size(col("shingles")))).head().get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L))
+        val bloom = bmSets.select(explode(col("shingles")).as("h"))
+          .stat.bloomFilter("h", nUB, fpp)
         tr.filter(org.apache.spark.sql.graftbridge.Bridge.column(
           graft.expr.BloomMightContainLong(
             org.apache.spark.sql.graftbridge.Bridge.expression(col("h")), bloom)))

@@ -118,16 +118,20 @@ object Similarity {
                           simLo: Double, simHi: Double,
                           bands: Int = 32, seed: Long = 42L): DataFrame = {
     require(simLo < simHi, s"need simLo < simHi, got [$simLo, $simHi)")
-    val cChunks = srpChunks(corpus, bands, seed)
-    val qChunks = srpChunks(queries, bands, seed)
-    val candidates = qChunks.as("q").join(cChunks.as("c"),
+    // each side evaluated + SRP-hashed once for its bucket and verify legs
+    val c = semPrepped(corpus, seed)
+    val q = semPrepped(queries, seed)
+    val candidates = chunksOfSigs(q.select(col("id"), col("__sig")), bands).as("q")
+      .join(chunksOfSigs(c.select(col("id"), col("__sig")), bands).as("c"),
         col("q.band") === col("c.band") && col("q.chunk") === col("c.chunk") &&
           col("q.id") =!= col("c.id"))
       .select(col("q.id").as("q_id"), col("c.id").as("c_id"))
       .distinct()
     val joined = candidates
-      .join(prep(queries, "q_"), "q_id")
-      .join(prep(corpus, "c_"), "c_id")
+      .join(q.select(col("id").as("q_id"), col("emb").as("q_emb"),
+        col("norm").as("q_norm")), "q_id")
+      .join(c.select(col("id").as("c_id"), col("emb").as("c_emb"),
+        col("norm").as("c_norm")), "c_id")
       .withColumn("sim", dotD(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
       .filter(graft.Num.rnd(col("sim"), 9) >= simLo &&
         graft.Num.rnd(col("sim"), 9) < simHi)
@@ -285,16 +289,24 @@ object Similarity {
   def semanticContaminatedLsh(train: DataFrame, benchmark: DataFrame,
                               threshold: Double, bands: Int = 8,
                               seed: Long = 42L): DataFrame = {
-    val candBand = srpChunks(train, bands, seed).as("t")
-      .join(srpChunks(benchmark, bands, seed).as("b"),
+    // each side evaluated + SRP-hashed ONCE for its three legs (band
+    // chunks, signature join, verify side); pins follow the module's
+    // lazy-return cache contract (caller clearCache / ContextCleaner)
+    val t = semPrepped(train, seed)
+    val b = semPrepped(benchmark, seed)
+    val candBand = chunksOfSigs(t.select(col("id"), col("__sig")), bands).as("t")
+      .join(chunksOfSigs(b.select(col("id"), col("__sig")), bands).as("b"),
         col("t.band") === col("b.band") && col("t.chunk") === col("b.chunk"))
       .select(col("t.id").as("a_id"), col("b.id").as("b_id"))
-    val candSig = srpSigs(train, seed).as("t")
-      .join(srpSigs(benchmark, seed).as("b"), col("t.__sig") === col("b.__sig"))
+    val candSig = t.select(col("id"), col("__sig")).as("t")
+      .join(b.select(col("id"), col("__sig")).as("b"),
+        col("t.__sig") === col("b.__sig"))
       .select(col("t.id").as("a_id"), col("b.id").as("b_id"))
     candBand.unionByName(candSig).distinct()
-      .join(prep(train, "a_"), "a_id")
-      .join(prep(benchmark, "b_"), "b_id")
+      .join(t.select(col("id").as("a_id"), col("emb").as("a_emb"),
+        col("norm").as("a_norm")), "a_id")
+      .join(b.select(col("id").as("b_id"), col("emb").as("b_emb"),
+        col("norm").as("b_norm")), "b_id")
       .withColumn("sim", dotD(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
       .filter(graft.Num.rnd(col("sim"), 9) >= threshold)
       .groupBy(col("a_id").as("doc_id"))
@@ -335,17 +347,21 @@ object Similarity {
           shiftright(col("__sig"), b * width)
             .bitwiseAND(lit((1L << width) - 1)).as("chunk"))): _*)).as("bc"))
       .select(col("id"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
-    val candBand = srpChunks(train, bands, seed).as("t")
+    // train side evaluated + SRP-hashed ONCE for its three legs (the
+    // semPrepped discipline; the index side is precomputed by contract)
+    val t = semPrepped(train, seed)
+    val candBand = chunksOfSigs(t.select(col("id"), col("__sig")), bands).as("t")
       .join(idxChunks.as("b"),
         col("t.band") === col("b.band") && col("t.chunk") === col("b.chunk"))
       .select(col("t.id").as("a_id"), col("b.id").as("b_id"))
-    val candSig = srpSigs(train, seed).as("t")
+    val candSig = t.select(col("id"), col("__sig")).as("t")
       .join(idxSigs.as("b"), col("t.__sig") === col("b.__sig"))
       .select(col("t.id").as("a_id"), col("b.id").as("b_id"))
     val idxPrep = semIndex.select(col("vec_id").as("b_id"),
       col("embedding").as("b_emb"), col("norm").as("b_norm"))
     candBand.unionByName(candSig).distinct()
-      .join(prep(train, "a_"), "a_id")
+      .join(t.select(col("id").as("a_id"), col("emb").as("a_emb"),
+        col("norm").as("a_norm")), "a_id")
       .join(idxPrep, "b_id")
       .withColumn("sim", dotD(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
       .filter(graft.Num.rnd(col("sim"), 9) >= threshold)
@@ -526,13 +542,23 @@ object Similarity {
     * seed) is pinned by OpsSpec. */
   def nearDupPairsLsh(corpus: DataFrame, threshold: Double,
                       bands: Int = 16, seed: Long = 42L): DataFrame = {
-    val chunks = srpChunks(corpus, bands, seed)
+    // corpus evaluated + SRP-hashed once for the bucket self-join and both
+    // verify sides (semPrepped pin; lazy-return cache contract)
+    val pp = semPrepped(corpus, seed)
+    val chunks = chunksOfSigs(pp.select(col("id"), col("__sig")), bands)
     val candidates = chunks.as("x").join(chunks.as("y"),
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .distinct()
-    verifyCosine(candidates, corpus, threshold)
+    candidates
+      .join(pp.select(col("id").as("a_id"), col("emb").as("a_emb"),
+        col("norm").as("a_norm")), "a_id")
+      .join(pp.select(col("id").as("b_id"), col("emb").as("b_emb"),
+        col("norm").as("b_norm")), "b_id")
+      .withColumn("sim", dotD(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), graft.Num.rnd(col("sim"), 6).as("sim"))
   }
 
   /** (id, __sig) 64-bit sign-random-projection signatures. */
@@ -543,21 +569,45 @@ object Similarity {
           org.apache.spark.sql.graftbridge.Bridge.expression(col("emb")), 64, seed)))
       .select(col("id"), col("__sig"))
 
-  /** (id, band, chunk) sign-random-projection band buckets shared by the
-    * LSH pair and cluster operators. */
-  private def srpChunks(corpus: DataFrame, bands: Int, seed: Long): DataFrame = {
+  /** The per-vector relation every SRP leg of one operator call needs —
+    * (id, emb double[], norm, __sig) — computed ONCE and PINNED: the LSH
+    * operators below consume their input through up to four legs (band
+    * chunks, full-signature groups, and both verify sides), and without a
+    * pin each leg re-evaluates the input lineage (often a corpus ⋈
+    * survivor-ids join) and re-runs the 64-projection SRP kernel
+    * (guide §2.4 — the minHashPairs shingle-set discipline applied to the
+    * semantic family). Callers whose tail is EAGER (embedClustersLsh's
+    * components) unpersist before returning; lazy-returning operators
+    * leave the pin to the caller's clearCache / ContextCleaner, the
+    * module's documented cache contract. */
+  private def semPrepped(corpus: DataFrame, seed: Long): DataFrame =
+    prep(corpus, "").withColumn("__sig",
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.expr.CosineLshSig(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("emb")),
+          64, seed)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** (id, band, chunk) band buckets from a relation already carrying the
+    * 64-bit `__sig` — pure bit arithmetic, no per-vector kernel. */
+  private def chunksOfSigs(sigs: DataFrame, bands: Int): DataFrame = {
     require(64 % bands == 0 && bands >= 2,
       s"bands must divide 64 and be >= 2, got $bands")
     // (bands=1 would need mask (1L<<64)-1, which the JVM's mod-64 shift
     // turns into 0 — every row would share one bucket = full cross product)
     val width = 64 / bands
-    srpSigs(corpus, seed).select(col("id"), col("__sig"),
+    sigs.select(col("id"), col("__sig"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("__sig"), b * width)
             .bitwiseAND(lit((1L << width) - 1)).as("chunk"))): _*)).as("bc"))
       .select(col("id"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
   }
+
+  /** (id, band, chunk) sign-random-projection band buckets shared by the
+    * LSH pair and cluster operators. */
+  private def srpChunks(corpus: DataFrame, bands: Int, seed: Long): DataFrame =
+    chunksOfSigs(srpSigs(corpus, seed), bands)
 
   /** Exact cosine over candidate (a_id, b_id) pairs. */
   private def verifyCosine(candidates: DataFrame, corpus: DataFrame,
@@ -591,20 +641,34 @@ object Similarity {
     * suffices to split. The exact pair path stays the oracle. */
   def embedClustersLsh(corpus: DataFrame, threshold: Double,
                        bands: Int = 16, seed: Long = 42L): DataFrame = {
-    val chunks = srpChunks(corpus, bands, seed)
+    // one corpus evaluation + one SRP kernel pass for all four legs (band
+    // star, signature star, both verify sides) — the input is often a
+    // corpus ⋈ survivor-ids join that would otherwise run 4×
+    val pp = semPrepped(corpus, seed)
     val wBucket = org.apache.spark.sql.expressions.Window.partitionBy("band", "chunk")
-    val bandStar = chunks
+    val bandStar = chunksOfSigs(pp.select(col("id"), col("__sig")), bands)
       .withColumn("hub", min("id").over(wBucket))
       .filter(col("id") =!= col("hub"))
       .select(col("hub").as("a_id"), col("id").as("b_id"))
     val wSig = org.apache.spark.sql.expressions.Window.partitionBy("__sig")
-    val sigStar = srpSigs(corpus, seed)
+    val sigStar = pp.select(col("id"), col("__sig"))
       .withColumn("hub", min("id").over(wSig))
       .filter(col("id") =!= col("hub"))
       .select(col("hub").as("a_id"), col("id").as("b_id"))
     val star = bandStar.unionByName(sigStar).distinct()
-    Dedup.dedupClusters(verifyCosine(star, corpus, threshold)
-      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b")))
+    val verified = star
+      .join(pp.select(col("id").as("a_id"), col("emb").as("a_emb"),
+        col("norm").as("a_norm")), "a_id")
+      .join(pp.select(col("id").as("b_id"), col("emb").as("b_emb"),
+        col("norm").as("b_norm")), "b_id")
+      .withColumn("sim",
+        dotD(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")))
+      .filter(col("sim") >= threshold)
+    val labels = Dedup.dedupClusters(
+      verified.select(col("a_id").as("doc_a"), col("b_id").as("doc_b")))
+    // dedupClusters is EAGER — nothing references the pin anymore
+    pp.unpersist(blocking = false)
+    labels
   }
 
   /** Learned IVF coarse centroids: k-means (spark.ml, fixed seed, 8 Lloyd
