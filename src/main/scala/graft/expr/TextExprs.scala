@@ -225,6 +225,31 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Count of tokens that appear in a small marker set — the stopword-hit
+    * counter of [[graft.ops.TextAnalysis.qualityScore]]/langId, fused
+    * (replaces `size(filter(toks, t => array_contains(markers, t)))`, an
+    * interpreted lambda + literal-array scan per token per document in
+    * every quality/language computation). Null tokens don't count, exactly
+    * like the filter's null-condition drop. Marker lists are ≤ 8 entries;
+    * a linear probe beats set construction at that size. */
+  def markerHits(toks: ArrayData, markers: Array[UTF8String]): Int = {
+    val n = toks.numElements()
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i)
+        var j = 0
+        while (j < markers.length) {
+          if (t.equals(markers(j))) { cnt += 1; j = markers.length }
+          else j += 1
+        }
+      }
+      i += 1
+    }
+    cnt
+  }
+
   /** 30-bit SimHash over a hash array: bit j set iff Σ over hashes of
     * (2·bit_j − 1) is positive. */
   def simHashBits(hashes: ArrayData): Long = {
@@ -307,6 +332,30 @@ case class NgramWeightSum(child: Expression, weights: Seq[Double], dim: Int)
   override protected def withNewChildInternal(newChild: Expression): NgramWeightSum =
     copy(child = newChild)
   override def prettyName: String = "ngram_weight_sum"
+}
+
+/** marker_hits(array<string>) → int: marker-set membership count. */
+case class MarkerHits(child: Expression, markers: Seq[String])
+    extends UnaryExpression {
+  require(markers.nonEmpty, "marker_hits needs at least one marker")
+  @transient private lazy val mArr: Array[UTF8String] =
+    markers.map(UTF8String.fromString).toArray
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"marker_hits expects array<string>, got ${t.sql}")
+  }
+  override def nullSafeEval(ts: Any): Any =
+    TextKernels.markerHits(ts.asInstanceOf[ArrayData], mArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("markers", mArr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextKernels.markerHits($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MarkerHits =
+    copy(child = newChild)
+  override def prettyName: String = "marker_hits"
 }
 
 /** tokens_of(string) → array<string>: whitespace tokenize, empties dropped,

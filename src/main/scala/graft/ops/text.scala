@@ -61,9 +61,14 @@ object TextAnalysis {
       graft.expr.TokenShingleHashes(
         org.apache.spark.sql.graftbridge.Bridge.expression(tokens(text)), k))
 
-  /** Marker-hit count for one language. */
+  /** Marker-hit count for one language — fused ([[graft.expr.MarkerHits]];
+    * formerly `size(filter(toks, t => array_contains(markers, t)))`, an
+    * interpreted lambda per token per document inside every quality score
+    * and language-ID pass; ExprSpec pins equality to that composition). */
   def markerHits(toks: Column, markers: Seq[String]): Column =
-    size(filter(toks, t => array_contains(array(markers.map(lit): _*), t)))
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expr.MarkerHits(
+        org.apache.spark.sql.graftbridge.Bridge.expression(toks), markers))
 
   /** Predicted language: argmax of marker hits, alphabetical tie-break. */
   def langId(toks: Column): (Column, Column) = {

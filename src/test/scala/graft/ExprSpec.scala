@@ -60,6 +60,20 @@ class ExprSpec extends SparkSpec {
       old.as[Seq[String]].collect().toSeq)
   }
 
+  test("marker_hits kernel equals the filter/array_contains composition") {
+    val markers = Seq("the", "a", "of")
+    val df = Seq(Seq("the", "cat", "of", "a", "THE"), Seq("x"),
+      Seq.empty[String]).toDF("toks")
+    val old = df.select(size(filter(col("toks"),
+      t => array_contains(array(markers.map(lit): _*), t))).as("n"))
+    val knl = df.select(
+      org.apache.spark.sql.graftbridge.Bridge.column(graft.expr.MarkerHits(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("toks")),
+        markers)).as("n"))
+    assert(knl.as[Int].collect().toSeq == old.as[Int].collect().toSeq)
+    assert(knl.as[Int].collect().head == 3)
+  }
+
   test("bpe_merge_all kernel equals the interpreted aggregate fold per merge") {
     // the exact fold BpeMergeAll replaced (graft.ops.TextAnalysis
     // .bpeMergeExpr's former body) — kept here as the reference semantics
